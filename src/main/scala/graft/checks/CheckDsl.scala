@@ -1,0 +1,87 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Fixture
+
+/** One assessment check: a Spark plan plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL. Output contract (reference
+  * `factors/requirements.yaml:3`): a `value` column in [0,1].
+  *
+  * Uniform output schema: (requirement, scope, hits, population, value)
+  * with value = hits/population and the vacuous population defined as 1.0
+  * (SURVEY.md §7 hard-part (d) — the spec is silent; we document it here
+  * once for all checks).
+  */
+final case class Check(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object CheckDsl {
+
+  /** Read one driver-generated table. Filters/projections layered on top
+    * push down to the vectorized parquet scan (verified via explain).
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; we read it as a nanos-epoch LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong` — set here, not in the session
+    * builder, so the driver's own SparkSession works too) and convert with
+    * integer division (`div`, not `/` — nanos-epoch ≈ 1.7e18 exceeds the
+    * 2^53 double mantissa, float division would corrupt the low digits).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** hits/population → the uniform single-row result. Both inputs are
+    * single-row single-column LONG aggregates; the cross join is trivially
+    * broadcast (1×1) — no scale concern.
+    */
+  def fractionDf(spark: SparkSession, req: String, hits: DataFrame,
+      population: DataFrame, scope: String = "ALL"): DataFrame = {
+    val h = hits.toDF("hits")
+    val p = population.toDF("population")
+    h.crossJoin(p).select(
+      lit(req).as("requirement"),
+      lit(scope).as("scope"),
+      col("hits"),
+      col("population"),
+      valueExpr(col("hits"), col("population")))
+  }
+
+  /** value = hits/population, vacuous→1.0, as a Column. Exact-arithmetic
+    * discipline: both operands are integers, so the single IEEE division is
+    * bit-identical between Spark and DuckDB (no summation-order hazards).
+    */
+  def valueExpr(hits: Column, population: Column): Column =
+    when(population === 0, lit(1.0))
+      .otherwise(hits.cast("double") / population.cast("double"))
+      .as("value")
+
+  /** Count rows of a DF as a 1×1 LONG aggregate (lazy — no action). */
+  def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)))
+
+  // ── oracle side ───────────────────────────────────────────────────────
+
+  /** Oracle mirror of `fractionDf`: `hitsQ`/`popQ` are complete scalar
+    * SELECTs (e.g. "SELECT COUNT(*) FROM x WHERE ...").
+    */
+  def fractionSql(req: String, hitsQ: String, popQ: String,
+      fixtures: Seq[Fixture], extraCtes: Seq[String] = Nil,
+      scope: String = "ALL"): String = {
+    val body =
+      s"""SELECT '$req' AS requirement, '$scope' AS scope, hits, population,
+         |CASE WHEN population = 0 THEN 1.0
+         |     ELSE CAST(hits AS DOUBLE) / CAST(population AS DOUBLE)
+         |END AS value
+         |FROM (SELECT CAST(($hitsQ) AS BIGINT) AS hits,
+         |             CAST(($popQ) AS BIGINT) AS population)"""
+        .stripMargin.replace("\n", " ")
+    Fixture.oracle(fixtures, body, extraCtes)
+  }
+}

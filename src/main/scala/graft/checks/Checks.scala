@@ -1,0 +1,12 @@
+package graft.checks
+
+/** Aggregated check registry: every implemented check, keyed by requirement
+  * name. `SparkEntry.queries`/`oracleSql` are derived from this single list —
+  * adding a check here wires it into the driver's verify + bench loop.
+  */
+object Checks {
+  def all: Seq[Check] =
+    Factor1.all ++ Factor2.all ++ Factor3.all
+
+  def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
+}
