@@ -7,7 +7,7 @@ object SparkEntry {
     * Runs the full assessment (every implemented check unioned).
     */
   def entry(spark: SparkSession): DataFrame =
-    Checks.all.map(_.run(spark, "/root/testdata/sf0.001"))
+    Checks.all.filter(_.isScore).map(_.run(spark, "/root/testdata/sf0.001"))
       .reduce(_ unionAll _)
 
   /** One entry per implemented operator from SURVEY.md §2. */

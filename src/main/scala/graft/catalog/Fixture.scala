@@ -74,6 +74,8 @@ object Fixture {
   def oracle(fixtures: Seq[Fixture], body: String, extraCtes: Seq[String] = Nil): String = {
     val ctes = fixtures.map(_.cte) ++ extraCtes
     if (ctes.isEmpty) body
-    else "WITH " + ctes.mkString(", ") + " " + body
+    // RECURSIVE is harmless for plain CTEs and required by the lineage
+    // closure oracles (DuckDB follows the SQL standard here).
+    else "WITH RECURSIVE " + ctes.mkString(", ") + " " + body
   }
 }

@@ -17,7 +17,12 @@ import graft.catalog.Fixture
 final case class Check(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** true for the 48 requirement checks (uniform CheckResult schema —
+      * unionable into the assessment rollup); false for operator queries
+      * whose output is domain-shaped (e.g. lineage_impact's edge pairs).
+      */
+    isScore: Boolean = true)
 
 object CheckDsl {
 
