@@ -1,0 +1,136 @@
+package graft.checks
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Fixtures._
+import graft.checks.CheckDsl._
+import graft.substrate.VectorOps._
+
+/** Vector similarity tier: exact kNN (the correctness oracle), LSH
+  * approximate NN (the scale path), and the recall-compliance check #19
+  * they compose into (reference `factors/requirements.yaml:82-84`: vector
+  * indexes must achieve target recall; `2-consumable.md:9`: retrieval in
+  * milliseconds).
+  *
+  * Scale design: exact kNN is O(|Q|·N) — used for a SAMPLED query set as
+  * ground truth, with the N side streamed (one pass, no shuffle: the query
+  * side is broadcast). The production search path is the LSH variant whose
+  * candidate set per query is the union of its hash buckets — sub-linear
+  * work per query; both sides shuffle only on bucket id.
+  */
+object VectorTier {
+
+  /** Queries = deterministic sample of the collection. */
+  private val QuerySampleMod = 50
+  private val K = 10
+
+  private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+
+  /** Exact cosine top-k for each sampled query (self-matches excluded) —
+    * ranks only, so the output is integer-typed and engine-portable
+    * (cosine margins at rank-k are ~1e-3 vs ~1e-16 cross-engine noise,
+    * measured; see substrate.VectorOps).
+    */
+  val knnExactCosine = Check("knn_exact_cosine",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val sims = broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          cosine(col("qv"), col("v")).as("s"))
+      val w = Window.partitionBy("qid").orderBy(col("s").desc, col("cid"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("qid", "rank", "cid")
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |list_cosine_similarity(q.v, c.v) AS s FROM e q, e c
+         |WHERE q.vec_id % $QuerySampleMod = 0 AND c.vec_id <> q.vec_id)
+         |SELECT qid, rank, cid FROM (SELECT qid, cid, CAST(row_number() OVER
+         |(PARTITION BY qid ORDER BY s DESC, cid) AS BIGINT) AS rank FROM sims)
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Fit the BRP-LSH model — THE "vector similarity index" artifact that
+    * checks #15/#19 assess (yaml:66-68: "index built and maintained").
+    * Seeded → deterministic.
+    */
+  private def lshModel(df: DataFrame) =
+    new BucketedRandomProjectionLSH()
+      .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(df)
+
+  /** Approximate top-k per sampled query via the LSH index: join on shared
+    * hash bucket → rank candidates by exact distance. Sub-linear per query
+    * at scale (bucket-join instead of cross join).
+    */
+  def annTopK(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .withColumn("features", array_to_vector(col("v")))
+    val model = lshModel(e)
+    val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+      .select(col("vec_id").as("qid"), col("features").as("qf"))
+    val joined = model.approxSimilarityJoin(q.withColumnRenamed("qf", "features"), e,
+        Double.MaxValue, "dist")
+      .select(col("datasetA.qid").as("qid"), col("datasetB.vec_id").as("cid"),
+        col("dist"))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+  }
+
+  /** Exact euclidean top-k (ground truth for recall; euclidean because the
+    * LSH family is euclidean-metric).
+    */
+  private def exactEuclideanTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = embeddingsD(spark, dir)
+    val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val d = broadcast(q).crossJoin(e).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), sqDist(col("qv"), col("v")).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))
+    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "cid")
+  }
+
+  /** #19 retrieval_recall_compliance (yaml:82-84): recall@k of the LSH index
+    * against the exact oracle, averaged over the query sample, compared to
+    * the declared recall SLA. No SQL oracle (MLlib LSH) → rows-only check
+    * per the driver contract.
+    */
+  val retrievalRecallCompliance = Check("retrieval_recall_compliance",
+    (spark, dir) => {
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val approx = annTopK(spark, dir, K).select("qid", "cid")
+      val hitsPerQuery = exact.join(approx, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("overlap"))
+      val nQueries = exact.select("qid").distinct()
+      val avgRecall = nQueries.join(hitsPerQuery, Seq("qid"), "left")
+        .select(coalesce(col("overlap"), lit(0L)).as("overlap"))
+        .agg((sum("overlap").cast("double") / (count(lit(1)) * K)).as("recall"))
+      val target = sla.df(spark)
+        .filter(col("sla_kind") === "recall").select("asset", "threshold")
+      // one indexed collection (embeddings); population = collections with
+      // a recall SLA + registered index
+      val met = avgRecall.crossJoin(broadcast(target))
+        .filter(col("recall") >= col("threshold"))
+      fractionDf(spark, "retrieval_recall_compliance", cnt(met), cnt(target))
+    },
+    None)
+
+  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance)
+}
