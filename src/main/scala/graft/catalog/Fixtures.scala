@@ -525,6 +525,19 @@ object Fixtures {
         Seq(i.toLong, "f2", i * 2.0, ts("2024-01-30T12:00:00Z"))) :+
       Seq(5L, "f1", 99.0, ts("2024-01-30T13:00:00Z")))
 
+  /** Function words per language for the stopword-vote language-ID operator
+    * and text-quality stopword ratio (ext tier).
+    */
+  val langStopwords = Fixture("lang_stopwords",
+    st("lang" -> S, "word" -> S),
+    Seq(
+      "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+      "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "en", "une", "que"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+      .flatMap { case (l, ws) => ws.map(w => Seq[Any](l, w)) })
+
   /** All fixtures by name (for tests / docs). */
   val all: Seq[Fixture] = Seq(assets, columns, keyDeclarations, relationships,
     constraints, glossary, sla, endpointsLatency, endpointSla, featureCatalog,
@@ -532,5 +545,5 @@ object Fixtures {
     lineageEdges, lineageSources, transformations, tags, accessEvents,
     auditLog, accessPaths, biasTests, populationDist, licenses, consent,
     retention, anonConfig, schemaVersions, vectorIndexes, extraVectors,
-    onlineFeatures)
+    onlineFeatures, langStopwords)
 }

@@ -7,7 +7,7 @@ package graft.checks
 object Checks {
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
-      VectorTier.all
+      VectorTier.all ++ TextTier.all
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
 }

@@ -1,0 +1,295 @@
+package graft.checks
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Fixtures.langStopwords
+import graft.checks.CheckDsl._
+import graft.substrate.TextOps._
+import graft.substrate.VectorOps
+
+/** Training-data pipeline operators over the `documents` corpus: the dedup
+  * family, text analysis, chunking, fingerprinting. These are the Factor-2
+  * preconditions (reference `factors/requirements.yaml:54-88` assumes
+  * chunked, embedded, deduplicated corpora EXIST) plus the driver's
+  * extension mandate.
+  *
+  * Scale design notes per operator are on each member. Everything except
+  * the two seeded-LSH/hash operators carries a DuckDB oracle; regex and
+  * arithmetic are written byte-identically on both sides (DuckDB
+  * regexp_replace needs the explicit 'g' flag to match Spark's
+  * always-global behavior).
+  */
+object TextTier {
+
+  private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
+  private val JaccardSampleMod = 20
+  private val ChunkTokens = 64
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** Exact dedup: every doc mapped to the canonical (min) doc id of its
+    * normalized-text hash group. One shuffle on the 256-bit hash; at 100 TB
+    * the window collapses to a groupBy(hash) since only group-min is needed.
+    */
+  val dedupExact = Check("dedup_exact",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+        .select(col("doc_id"), sha2(normText(col("text")).cast("binary"), 256).as("h"))
+      val w = Window.partitionBy("h")
+      d.withColumn("canonical_id", min("doc_id").over(w))
+        .select("doc_id", "canonical_id").orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS canonical_id
+        |FROM (SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Exact n-gram Jaccard over a deterministic document sample: all pairs
+    * sharing ≥1 trigram, with the exact Jaccard index. The shingle
+    * self-join IS the scale path (pairs that share nothing never meet — no
+    * cross join); the sample bounds the quadratic worst case.
+    */
+  val dedupNgramJaccard = Check("dedup_ngram_jaccard",
+    (spark, dir) => {
+      val sample = docs(spark, dir).filter(col("doc_id") % JaccardSampleMod === 0)
+      val sh = sample.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val left = sh.select(col("doc_id").as("a"), col("sh"))
+      val right = sh.select(col("doc_id").as("b"), col("sh").as("sh2"))
+      val inter = left.join(right, col("sh") === col("sh2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some(
+      s"""WITH s AS (SELECT doc_id, trim(text) AS text FROM documents WHERE doc_id % $JaccardSampleMod = 0),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos FROM s),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+         |FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT i.a, i.b, CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |ORDER BY a, b""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** MinHash-LSH near-dup sweep (shingle → minhash band → bucket join) —
+    * the sub-quadratic scale path for full-corpus dedup. Seeded →
+    * deterministic; MLlib hashes aren't reproducible in SQL → no oracle.
+    * Output: one summary row.
+    */
+  val dedupMinhashLsh = Check("dedup_minhash_lsh",
+    (spark, dir) => {
+      val sh = docs(spark, dir)
+        .select(col("doc_id"), wordTrigrams(col("text")).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18)
+      val feat = tf.transform(sh)
+      val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(5).setSeed(42L).fit(feat)
+      val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+        .filter(col("a") < col("b"))
+      pairs.agg(count(lit(1)).as("near_dup_pairs"))
+        .crossJoin(sh.agg(count(lit(1)).as("docs_indexed")))
+    },
+    None, isScore = false)
+
+  /** SimHash signatures (64-bit, token-frequency weighted). Hamming-ball
+    * pair search happens by banding the signature — see the spec test; the
+    * operator output is the signature table. xxhash64 is engine-specific →
+    * no SQL oracle.
+    */
+  val dedupSimhash = Check("dedup_simhash",
+    (spark, dir) => {
+      val tf = docs(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bits = tf.select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("contrib",
+          when(expr("(shiftright(h, b) & 1) = 1"), col("w")).otherwise(-col("w")))
+      bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+    None, isScore = false)
+
+  /** Embedding-cosine near-dup: global top-k most-similar pairs. Ranks
+    * only (integer output) — boundary margin measured at 3.5e-4 vs 1e-16
+    * cross-engine noise.
+    */
+  val neardupCosineTopk = Check("neardup_cosine_topk",
+    (spark, dir) => {
+      val e = table(spark, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      val pairs = e.select(col("vec_id").as("a"), col("v").as("va"))
+        .crossJoin(e.select(col("vec_id").as("b"), col("v").as("vb")))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("s"))
+      val top = pairs.orderBy(col("s").desc, col("a"), col("b")).limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("s").desc, col("a"), col("b")))
+            .cast("long"))
+        .select("rank", "a", "b")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b, list_cosine_similarity(a.v, b.v) AS s
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY s DESC, a, b) AS BIGINT) AS rank, a, b
+        |FROM p ORDER BY s DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Language ID by function-word vote against the per-language stopword
+    * catalog; 'und' when no function word matches. One explode + broadcast
+    * join + two-level agg — linear, shuffle only on doc_id.
+    */
+  val langId = Check("lang_id",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val sw = langStopwords.df(spark)
+      val counts = toks.join(broadcast(sw), toks("tok") === sw("word"))
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+      val best = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("lang_pred"))
+      d.select("doc_id").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some(graft.catalog.Fixture.oracle(Seq(langStopwords),
+      """SELECT d.doc_id AS doc_id, COALESCE(b.lang, 'und') AS lang_pred
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      Seq(
+        """toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)"""
+          .replace("\n", " "),
+        """counts AS (SELECT t.doc_id, s.lang, COUNT(*) AS hits FROM toks t
+          |JOIN lang_stopwords s ON t.tok = s.word GROUP BY 1, 2)"""
+          .stripMargin.replace("\n", " "),
+        """best AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+          |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+          |FROM counts) WHERE rn = 1)""".stripMargin.replace("\n", " ")))),
+    isScore = false)
+
+  /** Per-document text statistics + composite quality score. Single
+    * column-pruned pass, no shuffle (all expressions are per-row). The
+    * quality formula is written in identical operation order on both
+    * engines → bit-identical doubles.
+    */
+  val textStats = Check("text_stats",
+    (spark, dir) => {
+      val enList = EnStop.map(s => s"'$s'").mkString(", ")
+      docs(spark, dir).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        subtokenCount(col("text")).cast("long").as("n_subtokens"),
+        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($enList)))")
+          .cast("long").as("sw_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+          .cast("long").as("punct_chars"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
+          (col("sw_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (col("punct_chars").cast("double") / col("n_chars_obs")).as("punct_ratio"))
+        .withColumn("quality",
+          least(lit(1.0), col("n_tokens") / lit(100.0)) *
+            (lit(1.0) - col("punct_ratio")) *
+            (lit(0.5) + lit(0.5) * col("stopword_ratio")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val enList = EnStop.map(s => s"'$s'").mkString(", ")
+      s"""WITH raw AS (SELECT doc_id,
+         |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |CAST(len(regexp_extract_all(text, '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
+         |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($enList))) AS BIGINT) AS sw_hits,
+         |CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars,
+         |CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents),
+         |r2 AS (SELECT doc_id, n_tokens, n_subtokens,
+         |CAST(sw_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+         |CAST(punct_chars AS DOUBLE) / n_chars_obs AS punct_ratio FROM raw)
+         |SELECT doc_id, n_tokens, n_subtokens, stopword_ratio, punct_ratio,
+         |least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stopword_ratio) AS quality
+         |FROM r2 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
+  /** Document fingerprint: minimum md5 over the trigram shingle set (a
+    * 1-permutation MinHash whose hash is engine-portable), falling back to
+    * the normalized-text md5 for sub-3-token docs.
+    */
+  val docFingerprint = Check("doc_fingerprint",
+    (spark, dir) => {
+      docs(spark, dir).select(col("doc_id"),
+        coalesce(
+          array_min(transform(wordTrigrams(col("text")),
+            s => md5(s.cast("binary")))),
+          md5(normText(col("text")).cast("binary"))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |fp AS (SELECT doc_id, MIN(md5(sh)) AS f FROM tri GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(fp.f,
+        |md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))))) AS fingerprint
+        |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Context-window chunking: fixed 64-token windows via explode over the
+    * chunk index — the operator that produces what check #16 assesses.
+    * Per-row explode, no shuffle.
+    */
+  val chunkDocuments = Check("chunk_documents",
+    (spark, dir) => {
+      val t = docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      t.withColumn("chunk_id",
+          explode(sequence(lit(0),
+            ceil(size(col("toks")) / lit(ChunkTokens.toDouble)).cast("int") - 1)))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          concat_ws(" ",
+            slice(col("toks"), col("chunk_id") * ChunkTokens + 1, lit(ChunkTokens)))
+            .as("chunk_text"),
+          size(slice(col("toks"), col("chunk_id") * ChunkTokens + 1, lit(ChunkTokens)))
+            .cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, unnest(generate_series(0,
+         |CAST(ceil(len(toks) / $ChunkTokens.0) AS BIGINT) - 1)) AS chunk_id FROM t)
+         |SELECT doc_id, chunk_id,
+         |array_to_string(list_slice(toks, chunk_id * $ChunkTokens + 1, chunk_id * $ChunkTokens + $ChunkTokens), ' ') AS chunk_text,
+         |CAST(len(list_slice(toks, chunk_id * $ChunkTokens + 1, chunk_id * $ChunkTokens + $ChunkTokens)) AS BIGINT) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
+    dedupSimhash, neardupCosineTopk, langId, textStats, docFingerprint,
+    chunkDocuments)
+}
