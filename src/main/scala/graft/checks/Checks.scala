@@ -5,9 +5,16 @@ package graft.checks
   * adding a check here wires it into the driver's verify + bench loop.
   */
 object Checks {
+  /** Multimodal pipeline query (decode/feature plumbing is mapPartitions —
+    * Spark-only, rows-only check).
+    */
+  private val mediaFeatureStats = Check("media_feature_stats",
+    (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir),
+    None, isScore = false)
+
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
-      VectorTier.all ++ TextTier.all
+      VectorTier.all ++ TextTier.all :+ mediaFeatureStats
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
 }

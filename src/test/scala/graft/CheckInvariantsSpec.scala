@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.checks.{CheckDsl, Checks}
+import graft.model.Registry
+
+/** Spec invariants from the reference contract: every check returns `value`
+  * in [0,1] (`factors/requirements.yaml:3`), vacuous population scores 1.0
+  * (our documented rule, SURVEY.md §7d), and the registry carries exactly
+  * the 48 requirement keys.
+  */
+class CheckInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry holds 48 requirements with the grep-verified workload split") {
+    assert(Registry.all.size == 48)
+    import graft.model.Workload
+    assert(Registry.all.count(_.workloads == Set(Workload.Serving, Workload.Training)) == 34)
+    assert(Registry.all.count(_.workloads == Set(Workload.Serving)) == 9)
+    assert(Registry.all.count(_.workloads == Set(Workload.Training)) == 5)
+  }
+
+  test("every score check emits one row with value in [0,1] and hits <= population") {
+    val bad = Checks.all.filter(_.isScore).flatMap { c =>
+      val rows = c.run(spark, sf).collect()
+      if (rows.length != 1) Some(s"${c.name}: ${rows.length} rows")
+      else {
+        val r = rows.head
+        val v = r.getAs[Double]("value")
+        val h = r.getAs[Long]("hits"); val p = r.getAs[Long]("population")
+        if (v < 0 || v > 1 || h > p) Some(s"${c.name}: value=$v hits=$h pop=$p")
+        else None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("score-check names are registry keys (plus documented operator extras)") {
+    val extras = Set("retrieval_recall_compliance") // in registry too
+    val unknown = Checks.all.filter(_.isScore).map(_.name)
+      .filterNot(Registry.byKey.contains).filterNot(extras)
+    assert(unknown.isEmpty, s"score checks not in registry: $unknown")
+  }
+
+  test("valueExpr property: hits/pop in [0,1], vacuous -> 1.0 (ScalaCheck)") {
+    val gen = for {
+      p <- Gen.chooseNum(0L, 1000000L)
+      h <- Gen.chooseNum(0L, p)
+    } yield (h, p)
+    // one Spark job for the whole sample, not one per case
+    val cases = Gen.listOfN(200, gen).sample.get :+ ((0L, 0L))
+    val got = cases.toDF("hits", "population")
+      .select(col("hits"), col("population"),
+        CheckDsl.valueExpr(col("hits"), col("population")))
+      .as[(Long, Long, Double)].collect()
+    val prop = Prop.forAll(Gen.oneOf(got)) { case (h, p, v) =>
+      v >= 0.0 && v <= 1.0 &&
+        (p != 0L || v == 1.0) && (p == 0L || v == h.toDouble / p.toDouble)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+
+import graft.substrate.TextOps
+
+/** Correctness of the dedup family on CONSTRUCTED near-duplicates — the
+  * driver corpus has none (500 distinct random texts), so known-answer
+  * fixtures live here.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word edit
+  private val different = "completely unrelated content about database systems and query planning here now"
+
+  private def corpus = Seq(
+    (0L, base), (1L, nearDup), (2L, different), (3L, base) // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup maps duplicate text to the canonical min doc_id") {
+    val d = corpus.select(col("doc_id"),
+      sha2(TextOps.normText(col("text")).cast("binary"), 256).as("h"))
+    val canon = d.groupBy("h").agg(min("doc_id").as("c"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("c").as[Long].collect()
+    assert(canon.toSeq == Seq(0L))
+  }
+
+  test("trigram Jaccard: near-dup pair scores high, unrelated pair absent") {
+    val sh = corpus.select(col("doc_id"), explode(TextOps.wordTrigrams(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val ji = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("ji"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(ji((0L, 3L)) == 1.0)      // exact dup
+    assert(ji((0L, 1L)) > 0.6)       // near dup: 1-word edit in 13 words
+    assert(!ji.contains((0L, 2L)))   // unrelated: no shared trigram
+  }
+
+  test("MinHashLSH approxSimilarityJoin finds the near-dup pair") {
+    val sh = corpus.select(col("doc_id"), TextOps.wordTrigrams(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).transform(sh)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42L).fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "d")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") < col("b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 2L || a == 2L })
+  }
+
+  test("simhash: near-identical docs land within a small hamming ball, unrelated far") {
+    def simhash(df: org.apache.spark.sql.DataFrame) = {
+      val tf = df.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", xxhash64(col("tok")))
+      tf.select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("c", when(expr("(shiftright(h, b) & 1) = 1"), col("w")).otherwise(-col("w")))
+        .groupBy("doc_id", "b").agg(sum("c").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(0L)).as("sig"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val sig = simhash(corpus)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sig(0L), sig(3L)) == 0)   // exact dup -> identical signature
+    assert(hamming(sig(0L), sig(1L)) <= 12)  // near dup -> close
+    assert(hamming(sig(0L), sig(2L)) > 12)   // unrelated -> far
+  }
+}
