@@ -12,9 +12,22 @@ object Checks {
     (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir),
     None, isScore = false)
 
+  /** EP1 assessment endpoints (rows-only: their correctness is transitively
+    * covered by the 47 per-check oracles they union).
+    */
+  private val assessmentScorecard = Check("assessment_scorecard",
+    (spark, dir) => graft.assess.Assessor.scorecard(spark, dir,
+      graft.model.Workload.Training),
+    None, isScore = false)
+  private val factorRollup = Check("factor_rollup",
+    (spark, dir) => graft.assess.Assessor.factorRollup(spark, dir,
+      graft.model.Workload.Training),
+    None, isScore = false)
+
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
-      VectorTier.all ++ TextTier.all :+ mediaFeatureStats
+      VectorTier.all ++ TextTier.all ++
+      Seq(mediaFeatureStats, assessmentScorecard, factorRollup)
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
 }
