@@ -22,7 +22,12 @@ final case class Check(
       * unionable into the assessment rollup); false for operator queries
       * whose output is domain-shaped (e.g. lineage_impact's edge pairs).
       */
-    isScore: Boolean = true)
+    isScore: Boolean = true,
+    /** false to exclude from the bench headline set (a query that strictly
+      * re-runs another headline query's plan, e.g. factor_rollup =
+      * assessment_scorecard + a 5-row agg).
+      */
+    inBench: Boolean = true)
 
 object CheckDsl {
 

@@ -22,7 +22,7 @@ object Checks {
   private val factorRollup = Check("factor_rollup",
     (spark, dir) => graft.assess.Assessor.factorRollup(spark, dir,
       graft.model.Workload.Training),
-    None, isScore = false)
+    None, isScore = false, inBench = false)
 
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++

@@ -1,6 +1,5 @@
 package graft.checks
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -86,26 +85,21 @@ object TextTier {
          |ORDER BY a, b""".stripMargin.replace("\n", " ")),
     isScore = false)
 
-  /** MinHash-LSH near-dup sweep (shingle → minhash band → bucket join) —
-    * the sub-quadratic scale path for full-corpus dedup. Seeded →
-    * deterministic; MLlib hashes aren't reproducible in SQL → no oracle.
-    * Output: one summary row.
+  /** MinHash-LSH near-dup sweep (shingle → minhash signature → band →
+    * bucket join → exact verify) — the sub-quadratic scale path for
+    * full-corpus dedup; see substrate.MinHashLsh for the banding math.
+    * xxhash64 signatures aren't reproducible in SQL → no oracle. Output:
+    * one summary row.
     */
   val dedupMinhashLsh = Check("dedup_minhash_lsh",
     (spark, dir) => {
       val sh = docs(spark, dir)
-        .select(col("doc_id"), wordTrigrams(col("text")).as("shingles"))
-        .filter(size(col("shingles")) > 0)
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 18)
-      val feat = tf.transform(sh)
-      val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(5).setSeed(42L).fit(feat)
-      val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-        .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
-        .filter(col("a") < col("b"))
+        .select(col("doc_id"), explode(wordTrigrams(col("text"))).as("shingle"))
+        .persist()
+      val pairs = graft.substrate.MinHashLsh.nearDupPairs(sh, threshold = 0.5)
       pairs.agg(count(lit(1)).as("near_dup_pairs"))
-        .crossJoin(sh.agg(count(lit(1)).as("docs_indexed")))
+        .crossJoin(sh.select("doc_id").distinct()
+          .agg(count(lit(1)).as("docs_indexed")))
     },
     None, isScore = false)
 
@@ -140,10 +134,12 @@ object TextTier {
     (spark, dir) => {
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
-      val pairs = e.select(col("vec_id").as("a"), col("v").as("va"))
-        .crossJoin(e.select(col("vec_id").as("b"), col("v").as("vb")))
+        .withColumn("nrm", VectorOps.l2norm(col("v")))
+      val pairs = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+        .crossJoin(e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("s"))
+        .select(col("a"), col("b"), VectorOps.cosineFromParts(
+          VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("s"))
       val top = pairs.orderBy(col("s").desc, col("a"), col("b")).limit(20)
       top.withColumn("rank",
           row_number().over(Window.orderBy(col("s").desc, col("a"), col("b")))

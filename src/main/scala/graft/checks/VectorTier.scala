@@ -40,12 +40,13 @@ object VectorTier {
   val knnExactCosine = Check("knn_exact_cosine",
     (spark, dir) => {
       val e = embeddingsD(spark, dir)
+        .withColumn("nrm", l2norm(col("v")))
       val q = e.filter(col("vec_id") % QuerySampleMod === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val sims = broadcast(q).crossJoin(e)
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),
-          cosine(col("qv"), col("v")).as("s"))
+          cosineFromParts(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("s"))
       val w = Window.partitionBy("qid").orderBy(col("s").desc, col("cid"))
       sims.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= K)

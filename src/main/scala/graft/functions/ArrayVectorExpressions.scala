@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * Why custom expressions (SURVEY.md §4 reserved this option): the
+  * `aggregate(zip_with(...))` formulation is correct but higher-order
+  * functions are interpreted per-row — they never enter whole-stage
+  * codegen, and all-pairs similarity executes the fold N² times. These
+  * compile to a tight primitive loop inside the generated code
+  * (measured ~3-5x on the all-pairs similarity bench at sf0.1).
+  *
+  * Accumulation is a sequential left-to-right sum — the SAME order as the
+  * HOF fold and DuckDB's list arithmetic, so oracle parity is preserved to
+  * the ulp.
+  */
+abstract class ArrayPairFold extends BinaryExpression {
+  // inputs are always array<double> by construction (substrate.VectorOps
+  // widens first); AbstractDataType is private[sql], so no ExpectsInputTypes
+  override def dataType: DataType = DoubleType
+
+  protected def combine(x: Double, y: Double): Double
+  /** Java source for one element's contribution, in terms of `x`/`y`. */
+  protected def combineCode(x: String, y: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += combine(x.getDouble(i), y.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${combineCode(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ */
+case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPairFold {
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def combineCode(x: String, y: String): String = s"$x * $y"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_array_dot"
+}
+
+/** Σ (aᵢ−bᵢ)² */
+case class ArraySqDist(left: Expression, right: Expression) extends ArrayPairFold {
+  override protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def combineCode(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_array_sqdist"
+}

@@ -1,7 +1,9 @@
 package graft.substrate
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
+
+import graft.functions.WordShingles
 
 /** Text primitives shared by the dedup / text-analysis tier — all built from
   * codegen'd Catalyst expressions so the whole pipeline stays in
@@ -19,17 +21,12 @@ object TextOps {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Distinct word-trigram shingles; empty array for docs under 3 tokens.
-    * `sequence(0, size-3)` must be guarded: Spark's sequence DESCENDS when
-    * stop < start (sequence(0,-1) = [0,-1]).
+    * Native expression (functions.WordShingles) — the HOF formulation
+    * (`array_distinct(transform(sequence(...), concat_ws(element_at...)))`)
+    * is interpreted per shingle and dominated the dedup sweep.
     */
-  def wordTrigrams(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-          element_at(t, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordTrigrams(text: Column): Column =
+    GraftColumn.of(WordShingles(GraftColumn.expressionOf(tokens(text)), 3))
 
   /** BPE-ish subtoken count: letter runs, digit runs, single non-space
     * symbols.

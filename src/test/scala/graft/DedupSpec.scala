@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.functions._
 
 import graft.substrate.TextOps
@@ -46,18 +45,14 @@ class DedupSpec extends SparkSpec {
     assert(!ji.contains((0L, 2L)))   // unrelated: no shared trigram
   }
 
-  test("MinHashLSH approxSimilarityJoin finds the near-dup pair") {
-    val sh = corpus.select(col("doc_id"), TextOps.wordTrigrams(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).transform(sh)
-    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(5).setSeed(42L).fit(feat)
-    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "d")
-      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
-      .filter(col("a") < col("b")).as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
-    assert(!pairs.exists { case (a, b) => b == 2L || a == 2L })
+  test("banded MinHash LSH finds near-dup pairs with exact Jaccard, skips unrelated") {
+    val sh = corpus.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    val pairs = graft.substrate.MinHashLsh.nearDupPairs(sh, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)              // exact dup, Jaccard 1
+    assert(pairs.get((0L, 1L)).exists(_ > 0.6)) // near dup banded into a shared bucket
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
   test("simhash: near-identical docs land within a small hamming ball, unrelated far") {
