@@ -133,5 +133,38 @@ object VectorTier {
     },
     None)
 
-  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance)
+  /** IVF-flat approximate top-k (substrate.IvfIndex): deterministic
+    * centroid sample, nProbe-cell search. Oracle = the same pipeline in
+    * SQL over DuckDB's list_distance (sqrt-euclidean — monotonic with our
+    * squared distance, so ranks agree).
+    */
+  val annIvfTopk = Check("ann_ivf_topk",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.substrate.IvfIndex.topK(e, q, centroidMod = 23, k = K, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cent_id) AS rn
+         |FROM e, cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |probes AS (SELECT qid, qv, cell FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM q, cents c) WHERE rn <= 4),
+         |cand AS (SELECT p.qid, a.vec_id AS cid, list_distance(p.qv, a.v) AS d
+         |FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.vec_id <> p.qid)
+         |SELECT qid, rank, cid FROM (SELECT qid, cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS BIGINT) AS rank
+         |FROM cand) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance, annIvfTopk)
 }

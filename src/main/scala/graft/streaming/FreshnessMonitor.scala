@@ -36,4 +36,26 @@ object FreshnessMonitor {
         col("latest_ts"), col("n_events"),
         (unix_timestamp(col("w.end")) - unix_timestamp(col("latest_ts")) >
           slaMinutes * 60L).as("sla_breach"))
+
+  /** CDC idempotency (reference `requirements.yaml:123-125` incremental
+    * processing; SURVEY.md §2.B "stateful dedup"): drop replayed events by
+    * id, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts ids older than the watermark
+    * instead of growing state forever like plain dropDuplicates would on a
+    * stream.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Event sessionization via native session windows (gap-based, state
+    * evicted at watermark): per user session, span and event count.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
 }

@@ -1,0 +1,71 @@
+package graft.substrate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — the hardest join in the engine (SURVEY.md
+  * §2.B): for every left row, the latest right row with
+  * `right_ts <= left_ts` on the same key, keeping left rows with no match
+  * ("features available at inference must match training time", reference
+  * `factors/3-current.md:23`; requirement `requirements.yaml:103-105`).
+  *
+  * Implementation is the UNION + WINDOW formulation, not join-then-rank:
+  * tag both sides, union on (key, ts), and carry the last non-null right
+  * payload forward with a running window. One shuffle on the key, zero
+  * row explosion — a key with R right rows and L left rows costs R+L, not
+  * R×L like the naive range-join-then-rank (which at 100 TB explodes on
+  * hot keys). Ties (right_ts == left_ts): the right row sorts FIRST
+  * (is_left ascending), so an exactly-at-label feature is visible —
+  * inclusive as-of.
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich (all preserved)
+    * @param right     timestamped payload rows
+    * @param key       equi-join key column (both sides)
+    * @param leftTs    left event-time column
+    * @param rightTs   right event-time column
+    * @param rightVals right payload columns to carry
+    * @return left columns + matched `rightTs` + payload (nulls if none)
+    */
+  def asofLeft(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__isl", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val lAligned = rightVals.foldLeft(l)((d, v) =>
+      d.withColumn(s"__r_$v", lit(null).cast(right.schema(v).dataType)))
+
+    val rBase = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__isl", lit(0))
+      .withColumn("__rts", col(rightTs))
+    val rAligned0 = rightVals.foldLeft(rBase)((d, v) =>
+      d.withColumn(s"__r_$v", col(v)))
+    // align schemas: right side carries nulls for left payload
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(rAligned0)((d, c) =>
+      if (d.columns.contains(c)) d else
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val cols = Seq(col(key), col("__ts"), col("__isl"), col("__rts")) ++
+      leftCols.filterNot(_ == key).map(col) ++
+      rightVals.map(v => col(s"__r_$v"))
+    val unioned = lAligned.select(cols: _*)
+      .unionByName(rAligned.select(cols: _*))
+
+    val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__isl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val withVals = rightVals.foldLeft(carried)((d, v) =>
+      d.withColumn(s"__m_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+
+    withVals.filter(col("__isl") === 1)
+      .select(leftCols.map(col) ++
+        Seq(col("__m_ts").as(s"asof_$rightTs")) ++
+        rightVals.map(v => col(s"__m_$v").as(v)): _*)
+  }
+}

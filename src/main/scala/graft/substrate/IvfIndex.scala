@@ -1,0 +1,62 @@
+package graft.substrate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.substrate.VectorOps._
+
+/** IVF-flat approximate nearest neighbour — the second scale path for
+  * similarity search (alongside LSH): partition the collection into
+  * Voronoi cells around sampled centroids, search only the `nProbe`
+  * closest cells per query.
+  *
+  * Centroids are a deterministic id-sample of the collection itself
+  * (IVF quality comes from cell balance, not centroid optimality; a
+  * seeded sample avoids k-means iterations and keeps the whole pipeline
+  * reproducible and declarative).
+  *
+  * Scale shape: assignment is |N|×|C| dot-products with the native
+  * codegen'd expression and the centroid set broadcast (no shuffle of the
+  * collection); the probe join hits only nProbe/|C| of the data per query.
+  * The cell-assigned table is the "index artifact" — at 100 TB it would be
+  * written back partitioned BY cell so a probe prunes to nProbe partitions.
+  */
+object IvfIndex {
+
+  /** Assign every vector (vec_id, v) to its nearest centroid cell. */
+  def assign(e: DataFrame, centroidMod: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        sqDist(col("v"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
+  /** Approximate top-k: probe the nProbe nearest cells per query, exact
+    * distance inside the probed cells only.
+    */
+  def topK(e: DataFrame, queries: DataFrame, centroidMod: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    val indexed = assign(e, centroidMod)
+    val cents = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        sqDist(col("qv"), col("cv")).as("qd2"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    val wk = Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))
+    probes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        sqDist(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+  }
+}

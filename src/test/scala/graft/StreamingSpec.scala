@@ -48,4 +48,35 @@ class StreamingSpec extends SparkSpec {
     val out = FreshnessMonitor.windowedFreshness(batch).collect()
     assert(out.length == 1 && !out.head.getAs[Boolean]("sla_breach"))
   }
+
+  test("dedupedStream drops replayed event ids across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = FreshnessMonitor.dedupedStream(
+      input.toDF().toDF("event_id", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      // replay id 1 within the watermark window + a fresh id
+      input.addData((1L, ts("2024-01-01 10:01:00")), (3L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // id 1 exactly once
+    } finally q.stop()
+  }
+
+  test("sessionize groups by gap-separated session windows per user") {
+    val batch = Seq(
+      (7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")),
+      (7L, ts("2024-01-01 12:00:00")), // > 30 min gap -> new session
+      (8L, ts("2024-01-01 10:05:00"))
+    ).toDF("user_id", "ts")
+    val sessions = FreshnessMonitor.sessionize(batch).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      .sorted.toSeq
+    assert(sessions == Seq((7L, 1L), (7L, 2L), (8L, 1L)))
+  }
 }
