@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDotProduct, ArraySqDist, WordShingles}
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT graft_array_dot(a,b)")`
+  * works for SQL-surface users (and the functions resolve on any session
+  * built with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, null, name, usage,
+        "", "", "", "", "", "", "scala_udf")
+
+    ext.injectFunction((FunctionIdentifier("graft_array_dot"),
+      info("graft_array_dot", "dot product of two array<double>"),
+      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_array_sqdist"),
+      info("graft_array_sqdist", "squared euclidean distance of two array<double>"),
+      (es: Seq[Expression]) => ArraySqDist(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "distinct word n-gram shingles of a token array"),
+      (es: Seq[Expression]) => WordShingles(es(0),
+        es(1).eval().asInstanceOf[Int])))
+  }
+}

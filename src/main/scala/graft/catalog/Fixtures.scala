@@ -525,6 +525,21 @@ object Fixtures {
         Seq(i.toLong, "f2", i * 2.0, ts("2024-01-30T12:00:00Z"))) :+
       Seq(5L, "f1", 99.0, ts("2024-01-30T13:00:00Z")))
 
+  /** Declared data products ("a named, bounded set of data assets
+    * maintained by a defined owner… the primary unit of assessment",
+    * reference `definitions.md:23-25`). Assets NOT listed here fall into
+    * the default unnamed product per `definitions.md:25`.
+    */
+  val dataProducts = Fixture("data_products",
+    st("product" -> S, "owner" -> S, "asset" -> S, "workload" -> S),
+    Seq(
+      Seq("sales_mart", "sales", "orders", "training"),
+      Seq("sales_mart", "sales", "lineitem", "training"),
+      Seq("sales_mart", "sales", "customer", "training"),
+      Seq("rag_corpus", "ml-team", "documents", "serving"),
+      Seq("rag_corpus", "ml-team", "embeddings", "serving"),
+      Seq("rag_corpus", "ml-team", "doc_chunks", "serving")))
+
   /** Function words per language for the stopword-vote language-ID operator
     * and text-quality stopword ratio (ext tier).
     */
@@ -545,5 +560,5 @@ object Fixtures {
     lineageEdges, lineageSources, transformations, tags, accessEvents,
     auditLog, accessPaths, biasTests, populationDist, licenses, consent,
     retention, anonConfig, schemaVersions, vectorIndexes, extraVectors,
-    onlineFeatures, langStopwords)
+    onlineFeatures, langStopwords, dataProducts)
 }

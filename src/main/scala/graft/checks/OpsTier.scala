@@ -108,5 +108,111 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats)
+  /** Per-PRODUCT assessment grain (reference `definitions.md:23-25`: the
+    * data product is "the primary unit of assessment"; unassigned assets
+    * form the default unnamed product per `definitions.md:25`). Scoped
+    * semantic-documentation coverage per product.
+    */
+  val productAssessment = Check("product_assessment",
+    (spark, _) => {
+      val a = Fixtures.assets.df(spark)
+      val p = Fixtures.dataProducts.df(spark).select("product", "asset")
+      val assigned = a.join(broadcast(p), Seq("asset"), "left")
+        .withColumn("product", coalesce(col("product"), lit("__default__")))
+      assigned.groupBy("product")
+        .agg(count(lit(1)).as("assets"),
+          sum(when(col("description").isNotNull &&
+            length(trim(col("description"))) > 0, 1L).otherwise(0L))
+            .as("documented"))
+        .select(col("product"), col("assets"), col("documented"),
+          (col("documented").cast("double") / col("assets")).as("value"))
+        .orderBy("product")
+    },
+    Some(graft.catalog.Fixture.oracle(
+      Seq(Fixtures.assets, Fixtures.dataProducts),
+      """SELECT product, assets, documented,
+        |CAST(documented AS DOUBLE) / assets AS value FROM (
+        |SELECT COALESCE(p.product, '__default__') AS product,
+        |CAST(COUNT(*) AS BIGINT) AS assets,
+        |CAST(SUM(CASE WHEN a.description IS NOT NULL
+        |AND length(trim(a.description)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS documented
+        |FROM assets a LEFT JOIN data_products p ON p.asset = a.asset
+        |GROUP BY 1) ORDER BY product""".stripMargin.replace("\n", " "))),
+    isScore = false)
+
+  /** TF-IDF top terms per document (SURVEY.md §2.C text analysis): pure
+    * DataFrame TF-IDF — tf from one explode+agg, document frequency from a
+    * distinct agg, MLlib-style smoothed idf ln((N+1)/(df+1)), top-3 terms
+    * per doc. Two shuffles (doc-grain, term-grain), both partial-agg'd.
+    */
+  val tfidfTopTerms = Check("tfidf_top_terms",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(spark, dir, "documents")
+        .select(col("doc_id"), explode(graft.substrate.TextOps.tokens(col("text"))).as("term"))
+        .persist()
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = toks.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+            .as("tfidf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term")
+        .orderBy("doc_id", "rank")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf
+        |FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, rank, term FROM (SELECT doc_id, term,
+        |CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Table profiling: row count + key distinct count per driver table —
+    * the table-stats substrate behind check #9 (access_optimization)
+    * layout decisions. Column-pruned single-pass aggs.
+    */
+  val tableProfiles = Check("table_profiles",
+    (spark, dir) => {
+      val keys = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      keys.map { case (t, k) =>
+        table(spark, dir, t).agg(
+          count(lit(1)).as("n_rows"), countDistinct(col(k)).as("n_distinct_key"))
+          .select(lit(t).as("table_name"), lit(k).as("key_column"),
+            col("n_rows"), col("n_distinct_key"))
+      }.reduce(_ unionAll _).orderBy("table_name")
+    },
+    Some {
+      val keys = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      keys.map { case (t, k) =>
+        s"SELECT '$t' AS table_name, '$k' AS key_column, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT $k) AS BIGINT) AS n_distinct_key FROM $t"
+      }.mkString("", " UNION ALL ", " ORDER BY table_name")
+    },
+    isScore = false)
+
+  val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
+    productAssessment, tfidfTopTerms, tableProfiles)
 }

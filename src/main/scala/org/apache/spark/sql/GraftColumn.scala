@@ -11,4 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumn {
   def of(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an ALREADY-RUNNING session (the
+    * SparkSessionExtensions path only applies at session construction).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_array_dot",
+      es => graft.functions.ArrayDotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_sqdist",
+      es => graft.functions.ArraySqDist(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      es => graft.functions.WordShingles(es(0),
+        es(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.GraftColumn
+import org.apache.spark.sql.functions._
+
+import graft.substrate.SkewOps
+
+class SkewAndFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg matches plain groupBy on a skewed key distribution") {
+    // key 'hot' carries 10k rows, others 10 each
+    val df = ((1 to 10000).map(_ => "hot") ++
+      (1 to 10).flatMap(i => Seq.fill(10)(s"k$i"))).toDF("k")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewOps.saltedAgg(df, Seq("k"), salts = 16,
+      partial = Seq(count(lit(1)).as("c")), merge = Seq(sum("c").as("c")))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("hotKeySplitJoin matches a plain join") {
+    val left = ((1 to 1000).map(_ => (1L, "l")) ++ Seq((2L, "x"), (3L, "y"))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (2L, "r2"), (4L, "r4")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val split = SkewOps.hotKeySplitJoin(left, right, "k", hotKeys = Seq(1L))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(split == plain)
+  }
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftColumn.registerFunctions(spark)
+    val dot = spark.sql(
+      "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(dot == 11.0)
+    val sq = spark.sql(
+      "SELECT graft_array_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(sq == 25.0)
+    val sh = spark.sql(
+      "SELECT graft_word_shingles(array('a','b','c','d'), 3)")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+  }
+}
