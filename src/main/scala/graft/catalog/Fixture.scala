@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
 final case class Fixture(name: String, schema: StructType, rows: Seq[Seq[Any]]) {
 
   def df(spark: SparkSession): DataFrame = {
-    val rs = rows.map(r => Row.fromSeq(r))
-    spark.createDataFrame(spark.sparkContext.parallelize(rs, 1), schema)
+    // LocalRelation path (NOT sparkContext.parallelize): the rows embed in
+    // the logical plan, so joins against catalogs broadcast without
+    // launching a job each — the assessment scorecard alone carries ~60
+    // such broadcasts.
+    import scala.jdk.CollectionConverters._
+    val rs: java.util.List[Row] = rows.map(r => Row.fromSeq(r)).asJava
+    spark.createDataFrame(rs, schema)
   }
 
   private def duckType(dt: DataType): String = dt match {
