@@ -40,20 +40,41 @@ object Thresholds {
   */
 object Assessor {
 
-  /** Per-requirement scorecard for a workload. */
+  /** Per-requirement scorecard for a workload.
+    *
+    * Execution shape: the checks are INDEPENDENT single-row aggregates, so
+    * they run as concurrent small jobs (Spark schedules concurrent actions
+    * fine) and assemble into a LocalRelation — not as one 39-branch union
+    * plan, whose single-threaded Catalyst planning cost dominated the
+    * union formulation and scaled with nothing useful.
+    */
   def scorecard(spark: SparkSession, dir: String, workload: Workload): DataFrame = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+
     val applicable = Registry.forWorkload(workload).map(_.key).toSet
     val runs = Checks.all.filter(c => c.isScore && applicable.contains(c.name))
-    val unioned = runs.map(_.run(spark, dir)).reduce(_ unionAll _)
-    val meta = Registry.all.map(r =>
-      (r.key, r.factor.id, r.factor.name,
-        Thresholds.forReq(r.key, workload)))
-    val metaDf = spark.createDataFrame(meta)
-      .toDF("requirement", "factor", "factor_name", "threshold")
-    unioned.join(broadcast(metaDf), Seq("requirement"))
-      .select(col("requirement"), col("factor"), col("factor_name"),
-        lit(workload.name).as("workload"), col("value"), col("threshold"),
-        (col("value") >= col("threshold")).as("passed"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows =
+      try Await.result(
+        Future.sequence(runs.map(c => Future {
+          val r = c.run(spark, dir).collect().head
+          (r.getAs[String]("requirement"), r.getAs[Double]("value"))
+        })), Duration.Inf)
+      finally pool.shutdown()
+
+    val meta = Registry.byKey
+    val out = rows.map { case (key, value) =>
+      val r = meta(key)
+      val threshold = Thresholds.forReq(key, workload)
+      (key, r.factor.id, r.factor.name, workload.name, value, threshold,
+        value >= threshold)
+    }
+    spark.createDataFrame(out)
+      .toDF("requirement", "factor", "factor_name", "workload", "value",
+        "threshold", "passed")
       .orderBy("factor", "requirement")
   }
 
