@@ -44,6 +44,12 @@ class CheckInvariantsSpec extends SparkSpec {
     assert(unknown.isEmpty, s"score checks not in registry: $unknown")
   }
 
+  test("COMPLETENESS: every one of the 48 requirements has an implemented check") {
+    val implemented = Checks.all.filter(_.isScore).map(_.name).toSet
+    val missing = Registry.all.map(_.key).filterNot(implemented)
+    assert(missing.isEmpty, s"unimplemented requirements: $missing")
+  }
+
   test("valueExpr property: hits/pop in [0,1], vacuous -> 1.0 (ScalaCheck)") {
     val gen = for {
       p <- Gen.chooseNum(0L, 1000000L)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.substrate.Layout
+
+/** Proof of the co-located-join layout claim: same-bucketed tables join
+  * with NO shuffle exchange in the physical plan.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("same-key bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      Layout.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+      Layout.writeBucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free bucketed join, found ${shuffles.size} exchanges")
+      // and it computes the same result as the unbucketed join
+      val expected = orders
+        .join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .count()
+      assert(joined.count() > 0 &&
+        spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

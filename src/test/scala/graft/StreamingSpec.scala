@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EP3 end-to-end: file-source stream over the real events parquet") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources read directories; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .selectExpr("timestamp_micros(ts div 1000) AS ts")
+    val q = FreshnessMonitor
+      .windowedFreshness(stream, windowLen = "1 day", watermark = "1 hour",
+        slaMinutes = 120L)
+      .writeStream.format("memory").queryName("file_freshness")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      // append mode emits only watermark-closed windows: all but the last
+      // day of the ~30-day event range
+      val n = spark.table("file_freshness").count()
+      assert(n >= 25, s"expected ~29 closed daily windows, got $n")
+    } finally q.stop()
+  }
+
   test("sessionize groups by gap-separated session windows per user") {
     val batch = Seq(
       (7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")),
