@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("SimHash.nearPairs banded search finds exactly the close-signature pairs") {
+    val sigs = Seq(
+      (0L, 0x0F0F0F0F0F0F0F0FL),
+      (1L, 0x0F0F0F0F0F0F0F0EL), // hamming 1 from 0
+      (2L, 0x0F0F0F0F0F0F0FFFL), // hamming 4 from 0
+      (3L, -1L)                  // far from all
+    ).toDF("doc_id", "simhash")
+    val pairs = graft.substrate.SimHash.nearPairs(sigs, maxHamming = 3, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // (0,2) at hamming 4 excluded, 3 far
+  }
+
   test("simhash: near-identical docs land within a small hamming ball, unrelated far") {
     def simhash(df: org.apache.spark.sql.DataFrame) = {
       val tf = df.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
