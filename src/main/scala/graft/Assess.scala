@@ -28,8 +28,8 @@ object Assess {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sc = Assessor.scorecard(spark, dir, workload)
-    val ru = Assessor.factorRollup(spark, dir, workload)
+    val sc = Assessor.scorecard(spark, dir, workload).cache()
+    val ru = Assessor.rollupOf(sc)
     args.lift(2).foreach { out =>
       sc.coalesce(1).write.mode("overwrite").parquet(s"$out/scorecard")
       ru.coalesce(1).write.mode("overwrite").parquet(s"$out/factor_rollup")

@@ -14,19 +14,39 @@ import graft.functions.{ArrayDotProduct, ArraySqDist, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[ArrayDotProduct].getName, null, name, usage,
+    def info(clazz: Class[_], name: String, usage: String) =
+      new ExpressionInfo(clazz.getName, null, name, usage,
         "", "", "", "", "", "", "scala_udf")
 
     ext.injectFunction((FunctionIdentifier("graft_array_dot"),
-      info("graft_array_dot", "dot product of two array<double>"),
+      info(classOf[ArrayDotProduct], "graft_array_dot",
+        "dot product of two array<double>"),
       (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_array_sqdist"),
-      info("graft_array_sqdist", "squared euclidean distance of two array<double>"),
+      info(classOf[ArraySqDist], "graft_array_sqdist",
+        "squared euclidean distance of two array<double>"),
       (es: Seq[Expression]) => ArraySqDist(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles", "distinct word n-gram shingles of a token array"),
-      (es: Seq[Expression]) => WordShingles(es(0),
-        es(1).eval().asInstanceOf[Int])))
+      info(classOf[WordShingles], "graft_word_shingles",
+        "distinct word n-gram shingles of a token array"),
+      (es: Seq[Expression]) => WordShingles(es(0), GraftExtensions.intArg(es, 1))))
+  }
+}
+
+object GraftExtensions {
+  /** Extract a foldable integral literal argument with a clear error (an
+    * unguarded `eval().asInstanceOf[Int]` fails confusingly on 3L or a
+    * column reference).
+    */
+  def intArg(es: Seq[Expression], i: Int): Int = {
+    val e = es(i)
+    require(e.foldable,
+      s"argument ${i + 1} must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case n: Int  => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
   }
 }

@@ -82,7 +82,13 @@ object Assessor {
     * row contract, `README.md:45`).
     */
   def factorRollup(spark: SparkSession, dir: String, workload: Workload): DataFrame =
-    scorecard(spark, dir, workload)
+    rollupOf(scorecard(spark, dir, workload))
+
+  /** Rollup from an ALREADY-COMPUTED scorecard — callers holding one (the
+    * Assess CLI) must not pay for a second full assessment pass.
+    */
+  def rollupOf(scorecard: DataFrame): DataFrame =
+    scorecard
       .groupBy("factor", "factor_name")
       .agg(
         count(lit(1)).as("n_checks"),

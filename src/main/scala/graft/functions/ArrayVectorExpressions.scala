@@ -22,6 +22,9 @@ abstract class ArrayPairFold extends BinaryExpression {
   // inputs are always array<double> by construction (substrate.VectorOps
   // widens first); AbstractDataType is private[sql], so no ExpectsInputTypes
   override def dataType: DataType = DoubleType
+  // null on null input OR mismatched lengths (a truncated fold would be a
+  // plausible-but-wrong similarity with no failure signal)
+  override def nullable: Boolean = true
 
   protected def combine(x: Double, y: Double): Double
   /** Java source for one element's contribution, in terms of `x`/`y`. */
@@ -30,11 +33,14 @@ abstract class ArrayPairFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += combine(x.getDouble(i), y.getDouble(i)); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += combine(x.getDouble(i), y.getDouble(i)); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -43,12 +49,16 @@ abstract class ArrayPairFold extends BinaryExpression {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${combineCode(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${combineCode(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

@@ -52,7 +52,10 @@ object Multimodal {
       val h = 1 + ((bytes.length / 64) % 64)
       val c = 3
       val n = w * h * c
-      val px = Array.tabulate(n)(i => bytes(i % math.max(bytes.length, 1)))
+      // empty payload -> black 1x1x3 (indexing bytes(0) would throw)
+      val px =
+        if (bytes.isEmpty) new Array[Byte](n)
+        else Array.tabulate(n)(i => bytes(i % bytes.length))
       DecodedImage(id, w, h, c, px)
     }
 

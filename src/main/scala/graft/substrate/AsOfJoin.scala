@@ -56,16 +56,21 @@ object AsOfJoin {
     val unioned = lAligned.select(cols: _*)
       .unionByName(rAligned.select(cols: _*))
 
+    // Carry the matched right ROW as one atomic struct (null for left
+    // rows, non-null for every right row even when its payload fields are
+    // null). Per-column last(ignoreNulls) would mix columns from DIFFERENT
+    // right rows and resurrect stale non-null values over a matched row's
+    // null payload — diverging from ASOF JOIN row semantics.
     val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__isl").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowStruct = when(col("__isl") === 0,
+      struct((col("__rts").as("ts") +: rightVals.map(v => col(s"__r_$v").as(v))): _*))
     val carried = unioned
-      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val withVals = rightVals.foldLeft(carried)((d, v) =>
-      d.withColumn(s"__m_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+      .withColumn("__m", last(rowStruct, ignoreNulls = true).over(w))
 
-    withVals.filter(col("__isl") === 1)
+    carried.filter(col("__isl") === 1)
       .select(leftCols.map(col) ++
-        Seq(col("__m_ts").as(s"asof_$rightTs")) ++
-        rightVals.map(v => col(s"__m_$v").as(v)): _*)
+        Seq(col("__m.ts").as(s"asof_$rightTs")) ++
+        rightVals.map(v => col(s"__m.$v").as(v)): _*)
   }
 }

@@ -24,16 +24,25 @@ import graft.substrate.VectorOps._
   */
 object IvfIndex {
 
-  /** Assign every vector (vec_id, v) to its nearest centroid cell. */
-  def assign(e: DataFrame, centroidMod: Int): DataFrame = {
-    val cents = e.filter(col("vec_id") % centroidMod === 0)
+  private def centroids(e: DataFrame, centroidMod: Int): DataFrame =
+    e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cent_id"))
+
+  /** Assign every vector (vec_id, v) to its nearest centroid cell.
+    * Argmin via `min_by` over a (d2, cent_id) struct, NOT a window rank:
+    * the broadcast cross join leaves each vector's |C| candidate rows in
+    * one partition, so partial aggregation collapses them map-side and the
+    * exchange moves N rows — a rank window would shuffle all N×|C| rows.
+    */
+  def assign(e: DataFrame, centroidMod: Int): DataFrame = {
+    val cents = centroids(e, centroidMod)
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         sqDist(col("v"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("cell"))
   }
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact
@@ -42,8 +51,7 @@ object IvfIndex {
   def topK(e: DataFrame, queries: DataFrame, centroidMod: Int, k: Int,
       nProbe: Int): DataFrame = {
     val indexed = assign(e, centroidMod)
-    val cents = e.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = centroids(e, centroidMod)
     val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cent_id"),

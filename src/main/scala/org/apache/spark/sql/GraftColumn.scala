@@ -24,6 +24,6 @@ object GraftColumn {
       es => graft.functions.ArraySqDist(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",
       es => graft.functions.WordShingles(es(0),
-        es(1).eval().asInstanceOf[Int]), "built-in")
+        graft.GraftExtensions.intArg(es, 1)), "built-in")
   }
 }

@@ -47,6 +47,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run().size == 4) // all left rows preserved
   }
 
+  test("null payload on the matched row stays null (no stale-value resurrection)") {
+    val r = Seq(
+      (9L, ts("2024-01-10 00:00:00"), Some(5.0)),
+      (9L, ts("2024-01-12 00:00:00"), None) // matched row, null payload
+    ).toDF("entity_id", "feature_ts", "value")
+    val l = Seq((9L, ts("2024-01-15 00:00:00"), "z"))
+      .toDF("entity_id", "label_ts", "label")
+    val out = AsOfJoin.asofLeft(l, r, "entity_id", "label_ts", "feature_ts",
+      Seq("value")).collect().head
+    assert(out.getAs[Timestamp]("asof_feature_ts") == ts("2024-01-12 00:00:00"))
+    assert(out.isNullAt(out.fieldIndex("value"))) // NOT the stale 5.0
+  }
+
   test("duplicate right timestamps resolve deterministically to one of them") {
     val out = run()
     assert(out(4L)._1.contains(ts("2024-01-01 00:00:00")))

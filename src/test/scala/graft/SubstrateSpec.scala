@@ -33,6 +33,14 @@ class SubstrateSpec extends SparkSpec {
     assert(got == 25.0)
   }
 
+  test("mismatched array lengths yield null, not a truncated fold") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 1.0))).toDF("a", "b")
+    val dot = df.select(VectorOps.dot(col("a"), col("b"))).collect().head
+    assert(dot.isNullAt(0))
+    val sq = df.select(VectorOps.sqDist(col("a"), col("b"))).collect().head
+    assert(sq.isNullAt(0))
+  }
+
   test("wordTrigrams: under 3 tokens -> empty; exact shingles otherwise") {
     val df = Seq("one two", "a b c d", "  spaced   out   text here ")
       .toDF("text")
