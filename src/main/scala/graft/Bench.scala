@@ -31,8 +31,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release per-operator persists (untimed)
       // failed queries report -1, never a fast-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
