@@ -41,24 +41,39 @@ object OpsTier {
     */
   val constraintValidation = Check("constraint_validation",
     (spark, dir) => {
-      val probes = constraints.rows.map { r =>
-        val Seq(asset, column, kind) = r.take(3).map(_.asInstanceOf[String])
+      // ONE scan per table, not one per constraint: all of a table's
+      // constraint probes fuse into a single partial-agg pass, then
+      // `stack` unpivots the agg row back to per-constraint rows. At
+      // 100 TB this is the difference between K full scans and 1.
+      val byAsset = constraints.rows.groupBy(_.head.asInstanceOf[String]).toSeq
+        .sortBy(_._1)
+      val probes = byAsset.map { case (asset, rows) =>
         val t = table(spark, dir, asset)
-        val c = col(column)
-        val viol = kind match {
-          case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
-          case "unique"   => count(c) - countDistinct(c)
-          case "range"    =>
-            val lo = r(3).asInstanceOf[Double]; val hi = r(4).asInstanceOf[Double]
-            sum(when(c.isNotNull && (c < lo || c > hi), 1L).otherwise(0L))
-          case "pattern"  =>
-            val pat = r(5).asInstanceOf[String]
-            sum(when(c.isNotNull && !c.rlike(pat), 1L).otherwise(0L))
+        val viols = rows.zipWithIndex.map { case (r, i) =>
+          val column = r(1).asInstanceOf[String]
+          val kind = r(2).asInstanceOf[String]
+          val c = col(column)
+          val v = kind match {
+            case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
+            case "unique"   => count(c) - countDistinct(c)
+            case "range"    =>
+              val lo = r(3).asInstanceOf[Double]; val hi = r(4).asInstanceOf[Double]
+              sum(when(c.isNotNull && (c < lo || c > hi), 1L).otherwise(0L))
+            case "pattern"  =>
+              val pat = r(5).asInstanceOf[String]
+              sum(when(c.isNotNull && !c.rlike(pat), 1L).otherwise(0L))
+          }
+          coalesce(v, lit(0L)).cast("long").as(s"v$i")
         }
-        t.agg(coalesce(viol, lit(0L)).cast("long").as("violations"),
-            count(lit(1)).as("total"))
-          .select(lit(asset).as("asset"), lit(column).as("column_name"),
-            lit(kind).as("kind"), col("violations"), col("total"),
+        val aggd = t.agg(count(lit(1)).as("total"), viols: _*)
+        val stackArgs = rows.zipWithIndex.map { case (r, i) =>
+          s"'${r(1)}', '${r(2)}', v$i"
+        }.mkString(", ")
+        aggd.select(lit(asset).as("asset"),
+            expr(s"stack(${rows.size}, $stackArgs) AS (column_name, kind, violations)"),
+            col("total"))
+          .select(col("asset"), col("column_name"), col("kind"),
+            col("violations"), col("total"),
             (col("violations").cast("double") / col("total")).as("violation_rate"))
       }
       probes.reduce(_ unionAll _).orderBy("asset", "column_name", "kind")

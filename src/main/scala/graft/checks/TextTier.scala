@@ -285,7 +285,80 @@ object TextTier {
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The composed training-corpus preparation pipeline: exact-dedup →
+    * language filter (en) → quality floor → chunk accounting, as ONE
+    * declarative plan (each stage is the already-verified operator logic;
+    * Catalyst fuses the per-doc stages into shared scans). Output: corpus
+    * funnel stats.
+    */
+  val corpusPrepPipeline = Check("corpus_prep_pipeline",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val w = Window.partitionBy("h")
+      val keepers = d
+        .withColumn("h", sha2(normText(col("text")).cast("binary"), 256))
+        .withColumn("m", min("doc_id").over(w))
+        .filter(col("doc_id") === col("m"))
+        .select("doc_id", "text")
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val sw = langStopwords.df(spark)
+      val wb = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+      val english = toks.join(broadcast(sw), toks("tok") === sw("word"))
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+        .filter(col("lang") === "en").select("doc_id")
+      val enList = EnStop.map(s => s"'$s'").mkString(", ")
+      val quality = d.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($enList)))")
+          .cast("long").as("sw_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+          .cast("long").as("punct_chars"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((least(lit(1.0), col("n_tokens") / lit(100.0)) *
+            (lit(1.0) - col("punct_chars").cast("double") / col("n_chars_obs"))) *
+            (lit(0.5) + lit(0.5) *
+              (col("sw_hits").cast("double") / col("n_tokens")))).as("quality"))
+      val kept = keepers
+        .join(english, Seq("doc_id"), "left_semi")
+        .join(quality.filter(col("quality") >= 0.2), Seq("doc_id"))
+      val keptStats = kept.agg(
+        count(lit(1)).cast("long").as("docs_kept"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("long").as("total_tokens"),
+        coalesce(sum(ceil(col("n_tokens") / lit(ChunkTokens.toDouble)).cast("long")),
+          lit(0L)).cast("long").as("chunks"))
+      d.agg(count(lit(1)).cast("long").as("docs_in")).crossJoin(keptStats)
+    },
+    Some(graft.catalog.Fixture.oracle(Seq(langStopwords),
+      s"""SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs_in,
+         |CAST(COUNT(*) AS BIGINT) AS docs_kept,
+         |CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+         |CAST(COALESCE(SUM(CAST(ceil(n_tokens / $ChunkTokens.0) AS BIGINT)), 0) AS BIGINT) AS chunks
+         |FROM kept""".stripMargin.replace("\n", " "),
+      Seq(
+        """hashed AS (SELECT doc_id, text, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h FROM documents)""",
+        """keepers AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS m FROM hashed) WHERE doc_id = m)""",
+        """toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)""",
+        """lcounts AS (SELECT t.doc_id, s.lang, COUNT(*) AS hits FROM toks t JOIN lang_stopwords s ON t.tok = s.word GROUP BY 1, 2)""",
+        """english AS (SELECT doc_id FROM (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM lcounts) WHERE rn = 1 AND lang = 'en')""",
+        (s"""quality AS (SELECT doc_id, n_tokens,
+            |(least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_obs)) *
+            |(0.5 + 0.5 * (CAST(sw_hits AS DOUBLE) / n_tokens)) AS quality FROM (
+            |SELECT doc_id,
+            |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+            |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (""" +
+          EnStop.map(s => s"'$s'").mkString(", ") +
+          """))) AS BIGINT) AS sw_hits,
+            |CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars,
+            |CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents))""")
+          .stripMargin.replace("\n", " "),
+        """kept AS (SELECT k.doc_id, q.n_tokens FROM keepers k JOIN english e ON e.doc_id = k.doc_id JOIN quality q ON q.doc_id = k.doc_id AND q.quality >= 0.2)"""))),
+    isScore = false)
+
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, neardupCosineTopk, langId, textStats, docFingerprint,
-    chunkDocuments)
+    chunkDocuments, corpusPrepPipeline)
 }
