@@ -228,6 +228,55 @@ object OpsTier {
     },
     isScore = false)
 
+  /** Null-rate profile of every declared column of every data table — the
+    * generic data-quality scan backing constraint discovery. Same fused
+    * shape as constraint_validation: one pass per table, stack-unpivoted.
+    */
+  val nullProfile = Check("null_profile",
+    (spark, dir) => {
+      val dataTables = Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val byAsset = Fixtures.columns.rows
+        .filter(r => dataTables(r.head.asInstanceOf[String]))
+        .groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
+      byAsset.map { case (asset, rows) =>
+        val t = table(spark, dir, asset)
+        val aggs = rows.zipWithIndex.map { case (r, i) =>
+          val c = r(1).asInstanceOf[String]
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"n$i")
+        }
+        val stackArgs = rows.zipWithIndex
+          .map { case (r, i) => s"'${r(1)}', n$i" }.mkString(", ")
+        t.agg(count(lit(1)).as("total"), aggs: _*)
+          .select(lit(asset).as("asset"),
+            expr(s"stack(${rows.size}, $stackArgs) AS (column_name, nulls)"),
+            col("total"))
+          .select(col("asset"), col("column_name"), col("nulls"), col("total"),
+            (col("nulls").cast("double") / col("total")).as("null_rate"))
+      }.reduce(_ unionAll _).orderBy("asset", "column_name")
+    },
+    Some {
+      val dataTables = Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val byAsset = Fixtures.columns.rows
+        .filter(r => dataTables(r.head.asInstanceOf[String]))
+        .groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
+      val ctes = byAsset.map { case (asset, rows) =>
+        val aggs = rows.zipWithIndex.map { case (r, i) =>
+          s"CAST(SUM(CASE WHEN ${r(1)} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
+        }.mkString(", ")
+        s"np_$asset AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, $aggs FROM $asset)"
+      }
+      val selects = byAsset.flatMap { case (asset, rows) =>
+        rows.zipWithIndex.map { case (r, i) =>
+          s"SELECT '$asset' AS asset, '${r(1)}' AS column_name, n$i AS nulls, total, CAST(n$i AS DOUBLE) / total AS null_rate FROM np_$asset"
+        }
+      }
+      "WITH " + ctes.mkString(", ") + " " +
+        selects.mkString("", " UNION ALL ", " ORDER BY asset, column_name")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
-    productAssessment, tfidfTopTerms, tableProfiles)
+    productAssessment, tfidfTopTerms, tableProfiles, nullProfile)
 }
