@@ -28,7 +28,8 @@ object Assess {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sc = Assessor.scorecard(spark, dir, workload).cache()
+    // scorecard is eager (local rows) — no cache needed for the rollup
+    val sc = Assessor.scorecard(spark, dir, workload)
     val ru = Assessor.rollupOf(sc)
     args.lift(2).foreach { out =>
       sc.coalesce(1).write.mode("overwrite").parquet(s"$out/scorecard")

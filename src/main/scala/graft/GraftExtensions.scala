@@ -44,7 +44,7 @@ object GraftExtensions {
       s"argument ${i + 1} must be a literal integer, got ${e.sql}")
     e.eval() match {
       case n: Int  => n
-      case n: Long => n.toInt
+      case n: Long => Math.toIntExact(n) // throws on overflow, never wraps
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }

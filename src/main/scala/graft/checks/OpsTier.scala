@@ -232,14 +232,21 @@ object OpsTier {
     * generic data-quality scan backing constraint discovery. Same fused
     * shape as constraint_validation: one pass per table, stack-unpivoted.
     */
+  private val NullProfileTables = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** (asset → its profiled columns), the ONE derivation both the Spark
+    * plan and the oracle SQL are generated from.
+    */
+  private val nullProfileByAsset: Seq[(String, Seq[Seq[Any]])] =
+    Fixtures.columns.rows
+      .filter(r => NullProfileTables(r.head.asInstanceOf[String]))
+      .groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
+
   val nullProfile = Check("null_profile",
     (spark, dir) => {
-      val dataTables = Set("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      val byAsset = Fixtures.columns.rows
-        .filter(r => dataTables(r.head.asInstanceOf[String]))
-        .groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
-      byAsset.map { case (asset, rows) =>
+      nullProfileByAsset.map { case (asset, rows) =>
         val t = table(spark, dir, asset)
         val aggs = rows.zipWithIndex.map { case (r, i) =>
           val c = r(1).asInstanceOf[String]
@@ -256,18 +263,13 @@ object OpsTier {
       }.reduce(_ unionAll _).orderBy("asset", "column_name")
     },
     Some {
-      val dataTables = Set("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      val byAsset = Fixtures.columns.rows
-        .filter(r => dataTables(r.head.asInstanceOf[String]))
-        .groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
-      val ctes = byAsset.map { case (asset, rows) =>
+      val ctes = nullProfileByAsset.map { case (asset, rows) =>
         val aggs = rows.zipWithIndex.map { case (r, i) =>
           s"CAST(SUM(CASE WHEN ${r(1)} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
         }.mkString(", ")
         s"np_$asset AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, $aggs FROM $asset)"
       }
-      val selects = byAsset.flatMap { case (asset, rows) =>
+      val selects = nullProfileByAsset.flatMap { case (asset, rows) =>
         rows.zipWithIndex.map { case (r, i) =>
           s"SELECT '$asset' AS asset, '${r(1)}' AS column_name, n$i AS nulls, total, CAST(n$i AS DOUBLE) / total AS null_rate FROM np_$asset"
         }

@@ -30,6 +30,44 @@ object TextTier {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
 
+  /** Shared per-doc quality scoring — ONE definition feeding both
+    * text_stats and the corpus-prep funnel gate (drift between copies
+    * would silently move documents across the quality threshold).
+    */
+  private def qualityScored(d: DataFrame): DataFrame = {
+    val enList = EnStop.map(s => s"'$s'").mkString(", ")
+    d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      subtokenCount(col("text")).cast("long").as("n_subtokens"),
+      expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($enList)))")
+        .cast("long").as("sw_hits"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+        .cast("long").as("punct_chars"),
+      length(col("text")).cast("long").as("n_chars_obs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
+        (col("sw_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("punct_chars").cast("double") / col("n_chars_obs")).as("punct_ratio"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(1.0) - col("punct_ratio")) *
+          (lit(0.5) + lit(0.5) * col("stopword_ratio")))
+  }
+
+  /** Shared function-word language vote: (doc_id, lang) for docs with ≥1
+    * stopword hit (langId adds the 'und' fallback; corpus prep filters en).
+    */
+  private def bestLang(spark: SparkSession, d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val sw = langStopwords.df(spark)
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
+    toks.join(broadcast(sw), toks("tok") === sw("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "lang")
+  }
+
   /** Exact dedup: every doc mapped to the canonical (min) doc id of its
     * normalized-text hash group. One shuffle on the 256-bit hash; at 100 TB
     * the window collapses to a groupBy(hash) since only group-min is needed.
@@ -161,12 +199,7 @@ object TextTier {
   val langId = Check("lang_id",
     (spark, dir) => {
       val d = docs(spark, dir)
-      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val sw = langStopwords.df(spark)
-      val counts = toks.join(broadcast(sw), toks("tok") === sw("word"))
-        .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
-      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
-      val best = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val best = bestLang(spark, d)
         .select(col("doc_id"), col("lang").as("lang_pred"))
       d.select("doc_id").join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
@@ -193,27 +226,7 @@ object TextTier {
     * engines → bit-identical doubles.
     */
   val textStats = Check("text_stats",
-    (spark, dir) => {
-      val enList = EnStop.map(s => s"'$s'").mkString(", ")
-      docs(spark, dir).select(
-        col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        subtokenCount(col("text")).cast("long").as("n_subtokens"),
-        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($enList)))")
-          .cast("long").as("sw_hits"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
-          .cast("long").as("punct_chars"),
-        length(col("text")).cast("long").as("n_chars_obs"))
-        .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
-          (col("sw_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
-          (col("punct_chars").cast("double") / col("n_chars_obs")).as("punct_ratio"))
-        .withColumn("quality",
-          least(lit(1.0), col("n_tokens") / lit(100.0)) *
-            (lit(1.0) - col("punct_ratio")) *
-            (lit(0.5) + lit(0.5) * col("stopword_ratio")))
-        .orderBy("doc_id")
-    },
+    (spark, dir) => qualityScored(docs(spark, dir)).orderBy("doc_id"),
     Some {
       val enList = EnStop.map(s => s"'$s'").mkString(", ")
       s"""WITH raw AS (SELECT doc_id,
@@ -300,28 +313,8 @@ object TextTier {
         .withColumn("m", min("doc_id").over(w))
         .filter(col("doc_id") === col("m"))
         .select("doc_id", "text")
-      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val sw = langStopwords.df(spark)
-      val wb = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang").asc)
-      val english = toks.join(broadcast(sw), toks("tok") === sw("word"))
-        .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
-        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
-        .filter(col("lang") === "en").select("doc_id")
-      val enList = EnStop.map(s => s"'$s'").mkString(", ")
-      val quality = d.select(
-        col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t IN ($enList)))")
-          .cast("long").as("sw_hits"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
-          .cast("long").as("punct_chars"),
-        length(col("text")).cast("long").as("n_chars_obs"))
-        .select(col("doc_id"), col("n_tokens"),
-          ((least(lit(1.0), col("n_tokens") / lit(100.0)) *
-            (lit(1.0) - col("punct_chars").cast("double") / col("n_chars_obs"))) *
-            (lit(0.5) + lit(0.5) *
-              (col("sw_hits").cast("double") / col("n_tokens")))).as("quality"))
+      val english = bestLang(spark, d).filter(col("lang") === "en").select("doc_id")
+      val quality = qualityScored(d).select("doc_id", "n_tokens", "quality")
       val kept = keepers
         .join(english, Seq("doc_id"), "left_semi")
         .join(quality.filter(col("quality") >= 0.2), Seq("doc_id"))

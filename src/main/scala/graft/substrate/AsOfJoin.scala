@@ -40,6 +40,9 @@ object AsOfJoin {
       d.withColumn(s"__r_$v", lit(null).cast(right.schema(v).dataType)))
 
     val rBase = right
+      // a NULL right timestamp can never satisfy ts <= left_ts (ASOF
+      // semantics) — drop such rows instead of carrying them as matches
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__isl", lit(0))
       .withColumn("__rts", col(rightTs))
@@ -63,14 +66,17 @@ object AsOfJoin {
     // null payload — diverging from ASOF JOIN row semantics.
     val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__isl").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // payload fields prefixed v_ inside the struct: a right column named
+    // "ts" would otherwise collide with the match-timestamp field
     val rowStruct = when(col("__isl") === 0,
-      struct((col("__rts").as("ts") +: rightVals.map(v => col(s"__r_$v").as(v))): _*))
+      struct((col("__rts").as("ts") +:
+        rightVals.map(v => col(s"__r_$v").as(s"v_$v"))): _*))
     val carried = unioned
       .withColumn("__m", last(rowStruct, ignoreNulls = true).over(w))
 
     carried.filter(col("__isl") === 1)
       .select(leftCols.map(col) ++
         Seq(col("__m.ts").as(s"asof_$rightTs")) ++
-        rightVals.map(v => col(s"__m.$v").as(v)): _*)
+        rightVals.map(v => col(s"__m.v_$v").as(v)): _*)
   }
 }

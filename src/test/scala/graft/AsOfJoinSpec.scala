@@ -60,6 +60,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("value"))) // NOT the stale 5.0
   }
 
+  test("a NULL right timestamp never matches (ASOF semantics)") {
+    val r = Seq((9L, None: Option[Timestamp], 7.0),
+      (9L, Some(ts("2024-01-10 00:00:00")), 1.0))
+      .toDF("entity_id", "feature_ts", "value")
+    val l = Seq((9L, ts("2024-01-15 00:00:00"), "z"))
+      .toDF("entity_id", "label_ts", "label")
+    val out = AsOfJoin.asofLeft(l, r, "entity_id", "label_ts", "feature_ts",
+      Seq("value")).collect().head
+    assert(out.getAs[Timestamp]("asof_feature_ts") == ts("2024-01-10 00:00:00"))
+    assert(out.getAs[Double]("value") == 1.0) // never the null-ts row's 7.0
+  }
+
   test("duplicate right timestamps resolve deterministically to one of them") {
     val out = run()
     assert(out(4L)._1.contains(ts("2024-01-01 00:00:00")))
