@@ -349,7 +349,9 @@ object TextTier {
             |CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents))""")
           .stripMargin.replace("\n", " "),
         """kept AS (SELECT k.doc_id, q.n_tokens FROM keepers k JOIN english e ON e.doc_id = k.doc_id JOIN quality q ON q.doc_id = k.doc_id AND q.quality >= 0.2)"""))),
-    isScore = false)
+    // out of the bench headline set: strictly re-runs dedup_exact +
+    // lang_id + text_stats + chunk logic, all benched individually
+    isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, neardupCosineTopk, langId, textStats, docFingerprint,

@@ -1,30 +1,60 @@
 package graft.substrate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** Iterative graph reachability over an edge DataFrame — the relational
-  * backing for the lineage checks (reference `factors/requirements.yaml:
-  * 132-134` lineage completeness, `156-158` impact analysis).
+/** Graph reachability over an edge DataFrame — the relational backing for
+  * the lineage checks (reference `factors/requirements.yaml:132-134`
+  * lineage completeness, `156-158` impact analysis).
   *
-  * Semi-naive iteration: each round joins only the NEW frontier against the
-  * edge list, accumulating a visited set that also guards against cycles
-  * (the reference's lineage model doesn't forbid them). `localCheckpoint`
-  * truncates the growing plan lineage each round — without it the Catalyst
-  * plan doubles per iteration.
+  * Two execution paths behind one API:
   *
-  * Scale note: lineage/dependency graphs are metadata (SURVEY.md §4) — node
-  * counts in the thousands, not billions, so the per-round `count()` action
-  * is cheap. For data-scale graphs this would move to GraphFrames-style
-  * Pregel; the assessment engine never needs that.
+  * - **Metadata-sized graphs** (≤ `LocalThreshold` edges — every lineage /
+  *   dependency catalog; SURVEY.md §4): collect once and run BFS on the
+  *   driver. The iterative-join formulation costs ~3 Spark jobs per hop
+  *   (frontier count, anti-join, checkpoint), all scheduler-latency-bound
+  *   on a tiny graph.
+  * - **Data-scale graphs**: semi-naive iteration — each round joins only
+  *   the NEW frontier against the edge list, with a visited set guarding
+  *   against cycles and `localCheckpoint` truncating the growing plan.
+  *
+  * Results are identical (both are exact reachability with cycle guards).
   */
 object Graph {
 
+  /** Above this edge count the distributed path runs. */
+  val LocalThreshold: Long = 100000L
+
   /** All nodes reachable from `seeds` by following `edges` (src → dst),
-    * INCLUDING the seeds. `edges` must have columns (src, dst); `seeds` one
-    * column (node).
+    * INCLUDING the seeds. `edges` must have columns (src, dst); `seeds`
+    * one column (node).
     */
   def reachable(edges: DataFrame, seeds: DataFrame, maxIters: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val local = e.limit(LocalThreshold.toInt + 1).collect()
+    if (local.length <= LocalThreshold) {
+      val adj = local.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1))).toMap
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      val queue = scala.collection.mutable.Queue[String]()
+      seeds.select(col("node").cast("string")).collect().foreach { r =>
+        if (seen.add(r.getString(0))) queue.enqueue(r.getString(0))
+      }
+      while (queue.nonEmpty) {
+        adj.getOrElse(queue.dequeue(), Array.empty[String])
+          .foreach(n => if (seen.add(n)) queue.enqueue(n))
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        seen.toSeq.map(Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType))))
+    } else reachableDistributed(edges, seeds, maxIters)
+  }
+
+  private[substrate] def reachableDistributed(edges: DataFrame, seeds: DataFrame,
+      maxIters: Int): DataFrame = {
     var reached = seeds.toDF("node").distinct().localCheckpoint()
     var frontier = reached
     var iter = 0
@@ -38,11 +68,37 @@ object Graph {
     reached
   }
 
-  /** Full transitive closure as (node, reachable) pairs — every node of the
-    * graph paired with every node strictly reachable from it. Used by the
+  /** Full transitive closure as (node, reachable) pairs — every node
+    * paired with every node strictly reachable from it. Used by the
     * `lineage_impact` operator (downstream impact enumeration).
     */
   def closure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val local = e.limit(LocalThreshold.toInt + 1).collect()
+    if (local.length <= LocalThreshold) {
+      val adj = local.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1))).toMap
+      val pairs = adj.keys.toSeq.sorted.flatMap { start =>
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        val queue = scala.collection.mutable.Queue[String](start)
+        while (queue.nonEmpty) {
+          adj.getOrElse(queue.dequeue(), Array.empty[String])
+            .foreach(n => if (seen.add(n)) queue.enqueue(n))
+        }
+        seen.toSeq.map(start -> _)
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        pairs.map(p => Row(p._1, p._2)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("reachable",
+            org.apache.spark.sql.types.StringType))))
+    } else closureDistributed(edges, maxIters)
+  }
+
+  private[substrate] def closureDistributed(edges: DataFrame, maxIters: Int): DataFrame = {
     val e = edges.select(col("src").as("node"), col("dst").as("reachable")).distinct()
     var acc = e.localCheckpoint()
     var frontier = e
