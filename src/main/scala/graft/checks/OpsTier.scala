@@ -279,6 +279,30 @@ object OpsTier {
     },
     isScore = false)
 
+  /** The EP3 freshness transform run in BATCH mode over the events table —
+    * the same plan the streaming monitor deploys (watermark is a no-op in
+    * batch), oracle-checked against DuckDB's time_bucket. Daily tumbling
+    * windows, latest event, count, SLA-breach flag.
+    */
+  val windowedFreshnessBatch = Check("windowed_freshness_batch",
+    (spark, dir) => {
+      graft.streaming.FreshnessMonitor.windowedFreshness(
+        table(spark, dir, "events").select("ts"),
+        windowLen = "1 day", slaMinutes = 120L)
+        .select(col("window_start"), col("window_end"),
+          col("latest_ts"), col("n_events"), col("sla_breach"))
+        .orderBy("window_start")
+    },
+    Some(
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+        |MAX(ts) AS latest_ts, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |date_diff('second', MAX(ts), time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day') > 7200 AS sla_breach
+        |FROM events GROUP BY 1 ORDER BY window_start"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
-    productAssessment, tfidfTopTerms, tableProfiles, nullProfile)
+    productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
+    windowedFreshnessBatch)
 }
