@@ -302,7 +302,58 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Inter-run gap analytics via lag() (§2.B "lag/lead for propagation
+    * deltas"): per pipeline, each run's start minus the previous run's
+    * end — negative gaps = overlapping runs.
+    */
+  val pipelineRunDeltas = Check("pipeline_run_deltas",
+    (spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("pipeline").orderBy("start_ts")
+      Fixtures.pipelineRuns.df(spark)
+        .select(col("pipeline"), col("run_id"), col("start_ts"), col("end_ts"))
+        .withColumn("prev_end", lag("end_ts", 1).over(w))
+        .select(col("pipeline"), col("run_id"),
+          (unix_timestamp(col("start_ts")) - unix_timestamp(col("prev_end")))
+            .as("gap_sec"))
+        .orderBy("pipeline", "run_id")
+    },
+    Some(graft.catalog.Fixture.oracle(Seq(Fixtures.pipelineRuns),
+      """SELECT pipeline, run_id,
+        |CAST(date_diff('second',
+        |lag(end_ts, 1) OVER (PARTITION BY pipeline ORDER BY start_ts),
+        |start_ts) AS BIGINT) AS gap_sec
+        |FROM pipeline_runs ORDER BY pipeline, run_id"""
+        .stripMargin.replace("\n", " "))),
+    isScore = false)
+
+  /** OLAP rollup over order dimensions (§2.B "rollup across factors" — the
+    * literal `rollup()` primitive with grouping() indicators, mirrored by
+    * DuckDB's ROLLUP).
+    */
+  val salesRollup = Check("sales_rollup",
+    (spark, dir) => {
+      table(spark, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        // round the float sum: partition-order reassociation error
+        // (~1e-12 relative) must not reach the hash compare
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          grouping("o_orderstatus").cast("long").as("g_status"),
+          grouping("o_orderpriority").cast("long").as("g_priority"))
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |ROUND(SUM(o_totalprice), 2) AS revenue,
+        |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
-    windowedFreshnessBatch)
+    windowedFreshnessBatch, pipelineRunDeltas, salesRollup)
 }
