@@ -353,7 +353,33 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Approximate-sketch substrate (§2.B "approx distinct (HLL++)",
+    * "percentile_approx"): each sketch vs its exact answer with the
+    * relative error — the at-scale path for profiling where exact
+    * distinct/percentile would need a full shuffle. Sketch internals are
+    * engine-specific → rows-only (the spec asserts the error bounds).
+    */
+  val sketchAccuracy = Check("sketch_accuracy",
+    (spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+      val hll = li.agg(
+        approx_count_distinct("l_orderkey").cast("double").as("approx"),
+        countDistinct("l_orderkey").cast("double").as("exact"))
+        .select(lit("hll_distinct_orderkey").as("metric"), col("approx"), col("exact"))
+      val pct = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("approx"),
+        expr("percentile(l_extendedprice, 0.99)").as("exact"))
+        .select(lit("p99_extendedprice").as("metric"),
+          col("approx").cast("double"), col("exact").cast("double"))
+      hll.unionAll(pct)
+        .withColumn("rel_err", abs(col("approx") - col("exact")) / col("exact"))
+        .withColumn("within_tolerance", col("rel_err") <= 0.05)
+        .orderBy("metric")
+    },
+    None, isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
-    windowedFreshnessBatch, pipelineRunDeltas, salesRollup)
+    windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy)
 }
