@@ -36,10 +36,21 @@ object Bench {
       // failed queries report -1, never a fast-looking elapsed time
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query breakdown goes to stderr (debugging); the stdout JSON
+    // line must stay SHORT — the round driver captures only the last 2000
+    // chars of stdout, and round 1's ~2900-char all-queries line was
+    // truncated past recognition (BENCH_r01.json parsed:null). Emit the
+    // summary + the 12 slowest queries, values rounded to ms.
+    val r3 = (v: Double) => math.rint(v * 1000) / 1000
+    System.err.println(results.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      .mkString("[bench] all: {", ",", "}"))
+    val nFailed = results.count(_._2 < 0)
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
+    // a failing bench query must fail the run, not just shrink the total
+    if (nFailed > 0) sys.exit(1)
   }
 }

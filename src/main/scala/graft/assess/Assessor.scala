@@ -40,6 +40,12 @@ object Thresholds {
   */
 object Assessor {
 
+  /** Whole-scorecard deadline; generous vs the ~10s sf0.1 wall time but
+    * finite, so a wedged check can't hang an assessment forever.
+    */
+  val ScorecardTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(10, "min")
+
   /** Per-requirement scorecard for a workload.
     *
     * Execution shape: the checks are INDEPENDENT single-row aggregates, so
@@ -57,12 +63,26 @@ object Assessor {
     val runs = Checks.all.filter(c => c.isScore && applicable.contains(c.name))
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Bounded await with per-check attribution: one hung check fails the
+    // assessment after the deadline (not never), and any failure names the
+    // requirement key instead of aborting the scorecard anonymously.
+    import scala.concurrent.duration._
+    val deadline = System.nanoTime() + ScorecardTimeout.toNanos
     val rows =
-      try Await.result(
-        Future.sequence(runs.map(c => Future {
+      try runs.map(c => c.name -> Future {
           val r = c.run(spark, dir).collect().head
           (r.getAs[String]("requirement"), r.getAs[Double]("value"))
-        })), Duration.Inf)
+        }).map { case (key, f) =>
+          val remaining = math.max(1L, deadline - System.nanoTime()).nanos
+          try Await.result(f, remaining)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new RuntimeException(
+                s"scorecard check '$key' exceeded the $ScorecardTimeout assessment deadline")
+            case e: Throwable =>
+              throw new RuntimeException(s"scorecard check '$key' failed: ${e.getMessage}", e)
+          }
+        }
       finally pool.shutdown()
 
     val meta = Registry.byKey

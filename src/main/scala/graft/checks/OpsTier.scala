@@ -177,10 +177,15 @@ object OpsTier {
             .as("tfidf"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term").asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
+      // eager top-3 materialization so the token cache is released here
+      // rather than leaking into the caller's session
+      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term")
         .orderBy("doc_id", "rank")
+        .localCheckpoint(true)
+      toks.unpersist(false)
+      out
     },
     Some(
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),

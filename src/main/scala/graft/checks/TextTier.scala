@@ -135,9 +135,14 @@ object TextTier {
         .select(col("doc_id"), explode(wordTrigrams(col("text"))).as("shingle"))
         .persist()
       val pairs = graft.substrate.MinHashLsh.nearDupPairs(sh, threshold = 0.5)
-      pairs.agg(count(lit(1)).as("near_dup_pairs"))
+      // materialize the 1-row summary eagerly so the shingle cache can be
+      // released here instead of leaking until a caller clearCache()s
+      val out = pairs.agg(count(lit(1)).as("near_dup_pairs"))
         .crossJoin(sh.select("doc_id").distinct()
           .agg(count(lit(1)).as("docs_indexed")))
+        .localCheckpoint(true)
+      sh.unpersist(false)
+      out
     },
     None, isScore = false)
 

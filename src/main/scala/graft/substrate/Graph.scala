@@ -72,11 +72,22 @@ object Graph {
     * paired with every node strictly reachable from it. Used by the
     * `lineage_impact` operator (downstream impact enumeration).
     */
+  /** closure()'s local fast path runs one BFS per source node — worst case
+    * O(sources × edges) driver work — so unlike reachable() it is gated on
+    * that PRODUCT, not on edge count alone (2e8 ops ≈ low-seconds on one
+    * driver core; beyond that the distributed semi-naive path wins).
+    */
+  val ClosureLocalOpsBound: Long = 200000000L
+
   def closure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
     val local = e.limit(LocalThreshold.toInt + 1).collect()
-    if (local.length <= LocalThreshold) {
+    val nSources =
+      if (local.length <= LocalThreshold)
+        local.iterator.map(_.getString(0)).toSet.size else 0
+    if (local.length <= LocalThreshold &&
+        nSources.toLong * local.length <= ClosureLocalOpsBound) {
       val adj = local.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1))).toMap
       val pairs = adj.keys.toSeq.sorted.flatMap { start =>
         val seen = scala.collection.mutable.LinkedHashSet[String]()

@@ -24,6 +24,12 @@ object MinHashLsh {
 
   /** @param shingles (doc_id, shingle) rows, distinct per doc.
     * @return (a, b, jaccard) near-dup pairs with exact Jaccard ≥ threshold.
+    *
+    * Caching contract: the operator is EAGER — it materializes the (small,
+    * candidate-bounded) pair set via localCheckpoint and releases its
+    * intermediate caches before returning, so library callers don't
+    * accumulate cached shingle/signature blocks (they'd otherwise only be
+    * freed by an explicit clearCache()).
     */
   def nearDupPairs(shingles: DataFrame, numPerms: Int = 12, bandRows: Int = 2,
       threshold: Double = 0.5): DataFrame = {
@@ -31,8 +37,11 @@ object MinHashLsh {
     // The shingle set feeds four consumers (signatures+sizes, two sides of
     // the verify join). Shingling is an expensive interpreted HOF pass over
     // the corpus — persist so it's computed ONCE per action, not 4x
-    // (measured 5x end-to-end on the sweep bench).
-    val sh = shingles.persist()
+    // (measured 5x end-to-end on the sweep bench). Persist only if the
+    // caller hasn't already (so we never unpersist a cache we don't own).
+    val weOwnCache = shingles.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val sh = if (weOwnCache) shingles.persist() else shingles
 
     // one aggregation pass: 12 minhashes + the set size together
     val sigCols = (0 until numPerms)
@@ -58,12 +67,16 @@ object MinHashLsh {
       .join(sh.select(col("doc_id").as("b2"), col("shingle").as("sh2")),
         col("b") === col("b2") && col("shingle") === col("sh2"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("a", "b"), "left")
+    val pairs = candidates.join(inter, Seq("a", "b"), "left")
       .join(sigs.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         (coalesce(col("inter"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // eager: compute pairs, then free the caches
+    if (weOwnCache) sh.unpersist(false)
+    sigs.unpersist(false)
+    pairs
   }
 }
