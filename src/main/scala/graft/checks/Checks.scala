@@ -12,21 +12,56 @@ object Checks {
     (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir),
     None, isScore = false)
 
-  /** EP1 assessment endpoints (rows-only: their correctness is transitively
-    * covered by the 47 per-check oracles they union).
+  /** Composed EP1 oracle: the scorecard is a union of per-requirement
+    * checks that each already carry a DuckDB oracle, so the scorecard's own
+    * oracle is their UNION ALL with the same threshold arithmetic — the
+    * whole assessment (EP1), not just its parts, is hash-checked. Yields
+    * None if any applicable check lacks an oracle (e.g. a serving-workload
+    * scorecard would include the LSH-based retrieval_recall_compliance).
+    */
+  private def scorecardOracleSql(workload: graft.model.Workload): Option[String] = {
+    val applicable = graft.model.Registry.forWorkload(workload).map(_.key).toSet
+    val runs = (Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++
+      Factor5.all ++ VectorTier.all ++ TextTier.all ++ OpsTier.all)
+      .filter(c => c.isScore && applicable.contains(c.name))
+    if (runs.isEmpty || runs.exists(_.oracle.isEmpty)) None
+    else Some {
+      val parts = runs.map { c =>
+        val r = graft.model.Registry.byKey(c.name)
+        val thr = graft.assess.Thresholds.forReq(c.name, workload)
+        s"SELECT '${c.name}' AS requirement, ${r.factor.id} AS factor, " +
+          s"'${r.factor.name}' AS factor_name, '${workload.name}' AS workload, " +
+          s"(SELECT value FROM (${c.oracle.get})) AS value, " +
+          s"CAST($thr AS DOUBLE) AS threshold"
+      }
+      "SELECT requirement, factor, factor_name, workload, value, threshold, " +
+        "value >= threshold AS passed FROM (" + parts.mkString(" UNION ALL ") +
+        ") ORDER BY factor, requirement"
+    }
+  }
+
+  /** EP1 assessment endpoints, oracle-checked via the composed scorecard
+    * SQL above (training workload: all 39 applicable checks are oracled).
     */
   private val assessmentScorecard = Check("assessment_scorecard",
     (spark, dir) => graft.assess.Assessor.scorecard(spark, dir,
       graft.model.Workload.Training),
-    None, isScore = false)
+    scorecardOracleSql(graft.model.Workload.Training), isScore = false)
   private val factorRollup = Check("factor_rollup",
     (spark, dir) => graft.assess.Assessor.factorRollup(spark, dir,
       graft.model.Workload.Training),
-    None, isScore = false, inBench = false)
+    scorecardOracleSql(graft.model.Workload.Training).map(sc =>
+      s"""WITH sc AS ($sc)
+         |SELECT factor, factor_name, CAST(COUNT(*) AS BIGINT) AS n_checks,
+         |AVG(value) AS avg_score,
+         |AVG(CAST(CASE WHEN passed THEN 1 ELSE 0 END AS DOUBLE)) AS pass_rate
+         |FROM sc GROUP BY factor, factor_name ORDER BY factor"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false, inBench = false)
 
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
-      VectorTier.all ++ TextTier.all ++ OpsTier.all ++
+      VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
       Seq(mediaFeatureStats, assessmentScorecard, factorRollup)
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap

@@ -1,0 +1,187 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.checks.CheckDsl._
+import graft.substrate.TextOps._
+
+/** Corpus-construction operators a large-scale training-data pipeline needs
+  * beyond per-document analysis (driver north star; reference Factor 2
+  * presupposes curated corpora exist, `factors/requirements.yaml:54-88`):
+  * deterministic sampling / splitting and repetition filtering.
+  *
+  * Determinism discipline: sampling decisions use an arithmetic hash
+  * `(doc_id * 2654435761 + 40503) % 2147483647` — pure BIGINT math that is
+  * bit-identical in any engine, so every operator here carries a DuckDB
+  * oracle (and, at 100 TB, reruns of the pipeline assign every record the
+  * same split — no RNG state to coordinate across executors).
+  */
+object PipelineTier {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** Knuth-style multiplicative mix of a record id — the shared sampling
+    * hash. Stays well inside Long (doc_id * 2.65e9 ≪ 2^63).
+    */
+  private def mix(id: Column): Column =
+    (id * lit(2654435761L) + lit(40503L)) % lit(2147483647L)
+
+  private val MixSql = "((doc_id * 2654435761 + 40503) % 2147483647)"
+
+  /** Deterministic 10% stratified sample accounting, per source stratum.
+    * Map-side only: the keep-decision is a per-row expression; one shuffle
+    * for the per-stratum rollup. At 100 TB the same expression IS the
+    * sampling filter — no count-based reservoir, no driver coordination.
+    */
+  val stratifiedSample = Check("stratified_sample",
+    (spark, dir) => {
+      docs(spark, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("population"),
+          sum(when(mix(col("doc_id")) % 10 === 0, 1L).otherwise(0L))
+            .cast("long").as("sampled"))
+        .select(col("source"), col("population"), col("sampled"),
+          (col("sampled").cast("double") / col("population")).as("rate"))
+        .orderBy("source")
+    },
+    Some(
+      s"""SELECT source, population, sampled,
+         |CAST(sampled AS DOUBLE) / population AS rate FROM (
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS population,
+         |CAST(SUM(CASE WHEN $MixSql % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+         |FROM documents GROUP BY 1) ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Deterministic 80/10/10 train/validation/test assignment with
+    * per-stratum split fractions. Same hash, same scale story: assignment
+    * is a stateless per-row expression, so train/test membership is stable
+    * under reruns, repartitioning, and incremental appends.
+    */
+  val trainTestSplit = Check("train_test_split",
+    (spark, dir) => {
+      val bucket = mix(col("doc_id")) % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "validation").otherwise("test")
+      docs(spark, dir)
+        .select(col("source"), split.as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).cast("long").as("docs"))
+        .withColumn("frac", col("docs").cast("double") /
+          sum("docs").over(Window.partitionBy("source")))
+        .orderBy("source", "split")
+    },
+    Some(
+      s"""SELECT source, split, docs,
+         |CAST(docs AS DOUBLE) / SUM(docs) OVER (PARTITION BY source) AS frac
+         |FROM (SELECT source,
+         |CASE WHEN $MixSql % 100 < 80 THEN 'train'
+         |     WHEN $MixSql % 100 < 90 THEN 'validation'
+         |     ELSE 'test' END AS split,
+         |CAST(COUNT(*) AS BIGINT) AS docs
+         |FROM documents GROUP BY 1, 2) ORDER BY source, split"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Within-document repetition score (Gopher-style repetition filter):
+    * 1 - distinct/total word trigrams. Pure per-row expressions over the
+    * codegen'd WordShingles — no shuffle, linear scan at any scale.
+    */
+  val repetitionDetect = Check("repetition_detect",
+    (spark, dir) => {
+      docs(spark, dir)
+        .select(col("doc_id"),
+          greatest(size(tokens(col("text"))) - 2, lit(0))
+            .cast("long").as("n_trigrams"),
+          size(wordTrigrams(col("text"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+          when(col("n_trigrams") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
+            .otherwise(lit(0.0)).as("repetition"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM tri GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |CAST(greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) AS BIGINT) AS n_trigrams
+        |FROM documents)
+        |SELECT b.doc_id AS doc_id, b.n_trigrams, COALESCE(dt.n_distinct, 0) AS n_distinct,
+        |CASE WHEN b.n_trigrams > 0
+        |THEN 1.0 - CAST(COALESCE(dt.n_distinct, 0) AS DOUBLE) / b.n_trigrams
+        |ELSE 0.0 END AS repetition
+        |FROM base b LEFT JOIN dt ON dt.doc_id = b.doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Banded MinHash LSH with the PORTABLE (md5) permutation hash, proven
+    * against a DuckDB oracle running the identical band algebra — the
+    * cross-engine correctness witness for substrate.MinHashLsh's banding
+    * (whose production path keeps the faster engine-specific xxhash64).
+    *
+    * The corpus has no natural near-dups (max trigram Jaccard ≈ 0.02), so
+    * the check PLANTS them: every doc_id % 100 == 0 gains a copy at
+    * doc_id + 1,000,000 with the first token dropped (trigram Jaccard
+    * ≈ (n-4)/(n-2) — high). Both engines build the same augmented corpus;
+    * the LSH must surface exactly the planted pairs.
+    */
+  val dedupMinhashBanded = Check("dedup_minhash_banded",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val toks = tokens(col("text"))
+      val aug = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+              .as("text")))
+      val sh = aug.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      graft.substrate.MinHashLsh.nearDupPairs(sh, numPerms = 8, bandRows = 2,
+          threshold = 0.5,
+          hashFn = graft.substrate.MinHashLsh.portableHash,
+          bandKeyFn = graft.substrate.MinHashLsh.portableBandKey)
+        .orderBy("a", "b")
+    },
+    Some {
+      val sigCols = (0 until 8)
+        .map(p => s"MIN(md5(sh || ':$p')) AS m$p").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+         |len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+         |FROM documents WHERE doc_id % 100 = 0),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM aug),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |sigs AS (SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY doc_id),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+         |FROM cand c JOIN tri ta ON ta.doc_id = c.a
+         |JOIN tri tb ON tb.doc_id = c.b AND tb.sh = ta.sh GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         |SELECT c.a AS a, c.b AS b,
+         |CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b)
+         |WHERE jaccard >= 0.5 ORDER BY a, b"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
+  val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
+    repetitionDetect, dedupMinhashBanded)
+}

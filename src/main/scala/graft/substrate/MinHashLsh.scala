@@ -1,6 +1,6 @@
 package graft.substrate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Banded MinHash LSH near-duplicate detection in pure DataFrame algebra
@@ -31,8 +31,28 @@ object MinHashLsh {
     * accumulate cached shingle/signature blocks (they'd otherwise only be
     * freed by an explicit clearCache()).
     */
+  /** Permutation hash: default xxhash64 (codegen'd, the fast scale path);
+    * swap in `portableHash` when the signature must be reproducible in
+    * engines without xxhash64 (the DuckDB oracle).
+    */
+  val defaultHash: (Column, Int) => Column = (c, p) => xxhash64(c, lit(p))
+
+  /** md5-based permutation hash — string min, byte-identical cross-engine
+    * (`md5(shingle || ':' || perm)`), ~2-3x slower than xxhash64.
+    */
+  val portableHash: (Column, Int) => Column =
+    (c, p) => md5(concat(c, lit(":" + p)).cast("binary"))
+
+  val defaultBandKey: Seq[Column] => Column = cols => hash(cols: _*)
+
+  /** Cross-engine band key: md5 of the '|'-joined band signature. */
+  val portableBandKey: Seq[Column] => Column =
+    cols => md5(concat_ws("|", cols: _*).cast("binary"))
+
   def nearDupPairs(shingles: DataFrame, numPerms: Int = 12, bandRows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = defaultHash,
+      bandKeyFn: Seq[Column] => Column = defaultBandKey): DataFrame = {
     require(numPerms % bandRows == 0, "bands must tile the signature")
     // The shingle set feeds four consumers (signatures+sizes, two sides of
     // the verify join). Shingling is an expensive interpreted HOF pass over
@@ -43,16 +63,16 @@ object MinHashLsh {
       org.apache.spark.storage.StorageLevel.NONE
     val sh = if (weOwnCache) shingles.persist() else shingles
 
-    // one aggregation pass: 12 minhashes + the set size together
+    // one aggregation pass: the minhashes + the set size together
     val sigCols = (0 until numPerms)
-      .map(p => min(xxhash64(col("shingle"), lit(p))).as(s"m$p")) :+
+      .map(p => min(hashFn(col("shingle"), p)).as(s"m$p")) :+
       count(lit(1)).as("n")
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
 
     val nBands = numPerms / bandRows
     val banded = (0 until nBands).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("bkey"))
+      sigs.select(col("doc_id"), lit(b).as("band"), bandKeyFn(cols).as("bkey"))
     }.reduce(_ unionAll _)
 
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
