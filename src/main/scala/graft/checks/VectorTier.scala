@@ -166,5 +166,53 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance, annIvfTopk)
+  /** Recall@k of the IVF index vs the exact euclidean oracle — the fully
+    * ORACLE-CHECKED recall evaluation (unlike #19's MLlib-LSH variant whose
+    * random projections aren't reproducible in SQL): IVF's centroid sample,
+    * cell assignment, probe and rank are all deterministic arithmetic, so
+    * the recall fraction itself (sum of integer overlaps / |Q|·k — one
+    * division) is bit-identical cross-engine.
+    */
+  val retrievalRecallIvf = Check("retrieval_recall_ivf",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val approx = graft.substrate.IvfIndex
+        .topK(e, q, centroidMod = 23, k = K, nProbe = 4).select("qid", "cid")
+      val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nq = exact.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hits).select(col("n_queries"),
+        (col("hits").cast("double") / (col("n_queries") * K)).as("avg_recall"))
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM q, e c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cent_id) AS rn
+         |FROM e, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qv, cell FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM q, cents c) WHERE rn <= 4),
+         |ivf AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank FROM (
+         |SELECT p.qid, a.vec_id AS cid, list_distance(p.qv, a.v) AS d
+         |FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.vec_id <> p.qid))
+         |WHERE rank <= $K)
+         |SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+         |CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS avg_recall"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
+    annIvfTopk, retrievalRecallIvf)
 }

@@ -1,7 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event against a monitored asset (the per-key input of the stateful
+  * freshness tracker).
+  */
+final case class AssetEvent(asset: String, ts: Timestamp)
+
+/** Tracker state per asset: latest event time and current freshness. */
+final case class FreshnessState(latestMs: Long, fresh: Boolean)
+
+/** Emitted ONLY on a freshness transition (first sight → fresh, SLA expiry
+  * → stale, recovery → fresh) — the alert stream, not a per-event echo.
+  */
+final case class FreshnessTransition(asset: String, latest_ts: Timestamp,
+    fresh: Boolean)
 
 /** EP3 — streaming currency monitor (reference `factors/3-current.md:15`:
   * "freshness monitoring alerts when data falls outside SLA";
@@ -47,6 +64,55 @@ object FreshnessMonitor {
   def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-asset freshness TRANSITIONS via custom state
+    * (`flatMapGroupsWithState`, SURVEY.md §1.3 / driver mandate): unlike
+    * the windowed monitor (which re-reports every window), this emits only
+    * when an asset CHANGES state — first event → fresh, no events for
+    * `slaMs` past the latest (detected by event-time timeout against the
+    * watermark) → stale, next event → fresh again.
+    *
+    * State is one (long, boolean) per asset — O(assets), not O(events);
+    * the event-time timeout re-arms at latestTs + slaMs, so eviction and
+    * alerting ride the watermark, no external clock. Works in batch mode
+    * too (no timeouts fire; each asset emits its initial fresh row).
+    */
+  def freshnessTransitions(events: Dataset[AssetEvent],
+      slaMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[FreshnessTransition] = {
+    import events.sparkSession.implicits._
+    // batch mode: withWatermark is a no-op and watermark/timeout calls
+    // throw — capture the mode once, driver-side, into the closure
+    val streaming = events.isStreaming
+
+    def update(asset: String, evs: Iterator[AssetEvent],
+        state: GroupState[FreshnessState]): Iterator[FreshnessTransition] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        // no timeout re-arm: a stale asset stays silent until a new event
+        state.update(FreshnessState(s.latestMs, fresh = false))
+        Iterator(FreshnessTransition(asset, new Timestamp(s.latestMs), fresh = false))
+      } else {
+        val maxMs = evs.map(_.ts.getTime).max // evs non-empty when no timeout
+        val prev = state.getOption
+        val latest = prev.fold(maxMs)(p => math.max(p.latestMs, maxMs))
+        // a late batch can arrive ALREADY stale (latest + sla <= watermark);
+        // arming a timeout in the past would throw — classify directly
+        val isFresh = !streaming || state.getCurrentWatermarkMs() < latest + slaMs
+        state.update(FreshnessState(latest, isFresh))
+        if (streaming && isFresh) state.setTimeoutTimestamp(latest + slaMs)
+        if (prev.map(_.fresh).contains(isFresh)) Iterator.empty // no change
+        else Iterator(FreshnessTransition(asset, new Timestamp(latest), isFresh))
+      }
+    }
+
+    // Update mode: a transition is an upsert on the asset's alert row (and
+    // the sink's output mode must match the operator's declared mode)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.asset)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 
   /** Event sessionization via native session windows (gap-based, state
     * evicted at watermark): per user session, span and event count.

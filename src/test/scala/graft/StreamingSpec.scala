@@ -94,6 +94,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freshnessTransitions (flatMapGroupsWithState) emits fresh/stale flips only") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{AssetEvent, FreshnessTransition}
+    val input = MemoryStream[(String, Timestamp)]
+    val transitions = FreshnessMonitor.freshnessTransitions(
+      input.toDF().toDF("asset", "ts").as[AssetEvent],
+      slaMs = 30L * 60 * 1000, watermark = "10 minutes")
+    val q = transitions.writeStream.format("memory").queryName("fresh_trans")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def rows() = spark.table("fresh_trans").as[FreshnessTransition]
+        .collect().map(t => (t.asset, t.latest_ts.toString, t.fresh)).toSeq
+
+      input.addData(("a", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", "2024-01-01 10:00:00.0", true)))
+
+      // still fresh: another a-event produces NO new transition
+      input.addData(("a", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == "a") == 1)
+
+      // b-events advance the watermark past a's 10:35 SLA deadline ->
+      // a flips stale (timeout), b announces fresh
+      input.addData(("b", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(("b", ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val afterStale = rows()
+      assert(afterStale.contains(("a", "2024-01-01 10:05:00.0", false)))
+      assert(afterStale.count(_._1 == "b") == 1)
+
+      // recovery: a fresh again on its next event
+      input.addData(("a", ts("2024-01-01 11:40:00")))
+      q.processAllAvailable()
+      assert(rows().contains(("a", "2024-01-01 11:40:00.0", true)))
+      assert(rows().count(_._1 == "a") == 3) // fresh, stale, fresh — no echoes
+    } finally q.stop()
+  }
+
+  test("freshnessTransitions batch-mode parity: one initial row per asset") {
+    import graft.streaming.AssetEvent
+    val batch = Seq(("x", ts("2024-01-01 10:00:00")),
+      ("x", ts("2024-01-01 10:30:00")), ("y", ts("2024-01-01 09:00:00")))
+      .toDF("asset", "ts").as[AssetEvent]
+    val out = FreshnessMonitor.freshnessTransitions(batch).collect()
+      .map(t => t.asset -> ((t.latest_ts.toString, t.fresh))).toMap
+    assert(out == Map(
+      "x" -> (("2024-01-01 10:30:00.0", true)),
+      "y" -> (("2024-01-01 09:00:00.0", true))))
+  }
+
   test("sessionize groups by gap-separated session windows per user") {
     val batch = Seq(
       (7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")),
