@@ -169,6 +169,47 @@ object TextTier {
     },
     None, isScore = false)
 
+  /** SimHash with a PORTABLE 32-bit token hash, oracle-verified: bit b of
+    * the hash is extracted from md5 hex arithmetically —
+    * `(hexval(char[1 + b/4]) >> (3 - b%4)) & 1` via instr/strpos on
+    * '0123456789abcdef' — an identical expression in Spark and DuckDB, so
+    * the full weighted-bit-vote pipeline hash-matches cross-engine. The
+    * production dedup_simhash keeps the faster 64-bit xxhash64; this
+    * variant witnesses the algorithm (weighting, voting, bit packing).
+    */
+  val dedupSimhashPortable = Check("dedup_simhash_portable",
+    (spark, dir) => {
+      val tf = docs(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val bits = tf.select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("bit", expr(
+          "shiftright(instr('0123456789abcdef', substring(h, 1 + (b div 4), 1)) - 1, 3 - (b % 4)) & 1"))
+        .withColumn("contrib",
+          when(col("bit") === 1, col("w")).otherwise(-col("w")))
+      bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+          .cast("long").as("simhash32"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY 1, 2),
+        |hs AS (SELECT doc_id, w, md5(tok) AS h FROM tf),
+        |bits AS (SELECT doc_id, w, b,
+        |((strpos('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+        |FROM hs, (SELECT unnest(generate_series(0, 31)) AS b)),
+        |s AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN w ELSE -w END) AS s
+        |FROM bits GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash32
+        |FROM s GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Embedding-cosine near-dup: global top-k most-similar pairs. Ranks
     * only (integer output) — boundary margin measured at 3.5e-4 vs 1e-16
     * cross-engine noise.
@@ -359,6 +400,6 @@ object TextTier {
     isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, neardupCosineTopk, langId, textStats, docFingerprint,
-    chunkDocuments, corpusPrepPipeline)
+    dedupSimhash, dedupSimhashPortable, neardupCosineTopk, langId, textStats,
+    docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -87,4 +87,28 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sig(0L), sig(1L)) <= 12)  // near dup -> close
     assert(hamming(sig(0L), sig(2L)) > 12)   // unrelated -> far
   }
+
+  test("portable (md5-bit) simhash32 preserves the same dup geometry") {
+    // run the oracled check's pipeline on the constructed corpus by
+    // swapping the documents read for a temp view ... simplest: inline the
+    // same expressions over the fixture frame
+    val tf = corpus.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val sig = tf.select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("bit", expr(
+        "shiftright(instr('0123456789abcdef', substring(h, 1 + (b div 4), 1)) - 1, 3 - (b % 4)) & 1"))
+      .withColumn("c", when(col("bit") === 1, col("w")).otherwise(-col("w")))
+      .groupBy("doc_id", "b").agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(sig.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL)) // 32-bit range
+    assert(hamming(sig(0L), sig(3L)) == 0)
+    assert(hamming(sig(0L), sig(1L)) <= 8)  // near dup close in 32-bit space
+    assert(hamming(sig(0L), sig(2L)) > 8)   // unrelated far
+  }
 }
