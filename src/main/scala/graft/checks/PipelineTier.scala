@@ -182,6 +182,40 @@ object PipelineTier {
     },
     isScore = false)
 
+  /** Events attributed to the pipeline-run window they occurred in —
+    * point-in-interval RANGE join (substrate.RangeJoin): binned to an
+    * equi-join on hour buckets + residual BETWEEN, instead of the
+    * nested-loop a naive theta join plans (see RangeJoinSpec's plan
+    * assertion). Runs with no events report 0 (left join back to the run
+    * catalog).
+    */
+  val eventsInRunWindow = Check("events_in_run_window",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events").select(col("ts"))
+      val runs = graft.catalog.Fixtures.pipelineRuns.df(spark) // bind ONCE
+      val matched = graft.substrate.RangeJoin.pointInInterval(
+        ev, "ts", runs.select("run_id", "start_ts", "end_ts"),
+        "start_ts", "end_ts")
+      // fresh exprIds via rename — counts derives from `runs`, so joining
+      // back without it would make run_id ambiguous (self-join lineage)
+      val counts = matched.groupBy("run_id")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumnRenamed("run_id", "rid")
+      runs.select("run_id", "pipeline")
+        .join(counts, col("run_id") === col("rid"), "left")
+        .select(col("run_id"), col("pipeline"),
+          coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"))
+        .orderBy("run_id")
+    },
+    Some(graft.catalog.Fixture.oracle(
+      Seq(graft.catalog.Fixtures.pipelineRuns),
+      """SELECT r.run_id AS run_id, r.pipeline AS pipeline,
+        |CAST(COUNT(e.ts) AS BIGINT) AS n_events
+        |FROM pipeline_runs r LEFT JOIN events e
+        |ON e.ts >= r.start_ts AND e.ts <= r.end_ts
+        |GROUP BY 1, 2 ORDER BY run_id""".stripMargin.replace("\n", " "))),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
-    repetitionDetect, dedupMinhashBanded)
+    repetitionDetect, dedupMinhashBanded, eventsInRunWindow)
 }
