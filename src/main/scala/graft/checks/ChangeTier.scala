@@ -1,0 +1,120 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.CheckDsl._
+import graft.substrate.{Cdc, TableDiff}
+
+/** Change-management operators: CDC merge and version diff — the data-side
+  * machinery behind the reference's incremental-processing and versioning
+  * requirements (`factors/requirements.yaml:91-93,123-125,136-138`).
+  *
+  * Both checks derive a deterministic change set from `orders` itself with
+  * pure integer arithmetic (key modulus selects rows; prices go through
+  * `floor()` — exact in IEEE — never float rounding), so both engines
+  * construct bit-identical inputs and the merge/diff logic is what's
+  * actually under test.
+  *
+  * Mutation rules shared by both checks:
+  *   - keys ≡ 3 (mod 10): updated (status 'X', price +500), seq 1
+  *   - keys ≡ 7 (mod 10): deleted, seq 1
+  *   - keys ≡ 3 (mod 100): updated AGAIN (status 'Y', price +900), seq 2 —
+  *     exercises latest-wins over the seq-1 update of the same keys
+  */
+object ChangeTier {
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice")).cast("long").as("price_i"))
+
+  private val BaseSql =
+    """base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+      |CAST(floor(o_totalprice) AS BIGINT) AS price_i FROM orders)"""
+      .stripMargin.replace("\n", " ")
+
+  /** CDC merge (substrate.Cdc): fold a change log (updates, deletes, a
+    * second update wave that must supersede the first) into the snapshot;
+    * output = per-status counts and integer price totals of the merged
+    * state. One shuffle at any scale (see CdcSpec's plan assertion).
+    */
+  val cdcUpsert = Check("cdc_upsert",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      val upd1 = b.filter(col("k") % 10 === 3).select(col("k"),
+        lit("X").as("status"), (col("price_i") + 500).as("price_i"),
+        lit("U").as("op"), lit(1L).as("seq"))
+      val del1 = b.filter(col("k") % 10 === 7).select(col("k"),
+        col("status"), col("price_i"), lit("D").as("op"), lit(1L).as("seq"))
+      val upd2 = b.filter(col("k") % 100 === 3).select(col("k"),
+        lit("Y").as("status"), (col("price_i") + 900).as("price_i"),
+        lit("U").as("op"), lit(2L).as("seq"))
+      Cdc.applyChangeLog(b, upd1.unionByName(del1).unionByName(upd2), Seq("k"))
+        .groupBy("status")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("price_i").cast("long").as("total_price_i"))
+        .orderBy("status")
+    },
+    Some(
+      s"""WITH $BaseSql,
+         |chg AS (
+         |SELECT k, 'X' AS status, price_i + 500 AS price_i, 'U' AS op, 1 AS seq
+         |FROM base WHERE k % 10 = 3
+         |UNION ALL SELECT k, status, price_i, 'D', 1 FROM base WHERE k % 10 = 7
+         |UNION ALL SELECT k, 'Y', price_i + 900, 'U', 2 FROM base WHERE k % 100 = 3),
+         |unioned AS (SELECT k, status, price_i, 'I' AS op, -1 AS seq FROM base
+         |UNION ALL SELECT * FROM chg),
+         |latest AS (SELECT k, status, price_i, op FROM (
+         |SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |FROM unioned) WHERE rn = 1)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(price_i) AS BIGINT) AS total_price_i
+         |FROM latest WHERE op <> 'D' GROUP BY 1 ORDER BY status"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Version diff (substrate.TableDiff): v2 = v1 with the mutation rules
+    * applied plus a small synthetic-key insert set; output = row counts
+    * per diff class. One full-outer shuffle join at any scale.
+    */
+  val tableDiff = Check("table_diff",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      val mutated = b.filter(col("k") % 10 =!= 7).select(col("k"),
+        when(col("k") % 100 === 3, "Y")
+          .when(col("k") % 10 === 3, "X")
+          .otherwise(col("status")).as("status"),
+        when(col("k") % 100 === 3, col("price_i") + 900)
+          .when(col("k") % 10 === 3, col("price_i") + 500)
+          .otherwise(col("price_i")).as("price_i"))
+      val added = b.filter(col("k") % 1000 === 1).select(
+        (col("k") + 100000000L).as("k"), lit("N").as("status"), col("price_i"))
+      TableDiff.byKey(b, mutated.unionByName(added), Seq("k"))
+        .groupBy("diff_status").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("diff_status")
+    },
+    Some(
+      s"""WITH $BaseSql,
+         |mutated AS (SELECT k,
+         |CASE WHEN k % 100 = 3 THEN 'Y' WHEN k % 10 = 3 THEN 'X'
+         |ELSE status END AS status,
+         |CASE WHEN k % 100 = 3 THEN price_i + 900 WHEN k % 10 = 3 THEN price_i + 500
+         |ELSE price_i END AS price_i
+         |FROM base WHERE k % 10 <> 7),
+         |v2 AS (SELECT * FROM mutated UNION ALL
+         |SELECT k + 100000000 AS k, 'N' AS status, price_i FROM base WHERE k % 1000 = 1),
+         |d AS (SELECT CASE WHEN o.k IS NULL THEN 'added'
+         |WHEN n.k IS NULL THEN 'removed'
+         |WHEN o.status IS NOT DISTINCT FROM n.status
+         |AND o.price_i IS NOT DISTINCT FROM n.price_i THEN 'unchanged'
+         |ELSE 'changed' END AS diff_status
+         |FROM base o FULL JOIN v2 n ON o.k = n.k)
+         |SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM d GROUP BY 1 ORDER BY diff_status"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  val all: Seq[Check] = Seq(cdcUpsert, tableDiff)
+}

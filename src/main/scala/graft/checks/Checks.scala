@@ -62,6 +62,7 @@ object Checks {
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
       VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
+      ChangeTier.all ++
       Seq(mediaFeatureStats, assessmentScorecard, factorRollup)
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
