@@ -213,6 +213,49 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Embedding near-dup via mean-centered random-hyperplane sign LSH
+    * (substrate.CosineSignLsh) — the sub-quadratic alternative to
+    * neardup_cosine_topk's all-pairs scan. The corpus has no natural
+    * near-dups (max background cosine ≈ 0.51), so the check PLANTS them:
+    * every vec_id % 50 == 0 gains a copy at vec_id + 1,000,000 shifted by
+    * +0.01 per component (cosine ≈ 0.9968) — both engines build the same
+    * augmented corpus with pure double arithmetic, hash with the same
+    * integer-derived hyperplanes, and must confirm exactly the planted
+    * pairs (rerank margin: 0.997 planted vs 0.466 best background
+    * candidate, threshold 0.9).
+    */
+  val neardupCosineLsh = Check("neardup_cosine_lsh",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val aug = e.unionAll(
+        e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("v"), x => x + lit(0.01)).as("v")))
+      graft.substrate.CosineSignLsh
+        .nearDupPairs(aug, "vec_id", "v", dim = 64, threshold = 0.9)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM e UNION ALL
+        |SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM e WHERE vec_id % 50 = 0),
+        |ve AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM aug),
+        |m AS (SELECT d, AVG(x) AS mu FROM ve GROUP BY d),
+        |w AS (SELECT p, d, CAST((p * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w
+        |FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(0, 63)) AS d)),
+        |off AS (SELECT p, SUM(m.mu * w.w) AS off FROM m JOIN w ON w.d = m.d GROUP BY p),
+        |dots AS (SELECT ve.vec_id, w.p, SUM(ve.x * w.w) AS dot FROM ve JOIN w ON w.d = ve.d GROUP BY 1, 2),
+        |bands AS (SELECT vec_id, dots.p // 8 AS band,
+        |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % 8) ELSE 0 END) AS bkey
+        |FROM dots JOIN off ON off.p = dots.p GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
+        |JOIN bands y ON y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id)
+        |SELECT a, b FROM cand c JOIN aug va ON va.vec_id = c.a JOIN aug vb ON vb.vec_id = c.b
+        |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9 ORDER BY a, b"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
-    annIvfTopk, retrievalRecallIvf)
+    annIvfTopk, retrievalRecallIvf, neardupCosineLsh)
 }

@@ -1,0 +1,123 @@
+package graft.substrate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign) LSH for cosine near-duplicate detection — the
+  * sub-quadratic scale path for embedding-space dedup, complementing
+  * MinHashLsh (token space) and the brute-force all-pairs top-k (exact but
+  * O(n²)). Charikar's SimHash-for-vectors scheme: P(sign agrees) =
+  * 1 − θ/π, so with 16 planes in 4-bit bands, a cos ≥ 0.9 pair is
+  * bucketed with p ≈ 0.95 and a cos ≥ 0.99 pair with p ≈ 0.9996, while
+  * the ~0.5-cosine background almost never collides in all 4 bits.
+  *
+  * The hyperplanes are DETERMINISTIC — component (p, d) is pure integer
+  * arithmetic (`(p·dim + d) · 2654435761 + 40503 mod 2000001`, centered) —
+  * so signatures are reproducible across engines (DuckDB oracle), reruns,
+  * and executors: no RNG state to broadcast, and an incremental append
+  * hashes new vectors into the same buckets as last month's corpus.
+  *
+  * Real embedding corpora are ANISOTROPIC — a large common component
+  * makes raw sign bits agree ~63% of the time between DISSIMILAR vectors
+  * (measured 24% pair-collision on the testdata corpus). Standard fix:
+  * hash the mean-CENTERED vectors. Because centering commutes through the
+  * dot product (dot(v−μ, w) = dot(v,w) − dot(μ,w)), it costs one scalar
+  * offset per plane at hash time — no per-row vector subtraction — plus
+  * one mean-estimation pass (samplable at scale). Measured: 24% → 4%
+  * collisions on the same corpus. Rerank cosine stays on the ORIGINAL
+  * vectors.
+  *
+  * Scale shape: signature = nPlanes codegen'd dot products per row (map
+  * side, no shuffle); banding = nBands× fan-out union; ONE shuffle on the
+  * band key; rerank joins touch only candidate pairs. Never an all-pairs
+  * product.
+  */
+object CosineSignLsh {
+
+  /** Hyperplane component (p, d) — centered pseudo-random integer in
+    * [-1e6, 1e6], the same arithmetic-hash family as PipelineTier's
+    * sampling hash.
+    */
+  def weight(p: Int, d: Int, dim: Int): Double =
+    ((p.toLong * dim + d) * 2654435761L + 40503L) % 2000001L - 1000000L
+
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => weight(p, d, dim)))
+
+  /** Per-dimension corpus mean — the centering vector. One posexplode
+    * pass + a dim-sized agg; at 100 TB run it on a sample (the mean needs
+    * ~1e4 rows for hash-grade precision, not the corpus).
+    */
+  def meanVector(vecs: DataFrame, vecCol: String, dim: Int): Seq[Double] = {
+    val rows = vecs.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(avg("x").as("mu")).collect()
+    val arr = new Array[Double](dim)
+    rows.foreach(r => arr(r.getAs[Int]("d")) = r.getAs[Double]("mu"))
+    arr.toSeq
+  }
+
+  /** (id, band, bkey) bucket rows for a vector column (array<double>,
+    * fixed dimension `dim`). `offsets(p)` is subtracted from plane p's dot
+    * before the sign — pass `planes(...).map(dot(μ, ·))` to hash centered
+    * without touching the vectors.
+    */
+  def bandKeys(vecs: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, bandBits: Int, dim: Int,
+      offsets: Seq[Double] = Nil): DataFrame = {
+    require(nPlanes % bandBits == 0, "bands must tile the signature")
+    val off = if (offsets.isEmpty) Seq.fill(nPlanes)(0.0) else offsets
+    val bits = (0 until nPlanes).map(p =>
+      (VectorOps.dot(col(vecCol), typedLit(planes(nPlanes, dim)(p))) - off(p) >= 0)
+        .cast("int").as(s"__bit$p"))
+    val sig = vecs.select(col(idCol) +: bits: _*)
+    (0 until nPlanes / bandBits).map { b =>
+      val key = (0 until bandBits)
+        .map(i => col(s"__bit${b * bandBits + i}") * lit(1 << i))
+        .reduce(_ + _)
+      sig.select(col(idCol), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Near-dup pairs with exact cosine ≥ threshold, candidates from the
+    * sign-LSH buckets. Eager (localCheckpoint) with caches released before
+    * returning — same caching contract as MinHashLsh.nearDupPairs.
+    *
+    * @param vecs (id, vector) rows; vector = array<double>, dimension `dim`.
+    * @return (a, b, cosine) with a < b.
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 32, bandBits: Int = 8, threshold: Double = 0.9,
+      center: Boolean = true): DataFrame = {
+    val weOwnCache = vecs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (weOwnCache) vecs.persist() else vecs
+    val offsets =
+      if (!center) Nil
+      else {
+        val mu = meanVector(e, vecCol, dim)
+        planes(nPlanes, dim).map(w => w.zip(mu).map { case (a, b) => a * b }.sum)
+      }
+    val banded = bandKeys(e, idCol, vecCol, nPlanes, bandBits, dim, offsets)
+    val candidates = banded
+      .select(col("band"), col("bkey"), col(idCol).as("a"))
+      .join(banded.select(col("band"), col("bkey"), col(idCol).as("b")),
+        Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // norms as scalars BEFORE the join; one dot per candidate pair
+    val sides = e.select(col(idCol), col(vecCol))
+      .withColumn("__n", VectorOps.l2norm(col(vecCol)))
+    val out = candidates
+      .join(sides.select(col(idCol).as("a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("a"))
+      .join(sides.select(col(idCol).as("b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"), VectorOps.cosineFromParts(
+        VectorOps.dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .localCheckpoint(true)
+    if (weOwnCache) e.unpersist(false)
+    out
+  }
+}

@@ -1,0 +1,61 @@
+package graft.substrate
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sign-LSH near-dup: planted near-identical vectors are found, dissimilar
+  * background is not, and the plan never falls back to an all-pairs
+  * product.
+  */
+class CosineSignLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Seeded-random background vectors — mutually far in cosine with
+    * overwhelming probability (and fully deterministic under the seed).
+    */
+  private def vec(seed: Int): Seq[Double] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(dim)(rng.nextDouble() * 2000 - 1000)
+  }
+
+  private val base = (1 to 30).map(i => (i.toLong, vec(i)))
+  // two planted near-dups: tiny constant shift of existing vectors
+  private val dups = Seq(
+    (1001L, vec(1).map(_ + 0.5)),
+    (1015L, vec(15).map(_ + 0.5)))
+  private lazy val vecs = (base ++ dups).toDF("id", "v")
+
+  test("finds exactly the planted near-dup pairs") {
+    val out = CosineSignLsh.nearDupPairs(vecs, "id", "v", dim,
+        threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1001L), (15L, 1015L)))
+  }
+
+  test("weight components are centered and reproducible") {
+    assert(CosineSignLsh.weight(0, 0, 64) == (40503L % 2000001L - 1000000L).toDouble)
+    val all = for (p <- 0 until 16; d <- 0 until 64)
+      yield CosineSignLsh.weight(p, d, 64)
+    assert(all.forall(w => w >= -1000000 && w <= 1000000))
+    assert(math.abs(all.sum / all.size) < 100000, "weights badly off-center")
+  }
+
+  test("plans bucket joins, never an all-pairs product") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = CosineSignLsh
+        .bandKeys(vecs, "id", "v", nPlanes = 16, bandBits = 4, dim = dim)
+        .join(CosineSignLsh.bandKeys(vecs, "id", "v", 16, 4, dim)
+          .withColumnRenamed("id", "id2"), Seq("band", "bkey"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs product in sign-LSH plan:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
