@@ -16,15 +16,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // operators persist() multi-consumer intermediates (shingle sets,
-      // signatures); release them between queries so the loop's storage
-      // footprint stays bounded
+    // Concurrent dump (same rationale as Bench: overlap the per-query
+    // planning floor; operators self-manage their caches eagerly, so
+    // queries don't interact through the cache).
+    locally {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = SparkEntry.queries.toSeq.map { case (name, fn) => Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }}
+      try futs.foreach(f => Await.result(f, Duration.Inf))
+      finally pool.shutdown()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
