@@ -224,38 +224,91 @@ object VectorTier {
     * pairs (rerank margin: 0.997 planted vs 0.466 best background
     * candidate, threshold 0.9).
     */
+  /** Augmented corpus: every vec_id % 50 == 0 gains `copies` shifted
+    * duplicates (+0.01·c per component at vec_id + c·1,000,000) — pure
+    * double arithmetic both engines reproduce bit-identically.
+    */
+  private def plantedAug(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val e = embeddingsD(spark, dir)
+    (1 to copies).foldLeft(e) { (acc, c) =>
+      acc.unionAll(e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + c * 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01 * c)).as("v")))
+    }
+  }
+
+  private def plantedAugSql(copies: Int): String =
+    "SELECT vec_id, v FROM e" + (1 to copies).map(c =>
+      s" UNION ALL SELECT vec_id + ${c}000000, list_transform(v, x -> x + ${0.01 * c})" +
+        " FROM e WHERE vec_id % 50 = 0").mkString
+
+  /** The sign-LSH pair pipeline as DuckDB CTEs, ending in `pairs (a, b)` —
+    * the SQL mirror of CosineSignLsh.nearDupPairs (32 planes, 8-bit bands,
+    * mean-centered via per-plane offsets, rerank cosine ≥ 0.9 on the
+    * original vectors).
+    */
+  private def signLshPairCtes(augSql: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |aug AS ($augSql),
+       |ve AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM aug),
+       |m AS (SELECT d, AVG(x) AS mu FROM ve GROUP BY d),
+       |w AS (SELECT p, d, CAST((p * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w
+       |FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(0, 63)) AS d)),
+       |off AS (SELECT p, SUM(m.mu * w.w) AS off FROM m JOIN w ON w.d = m.d GROUP BY p),
+       |dots AS (SELECT ve.vec_id, w.p, SUM(ve.x * w.w) AS dot FROM ve JOIN w ON w.d = ve.d GROUP BY 1, 2),
+       |bands AS (SELECT vec_id, dots.p // 8 AS band,
+       |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % 8) ELSE 0 END) AS bkey
+       |FROM dots JOIN off ON off.p = dots.p GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
+       |JOIN bands y ON y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT a, b FROM cand c JOIN aug va ON va.vec_id = c.a
+       |JOIN aug vb ON vb.vec_id = c.b
+       |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9)"""
+      .stripMargin.replace("\n", " ")
+
   val neardupCosineLsh = Check("neardup_cosine_lsh",
     (spark, dir) => {
-      val e = embeddingsD(spark, dir)
-      val aug = e.unionAll(
-        e.filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("v"), x => x + lit(0.01)).as("v")))
       graft.substrate.CosineSignLsh
-        .nearDupPairs(aug, "vec_id", "v", dim = 64, threshold = 0.9)
+        .nearDupPairs(plantedAug(spark, dir, copies = 1), "vec_id", "v",
+          dim = 64, threshold = 0.9)
         .select(col("a"), col("b"))
         .orderBy("a", "b")
     },
-    Some(
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |aug AS (SELECT vec_id, v FROM e UNION ALL
-        |SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM e WHERE vec_id % 50 = 0),
-        |ve AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM aug),
-        |m AS (SELECT d, AVG(x) AS mu FROM ve GROUP BY d),
-        |w AS (SELECT p, d, CAST((p * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w
-        |FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(0, 63)) AS d)),
-        |off AS (SELECT p, SUM(m.mu * w.w) AS off FROM m JOIN w ON w.d = m.d GROUP BY p),
-        |dots AS (SELECT ve.vec_id, w.p, SUM(ve.x * w.w) AS dot FROM ve JOIN w ON w.d = ve.d GROUP BY 1, 2),
-        |bands AS (SELECT vec_id, dots.p // 8 AS band,
-        |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % 8) ELSE 0 END) AS bkey
-        |FROM dots JOIN off ON off.p = dots.p GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
-        |JOIN bands y ON y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id)
-        |SELECT a, b FROM cand c JOIN aug va ON va.vec_id = c.a JOIN aug vb ON vb.vec_id = c.b
-        |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9 ORDER BY a, b"""
+    Some(s"WITH ${signLshPairCtes(plantedAugSql(1))} " +
+      "SELECT a, b FROM pairs ORDER BY a, b"),
+    isScore = false)
+
+  /** Near-dup CLUSTERS — pairs are not yet a dedup decision; corpus
+    * curation needs each connected component of the pair graph collapsed
+    * to one representative (Graph.components, min-id label). The corpus
+    * plants two shifted copies per selected vector, so each cluster must
+    * come out as {v, v+1M, v+2M} with representative v. Oracle: the same
+    * pair CTEs + a recursive-CTE reachability closure with MIN-per-
+    * component labeling.
+    */
+  val dedupClusters = Check("dedup_clusters",
+    (spark, dir) => {
+      val pairs = graft.substrate.CosineSignLsh
+        .nearDupPairs(plantedAug(spark, dir, copies = 2), "vec_id", "v",
+          dim = 64, threshold = 0.9)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.substrate.Graph.components(pairs)
+        .groupBy("label").agg(count(lit(1)).cast("long").as("cluster_size"))
+        .select(col("label").as("cluster_rep"), col("cluster_size"))
+        .orderBy("cluster_rep")
+    },
+    Some(s"WITH RECURSIVE ${signLshPairCtes(plantedAugSql(2))}, " +
+      """edges AS (SELECT a AS s, b AS d FROM pairs
+        |UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS n FROM edges),
+        |reach AS (SELECT n AS root, n AS node FROM nodes
+        |UNION SELECT r.root, e.d FROM reach r JOIN edges e ON e.s = r.node),
+        |labels AS (SELECT root, MIN(node) AS label FROM reach GROUP BY root)
+        |SELECT label AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |FROM labels GROUP BY 1 ORDER BY 1"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
   val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
-    annIvfTopk, retrievalRecallIvf, neardupCosineLsh)
+    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, dedupClusters)
 }

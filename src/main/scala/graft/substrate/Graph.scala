@@ -109,6 +109,70 @@ object Graph {
     } else closureDistributed(edges, maxIters)
   }
 
+  /** Connected components of an UNDIRECTED graph with numeric node ids:
+    * (node, label) where label = the component's minimum id — the
+    * canonical "cluster representative" for dedup clustering (keep the
+    * min-id document of each near-dup cluster).
+    *
+    * Same two-path shape as reachable()/closure(): union-find on the
+    * driver for metadata-sized edge sets; distributed min-label
+    * propagation (converges in O(diameter) rounds — near-dup graphs have
+    * tiny diameters) with localCheckpoint truncating the plan per round.
+    * Only nodes that appear in an edge participate (singletons are the
+    * caller's complement set).
+    */
+  def components(edges: DataFrame, maxIters: Int = 32): DataFrame = {
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val local = e.limit(LocalThreshold.toInt + 1).collect()
+    if (local.length <= LocalThreshold) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      local.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => Row(n, find(n)))
+      import scala.jdk.CollectionConverters._
+      e.sparkSession.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType))))
+    } else componentsDistributed(e, maxIters)
+  }
+
+  private[substrate] def componentsDistributed(e: DataFrame,
+      maxIters: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // push each node's label to its neighbors; fold the min per node
+      val msgs = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("label"))
+      val next = labels.unionAll(msgs)
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   private[substrate] def closureDistributed(edges: DataFrame, maxIters: Int): DataFrame = {
     val e = edges.select(col("src").as("node"), col("dst").as("reachable")).distinct()
     var acc = e.localCheckpoint()
