@@ -384,7 +384,36 @@ object OpsTier {
     },
     None, isScore = false)
 
+  /** Two-phase salted aggregation (substrate.SkewOps) over the most
+    * skew-shaped real column (events.event_type: 5 values → every key is
+    * a hot key at scale). The salt is internal — the merged result must
+    * equal a plain GROUP BY, which is exactly what the oracle runs.
+    * Integer-only outputs (count, floor-sum, min/max ids) for
+    * cross-engine parity.
+    */
+  val skewSaltedAgg = Check("skew_salted_agg",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value")).cast("long").as("value_i"))
+      graft.substrate.SkewOps.saltedAgg(ev, Seq("event_type"), salts = 16,
+        partial = Seq(count(lit(1)).as("c"), sum("value_i").as("s"),
+          min("event_id").as("lo"), max("event_id").as("hi")),
+        merge = Seq(sum("c").cast("long").as("n_events"),
+          sum("s").cast("long").as("sum_value_i"),
+          min("lo").as("min_event_id"), max("hi").as("max_event_id")))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value_i,
+        |MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        |FROM events GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
-    windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy)
+    windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
+    skewSaltedAgg)
 }
