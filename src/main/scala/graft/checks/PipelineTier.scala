@@ -216,6 +216,78 @@ object PipelineTier {
         |GROUP BY 1, 2 ORDER BY run_id""".stripMargin.replace("\n", " "))),
     isScore = false)
 
+  /** Gap-based batch sessionization — the batch mirror of EP3's streaming
+    * session_window: a new session starts after a >30 min silence per
+    * user; session id = running sum of session-start flags. All temporal
+    * math on INTEGER micros (`unix_micros` / DuckDB `epoch_us`) with
+    * event_id tie-breaks, so ordering and gap comparisons are
+    * bit-identical cross-engine (events.ts is nanos in the file; both
+    * engines truncate to the same µs).
+    *
+    * Scale shape: one per-user window sort (sessionization's inherent
+    * shuffle), then per-(user, session) and per-size aggregations. Output
+    * = session-size histogram.
+    */
+  val sessionize = Check("sessionize",
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"))
+      val flagged = ev.withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      val sid = flagged.withColumn("session_id",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sid.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).cast("long").as("session_size"))
+        .groupBy("session_size")
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+        .orderBy("session_size")
+    },
+    Some(
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |THEN 1 ELSE 0 END AS new_s FROM events),
+        |sid AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id
+        |ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |per AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS session_size
+        |FROM sid GROUP BY 1, 2)
+        |SELECT session_size, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM per GROUP BY 1 ORDER BY session_size"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Rolling 7-day event counts per type — the RANGE-frame window idiom
+    * (SURVEY §2.B "frames") on integer day numbers: per (event_type, day)
+    * count plus its trailing-week sum. Integer-only outputs.
+    */
+  val rollingDailyCounts = Check("rolling_daily_counts",
+    (spark, dir) => {
+      val daily = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(expr("unix_micros(ts)") / lit(86400000000L)).cast("long").as("day_num"))
+        .groupBy("event_type", "day_num")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day_num")
+        .rangeBetween(-6, 0)
+      daily.withColumn("n_7d", sum("n").over(w).cast("long"))
+        .orderBy("event_type", "day_num")
+    },
+    Some(
+      """WITH daily AS (SELECT event_type,
+        |CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num,
+        |CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_num, n,
+        |CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY event_type, day_num"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
-    repetitionDetect, dedupMinhashBanded, eventsInRunWindow)
+    repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
+    rollingDailyCounts)
 }
