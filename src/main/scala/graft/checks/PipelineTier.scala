@@ -287,7 +287,56 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Time-series resample + forward-fill — the gap-repair operator a
+    * training pipeline runs before feature extraction: an hourly grid per
+    * event_type spanning that type's observed range (`sequence` explode —
+    * bounded fan-out like RangeJoin's binning), left-joined with observed
+    * hourly sums, missing hours carried forward via
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame. The first
+    * grid hour always has data (the span starts at the type's min), so
+    * the fill is total. Integer-only outputs.
+    */
+  val gapFillForward = Check("gap_fill_forward",
+    (spark, dir) => {
+      val hourly = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(expr("unix_micros(ts)") / lit(3600000000L)).cast("long").as("hour_num"),
+          floor(col("value")).cast("long").as("value_i"))
+        .groupBy("event_type", "hour_num")
+        .agg(sum("value_i").cast("long").as("hourly_value"))
+      val span = hourly.groupBy("event_type")
+        .agg(min("hour_num").as("lo"), max("hour_num").as("hi"))
+      val grid = span.select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hour_num"))
+      val w = Window.partitionBy("event_type").orderBy("hour_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour_num"), "left")
+        .select(col("event_type"), col("hour_num"),
+          last(col("hourly_value"), ignoreNulls = true).over(w)
+            .cast("long").as("filled_value"),
+          when(col("hourly_value").isNull, 1L).otherwise(0L).as("was_missing"))
+        .orderBy("event_type", "hour_num")
+    },
+    Some(
+      """WITH hourly AS (SELECT event_type,
+        |CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_num,
+        |CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS hourly_value
+        |FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(hour_num) AS lo, MAX(hour_num) AS hi
+        |FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour_num FROM span),
+        |j AS (SELECT g.event_type, g.hour_num, h.hourly_value
+        |FROM grid g LEFT JOIN hourly h
+        |ON h.event_type = g.event_type AND h.hour_num = g.hour_num)
+        |SELECT event_type, hour_num,
+        |CAST(LAST_VALUE(hourly_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |ORDER BY hour_num ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_value,
+        |CASE WHEN hourly_value IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS was_missing
+        |FROM j ORDER BY event_type, hour_num"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
-    rollingDailyCounts)
+    rollingDailyCounts, gapFillForward)
 }
