@@ -412,8 +412,37 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Hot-key split join (substrate.SkewOps.hotKeySplitJoin): the declared
+    * hot customer keys join via broadcast, the cold rest via shuffle, and
+    * the union must equal a plain join — which is exactly what the oracle
+    * runs. Output: per-mktsegment order counts split by hot/cold path.
+    */
+  val hotkeySplitJoin = Check("hotkey_split_join",
+    (spark, dir) => {
+      val hotKeys: Seq[Any] = (1L to 10L)
+      val orders = table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val cust = table(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.substrate.SkewOps.hotKeySplitJoin(orders, cust, "o_custkey", hotKeys)
+        .groupBy(col("c_mktsegment"),
+          col("o_custkey").isin(hotKeys: _*).cast("int").as("is_hot"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .select(col("c_mktsegment"), col("is_hot").cast("long").as("is_hot"),
+          col("n_orders"))
+        .orderBy("c_mktsegment", "is_hot")
+    },
+    Some(
+      """SELECT c_mktsegment,
+        |CAST(CASE WHEN o_custkey BETWEEN 1 AND 10 THEN 1 ELSE 0 END AS BIGINT) AS is_hot,
+        |CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, is_hot"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
-    skewSaltedAgg)
+    skewSaltedAgg, hotkeySplitJoin)
 }

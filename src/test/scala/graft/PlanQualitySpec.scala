@@ -69,6 +69,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("gap-fill grid join is an equi-join, never a product") {
+    val plan = planOf(Checks.byName("gap_fill_forward").run(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs product in gap-fill plan:\n$plan")
+  }
+
+  test("sessionize windows are partitioned by user, never global") {
+    val plan = planOf(Checks.byName("sessionize").run(spark, sf))
+    assert(plan.contains("Window"), s"no window in sessionize plan:\n$plan")
+    // a windowspecdefinition with an empty partition clause would move the
+    // whole corpus to one partition
+    assert(!plan.contains("windowspecdefinition(t"),
+      s"unpartitioned window in sessionize plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("hot-key split join: hot side broadcasts, cold side shuffles") {
+    val plan = planOf(Checks.byName("hotkey_split_join").run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot path not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
