@@ -271,23 +271,63 @@ object TextTier {
     * quality formula is written in identical operation order on both
     * engines → bit-identical doubles.
     */
+  /** The quality formula as DuckDB CTEs ending in
+    * `scored (doc_id, n_tokens, n_subtokens, stopword_ratio, punct_ratio,
+    * quality)` — the SQL mirror of qualityScored, shared by text_stats
+    * and quality_quartiles.
+    */
+  private def qualitySqlCtes: String = {
+    val enList = EnStop.map(s => s"'$s'").mkString(", ")
+    s"""raw AS (SELECT doc_id,
+       |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |CAST(len(regexp_extract_all(text, '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
+       |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($enList))) AS BIGINT) AS sw_hits,
+       |CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars,
+       |CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents),
+       |r2 AS (SELECT doc_id, n_tokens, n_subtokens,
+       |CAST(sw_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       |CAST(punct_chars AS DOUBLE) / n_chars_obs AS punct_ratio FROM raw),
+       |scored AS (SELECT doc_id, n_tokens, n_subtokens, stopword_ratio, punct_ratio,
+       |least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stopword_ratio) AS quality
+       |FROM r2)""".stripMargin.replace("\n", " ")
+  }
+
   val textStats = Check("text_stats",
     (spark, dir) => qualityScored(docs(spark, dir)).orderBy("doc_id"),
-    Some {
-      val enList = EnStop.map(s => s"'$s'").mkString(", ")
-      s"""WITH raw AS (SELECT doc_id,
-         |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         |CAST(len(regexp_extract_all(text, '$SubtokenPattern')) AS BIGINT) AS n_subtokens,
-         |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($enList))) AS BIGINT) AS sw_hits,
-         |CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars,
-         |CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents),
-         |r2 AS (SELECT doc_id, n_tokens, n_subtokens,
-         |CAST(sw_hits AS DOUBLE) / n_tokens AS stopword_ratio,
-         |CAST(punct_chars AS DOUBLE) / n_chars_obs AS punct_ratio FROM raw)
-         |SELECT doc_id, n_tokens, n_subtokens, stopword_ratio, punct_ratio,
-         |least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stopword_ratio) AS quality
-         |FROM r2 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    Some(s"WITH $qualitySqlCtes SELECT doc_id, n_tokens, n_subtokens, " +
+      "stopword_ratio, punct_ratio, quality FROM scored ORDER BY doc_id"),
+    isScore = false)
+
+  /** Quality-quartile binning per source (window `ntile` idiom): rank
+    * documents by the shared quality score within each source, split into
+    * quartiles, report per-bin counts and token mass — the corpus-
+    * curation view behind "keep the top-quality half of each source".
+    * Total order (quality, doc_id) makes ntile deterministic; quality
+    * doubles are bit-identical cross-engine (see text_stats).
+    */
+  val qualityQuartiles = Check("quality_quartiles",
+    (spark, dir) => {
+      val scored = qualityScored(docs(spark, dir))
+        .select("doc_id", "quality", "n_tokens")
+      val src = docs(spark, dir).select(col("doc_id"), col("source"))
+      val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+      scored.join(src, Seq("doc_id"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("source", "quartile")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+        .orderBy("source", "quartile")
     },
+    Some(s"WITH $qualitySqlCtes, " +
+      """withsrc AS (SELECT s.doc_id, d.source, s.quality, s.n_tokens
+        |FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+        |nt AS (SELECT source, n_tokens,
+        |ntile(4) OVER (PARTITION BY source ORDER BY quality, doc_id) AS quartile
+        |FROM withsrc)
+        |SELECT source, CAST(quartile AS BIGINT) AS quartile,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM nt GROUP BY 1, 2 ORDER BY source, quartile"""
+        .stripMargin.replace("\n", " ")),
     isScore = false)
 
   /** Document fingerprint: minimum md5 over the trigram shingle set (a
@@ -401,5 +441,5 @@ object TextTier {
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupSimhashPortable, neardupCosineTopk, langId, textStats,
-    docFingerprint, chunkDocuments, corpusPrepPipeline)
+    qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }
