@@ -441,8 +441,47 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Exact discrete percentiles (p50/p95/p99) of event values per type —
+    * rank selection (`row_number` at ceil(p·n)) rather than interpolating
+    * percentile functions, so the result is an ELEMENT of the data:
+    * integer-exact and engine-portable (percentile_approx and interpolated
+    * quantiles are not). One window pass; targets exploded per row so a
+    * small group can satisfy several percentiles with the same element,
+    * identically in both engines.
+    */
+  val valuePercentiles = Check("value_percentiles",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast("long").as("value_i"),
+          col("event_id"))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value_i", "event_id")
+      val ranked = ev.join(broadcast(counts), Seq("event_type"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("t", explode(array(Seq(50, 95, 99).map(p =>
+          struct(lit(p.toLong).as("p"),
+            ceil(col("n") * lit(p / 100.0)).cast("long").as("target"))): _*)))
+      ranked.filter(col("rn") === col("t.target"))
+        .select(col("event_type"), col("t.p").as("p"), col("value_i"))
+        .orderBy("event_type", "p")
+    },
+    Some(
+      """WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS value_i, event_id FROM events),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, value_i,
+        |CAST(row_number() OVER (PARTITION BY e.event_type ORDER BY value_i, event_id) AS BIGINT) AS rn, n.n
+        |FROM e JOIN n ON n.event_type = e.event_type)
+        |SELECT event_type, p, value_i FROM (
+        |SELECT event_type, CAST(50 AS BIGINT) AS p, value_i FROM r WHERE rn = CAST(ceil(0.5::DOUBLE * n) AS BIGINT)
+        |UNION ALL SELECT event_type, 95, value_i FROM r WHERE rn = CAST(ceil(0.95::DOUBLE * n) AS BIGINT)
+        |UNION ALL SELECT event_type, 99, value_i FROM r WHERE rn = CAST(ceil(0.99::DOUBLE * n) AS BIGINT))
+        |ORDER BY event_type, p"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
-    skewSaltedAgg, hotkeySplitJoin)
+    skewSaltedAgg, hotkeySplitJoin, valuePercentiles)
 }
