@@ -309,6 +309,46 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Per-vector int8 affine quantization — the 4× storage reduction step
+    * an ANN index applies before sharding at 100 TB (min/max scale per
+    * vector, codes = floor((x−mn)/(mx−mn)·255)). Map-side only: every
+    * output is a per-row expression over the embedding array; no shuffle
+    * except the final order. `floor` on identically-ordered double
+    * arithmetic is engine-exact, so the code checksums are oracled
+    * bit-for-bit.
+    */
+  val embeddingQuantizeInt8 = Check("embedding_quantize_int8",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+      val q = when(col("mx") === col("mn"),
+        transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"), x =>
+          floor((x - col("mn")) / (col("mx") - col("mn")) * lit(255.0))
+            .cast("long")))
+      e.withColumn("q", q)
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          size(filter(col("q"), _ === 0L)).cast("long").as("n_zero"),
+          size(filter(col("q"), _ === 255L)).cast("long").as("n_full"))
+        .orderBy("vec_id")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |qq AS (SELECT vec_id,
+        |CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |ELSE list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255.0) AS BIGINT))
+        |END AS q FROM b)
+        |SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |CAST(len(list_filter(q, e -> e = 0)) AS BIGINT) AS n_zero,
+        |CAST(len(list_filter(q, e -> e = 255)) AS BIGINT) AS n_full
+        |FROM qq ORDER BY vec_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
-    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, dedupClusters)
+    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, dedupClusters,
+    embeddingQuantizeInt8)
 }

@@ -43,4 +43,28 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("hive-partitioned layout prunes non-matching partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val docs = graft.checks.CheckDsl.table(spark, sf, "documents")
+        .select("doc_id", "source", "text")
+      graft.sources.Io.writeParquet(docs, dir, partitionBy = Seq("source"))
+      val one = docs.select("source").distinct().limit(1)
+        .collect().head.getString(0)
+      val q = graft.sources.Io.readParquet(spark, dir)
+        .filter(col("source") === one).select("doc_id")
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the source predicate must land in PartitionFilters (pruned at
+      // planning), NOT as a post-scan data filter over all partitions
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+        .getOrElse(fail(s"no PartitionFilters in:\n$plan"))
+      assert(pf.contains("source"), s"partition filter not pushed: $pf")
+      assert(q.count() == docs.filter(col("source") === one).count())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
