@@ -336,7 +336,83 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Train/test contamination — the eval-integrity gate every LM data
+    * pipeline needs: fraction of TEST documents whose content fingerprint
+    * (min-md5 trigram MinHash, doc_fingerprint's expression) also appears
+    * in TRAIN under the deterministic split. Exact-duplicate documents
+    * that straddle the hash split are contamination; near-dup extension =
+    * run the same semi-join on LSH cluster labels. One fingerprint scan +
+    * one distinct + one semi join — no all-pairs work at any scale.
+    */
+  val splitContamination = Check("split_contamination",
+    (spark, dir) => {
+      val fp = coalesce(
+        array_min(transform(wordTrigrams(col("text")),
+          s => md5(s.cast("binary")))),
+        md5(normText(col("text")).cast("binary")))
+      val bucket = mix(col("doc_id")) % 100
+      val d = docs(spark, dir).select(col("doc_id"), fp.as("fingerprint"),
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test").as("split"))
+      val train = d.filter(col("split") === "train")
+        .select("fingerprint").distinct()
+      val test = d.filter(col("split") === "test")
+      val contaminated = test.join(train, Seq("fingerprint"), "left_semi")
+      cnt(test).toDF("n_test").crossJoin(cnt(contaminated).toDF("n_contaminated"))
+        .select(col("n_test").cast("long"), col("n_contaminated").cast("long"),
+          (col("n_contaminated").cast("double") / col("n_test")).as("rate"))
+    },
+    Some(
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM documents),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |fpt AS (SELECT doc_id, MIN(md5(sh)) AS f FROM tri GROUP BY doc_id),
+         |d AS (SELECT dd.doc_id,
+         |COALESCE(fpt.f, md5(lower(trim(regexp_replace(dd.text, '\\s+', ' ', 'g'))))) AS fingerprint,
+         |CASE WHEN ((dd.doc_id * 2654435761 + 40503) % 2147483647) % 100 < 80 THEN 'train'
+         |WHEN ((dd.doc_id * 2654435761 + 40503) % 2147483647) % 100 < 90 THEN 'validation'
+         |ELSE 'test' END AS split
+         |FROM documents dd LEFT JOIN fpt ON fpt.doc_id = dd.doc_id),
+         |tr AS (SELECT DISTINCT fingerprint FROM d WHERE split = 'train'),
+         |te AS (SELECT fingerprint FROM d WHERE split = 'test')
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         |CAST(SUM(CASE WHEN tr.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |CAST(SUM(CASE WHEN tr.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+         |FROM te LEFT JOIN tr ON tr.fingerprint = te.fingerprint"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Corpus n-gram statistics: top-20 word trigrams by DOCUMENT frequency
+    * (distinct-per-doc shingles → one agg on the shingle key). The
+    * global top-k is `orderBy.limit(k)` — per-partition top-k then a
+    * 20-row merge on the driver side of the exchange, never a global
+    * window sort.
+    */
+  val ngramDocFreq = Check("ngram_doc_freq",
+    (spark, dir) => {
+      val dfreq = docs(spark, dir)
+        .select(explode(wordTrigrams(col("text"))).as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).cast("long").as("doc_freq"))
+      val top = dfreq.orderBy(col("doc_freq").desc, col("trigram").asc).limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("doc_freq").desc, col("trigram").asc)).cast("long"))
+        .select("rank", "trigram", "doc_freq")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |dfreq AS (SELECT sh AS trigram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tri GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, trigram) AS BIGINT) AS rank,
+        |trigram, doc_freq FROM dfreq ORDER BY doc_freq DESC, trigram LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
-    rollingDailyCounts, gapFillForward)
+    rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq)
 }
