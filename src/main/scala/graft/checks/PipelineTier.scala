@@ -412,7 +412,51 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Fuzzy string matching (edit-distance-1 entity resolution) via a
+    * DELETION-NEIGHBORHOOD equi-join — never an all-pairs edit-distance
+    * scan: each base name explodes into its |name| one-char-deletion
+    * variants (bounded fan-out, like RangeJoin's binning) and a probe
+    * with one deleted character matches on plain string equality. Probes
+    * are planted deterministically (key-derived typo position). Output:
+    * matches-per-probe histogram (zero-padded ids make some variants
+    * collide across many bases — kept, both engines agree exactly).
+    */
+  val fuzzyMatchDist = Check("fuzzy_match_dist",
+    (spark, dir) => {
+      val base = table(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      val probes = base.filter(col("k") % 20 === 0)
+        .select((col("k") + 1000000L).as("pk"),
+          expr("concat(substr(name, 1, cast(k % length(name) as int)), " +
+            "substr(name, cast(k % length(name) as int) + 2, length(name)))")
+            .as("pname"))
+      val vars = base.select(col("k"), explode(expr(
+        "transform(sequence(1, length(name)), " +
+          "i -> concat(substr(name, 1, i - 1), substr(name, i + 1, length(name))))"))
+        .as("v"))
+      probes.join(vars, col("v") === col("pname"), "left")
+        .groupBy("pk").agg(count_distinct(col("k")).as("n_matches"))
+        .groupBy("n_matches").agg(count(lit(1)).cast("long").as("n_probes"))
+        .orderBy("n_matches")
+    },
+    Some(
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+        |probes AS (SELECT k + 1000000 AS pk,
+        |substr(name, 1, CAST(k % length(name) AS INT)) ||
+        |substr(name, CAST(k % length(name) AS INT) + 2, length(name)) AS pname
+        |FROM base WHERE k % 20 = 0),
+        |vars AS (SELECT k, unnest(list_transform(range(1, length(name) + 1),
+        |i -> substr(name, 1, CAST(i - 1 AS INT)) || substr(name, CAST(i + 1 AS INT), length(name)))) AS v
+        |FROM base),
+        |m AS (SELECT p.pk, CAST(COUNT(DISTINCT v.k) AS BIGINT) AS n_matches
+        |FROM probes p LEFT JOIN vars v ON v.v = p.pname GROUP BY 1)
+        |SELECT n_matches, CAST(COUNT(*) AS BIGINT) AS n_probes
+        |FROM m GROUP BY 1 ORDER BY n_matches"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
-    rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq)
+    rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
+    fuzzyMatchDist)
 }
