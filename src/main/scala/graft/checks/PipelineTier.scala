@@ -455,8 +455,34 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Concurrently-executing pipeline-run pairs — the interval-OVERLAP
+    * variant of the range join (substrate.RangeJoin.intervalOverlap,
+    * duplicate-free canonical-bucket emission), self-joined over the run
+    * catalog. Oracle = plain theta join (fine on fixture scale; the
+    * binned plan is the point at data scale).
+    */
+  val runsOverlap = Check("runs_overlap",
+    (spark, dir) => {
+      val runs = graft.catalog.Fixtures.pipelineRuns.df(spark)
+      val a = runs.select(col("run_id").as("run_a"),
+        col("start_ts").as("sa"), col("end_ts").as("ea"))
+      val b = runs.select(col("run_id").as("run_b"),
+        col("start_ts").as("sb"), col("end_ts").as("eb"))
+      graft.substrate.RangeJoin.intervalOverlap(a, "sa", "ea", b, "sb", "eb")
+        .filter(col("run_a") < col("run_b"))
+        .select("run_a", "run_b").orderBy("run_a", "run_b")
+    },
+    Some(graft.catalog.Fixture.oracle(
+      Seq(graft.catalog.Fixtures.pipelineRuns),
+      """SELECT a.run_id AS run_a, b.run_id AS run_b
+        |FROM pipeline_runs a JOIN pipeline_runs b
+        |ON a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+        |AND a.run_id < b.run_id ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " "))),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
-    fuzzyMatchDist)
+    fuzzyMatchDist, runsOverlap)
 }

@@ -38,4 +38,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join — the valid-time primitive
+    * (`factors/requirements.yaml:21-23` "valid-time ranges"): left rows
+    * [lStart, lEnd] × right rows [rStart, rEnd] where the closed
+    * intervals intersect. Same binning; each pair could share MANY
+    * buckets, so instead of a post-join dedup the pair is emitted only in
+    * its canonical bucket — the later of the two start buckets (which
+    * both intervals necessarily cover when they overlap): duplicate-free
+    * by construction, no distinct shuffle.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / lit(bucketSeconds))
+    val l = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") ===
+        greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
+      .drop("__bucket")
+  }
 }

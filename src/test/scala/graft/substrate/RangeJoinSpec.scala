@@ -44,6 +44,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.length == out.distinct.length)
   }
 
+  test("interval overlap: touching, containing, disjoint, multi-bucket") {
+    val lefts = Seq(
+      ("L1", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      ("L2", ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00"))
+    ).toDF("lname", "ls", "le")
+    val rights = Seq(
+      ("R1", ts("2024-01-01 11:00:00"), ts("2024-01-01 15:00:00")), // overlaps L1
+      ("R2", ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // touches L1 end (inclusive)
+      ("R3", ts("2024-01-01 09:00:00"), ts("2024-01-01 18:00:00")), // contains L1
+      ("R4", ts("2024-01-01 22:00:00"), ts("2024-01-01 23:00:00"))  // disjoint
+    ).toDF("rname", "rs", "re")
+    val out = RangeJoin.intervalOverlap(lefts, "ls", "le", rights, "rs", "re")
+      .select("lname", "rname").as[(String, String)].collect()
+    assert(out.toSet == Set(("L1", "R1"), ("L1", "R2"), ("L1", "R3")))
+    // multi-bucket overlaps must appear exactly once (canonical bucket)
+    assert(out.length == out.distinct.length)
+  }
+
   test("plans as an equi-join on the bucket, not a nested loop") {
     // force non-broadcast so the strategy choice is visible
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
