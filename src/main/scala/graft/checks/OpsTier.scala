@@ -33,6 +33,27 @@ object OpsTier {
         |ORDER BY l.entity_id""".stripMargin.replace("\n", " "))),
     isScore = false)
 
+  /** Forward as-of (next observation at-or-after): same union+window
+    * operator with the scan direction flipped; oracle = DuckDB native
+    * ASOF with the inequality reversed — an independent implementation
+    * of the forward semantics.
+    */
+  val asofJoinForward = Check("asof_join_forward",
+    (spark, _) => {
+      val l = labels.df(spark)
+      val r = featureValues.df(spark).select("entity_id", "feature_ts", "value")
+      AsOfJoin.asofLeftForward(l, r, key = "entity_id",
+        leftTs = "label_ts", rightTs = "feature_ts", rightVals = Seq("value"))
+        .orderBy("entity_id")
+    },
+    Some(graft.catalog.Fixture.oracle(Seq(labels, featureValues),
+      """SELECT l.entity_id, l.label_ts, l.label,
+        |f.feature_ts AS asof_feature_ts, f.value
+        |FROM labels l ASOF LEFT JOIN feature_values f
+        |ON l.entity_id = f.entity_id AND f.feature_ts >= l.label_ts
+        |ORDER BY l.entity_id""".stripMargin.replace("\n", " "))),
+    isScore = false)
+
   /** Constraint VALIDATION (the data-probing half of check #7): per
     * declared constraint, the violation rate measured against the actual
     * table. Both the Spark plan and the oracle SQL are generated from the
@@ -480,7 +501,7 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(asofJoin, constraintValidation, eventsPropsStats,
+  val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles)

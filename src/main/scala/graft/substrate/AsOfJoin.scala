@@ -30,7 +30,22 @@ object AsOfJoin {
     * @return left columns + matched `rightTs` + payload (nulls if none)
     */
   def asofLeft(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `right_ts >= left_ts` (next-observation join — e.g. "first pipeline
+    * run after each schema change"). Same union+window shape, window
+    * ordered descending; identical one-shuffle/no-explosion cost.
+    * Inclusive at equality, like the backward variant.
+    */
+  def asofLeftForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -64,7 +79,12 @@ object AsOfJoin {
     // null). Per-column last(ignoreNulls) would mix columns from DIFFERENT
     // right rows and resurrect stale non-null values over a matched row's
     // null payload — diverging from ASOF JOIN row semantics.
-    val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__isl").asc)
+    // backward: scan time ascending, carry the last right row seen (the
+    // latest <= left_ts). forward: scan time DESCENDING, carry the last
+    // right row seen (the earliest >= left_ts). In both, a right row at
+    // exactly left_ts sorts before the left row (__isl asc) — inclusive.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(key).orderBy(tsOrder, col("__isl").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // payload fields prefixed v_ inside the struct: a right column named
     // "ts" would otherwise collide with the match-timestamp field

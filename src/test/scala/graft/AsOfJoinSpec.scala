@@ -80,4 +80,22 @@ class AsOfJoinSpec extends SparkSpec {
     val again = run()
     assert(again(4L) == out(4L))
   }
+
+  test("forward as-of: earliest at-or-after; past rows invisible") {
+    val out = AsOfJoin.asofLeftForward(left, right, "entity_id",
+      "label_ts", "feature_ts", Seq("value"))
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((Option(r.getAs[Timestamp]("asof_feature_ts")),
+          Option(r.getAs[Any]("value"))))).toMap
+    // entity 1: 01-15 row matches inclusively (not the 01-20 future one)
+    assert(out(1L)._1.contains(ts("2024-01-15 00:00:00")) &&
+      out(1L)._2.contains(15.0))
+    // entity 2: only-future key now MATCHES its 01-16 row
+    assert(out(2L)._1.contains(ts("2024-01-16 00:00:00")) &&
+      out(2L)._2.contains(99.0))
+    // entity 3: still no right rows -> nulls
+    assert(out(3L)._1.isEmpty && out(3L)._2.isEmpty)
+    // entity 4: both right rows are in the past -> nulls (direction flip)
+    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty)
+  }
 }
