@@ -481,8 +481,76 @@ object PipelineTier {
         .stripMargin.replace("\n", " "))),
     isScore = false)
 
+  /** Corpus mixing: downsample each source to a per-source target weight
+    * (basis points) with the deterministic hash — the "data mixing"
+    * step that rebalances sources before training. Weights here derive
+    * from the source ordinal (a stand-in for a declared mixing catalog;
+    * the join shape with a real catalog is an identical broadcast).
+    * Per-row keep decision, one rollup shuffle — reruns and appends keep
+    * every prior decision.
+    */
+  val corpusMix = Check("corpus_mix",
+    (spark, dir) => {
+      val ord = expr("cast(substring(source, 4) as int)")
+      val wBps = (lit(500) + (ord % 20) * lit(500)).cast("long")
+      docs(spark, dir)
+        .select(col("source"), wBps.as("target_bps"),
+          (mix(col("doc_id")) % 10000 < wBps).cast("long").as("kept"))
+        .groupBy("source", "target_bps")
+        .agg(count(lit(1)).cast("long").as("population"),
+          sum("kept").cast("long").as("sampled"))
+        .select(col("source"), col("target_bps"), col("population"),
+          col("sampled"),
+          (col("sampled").cast("double") / col("population")).as("achieved"))
+        .orderBy("source")
+    },
+    Some(
+      s"""SELECT source, target_bps, population, sampled,
+         |CAST(sampled AS DOUBLE) / population AS achieved FROM (
+         |SELECT source,
+         |CAST(500 + (CAST(substr(source, 4) AS INT) % 20) * 500 AS BIGINT) AS target_bps,
+         |CAST(COUNT(*) AS BIGINT) AS population,
+         |CAST(SUM(CASE WHEN $MixSql % 10000 <
+         |500 + (CAST(substr(source, 4) AS INT) % 20) * 500
+         |THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+         |FROM documents GROUP BY 1, 2) ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Sliding-window chunking (RAG-standard 64-token window, 32-token
+    * stride) — the overlapping variant of chunk_documents: per-row
+    * bounded explode, chunk content fingerprinted (md5) so the oracle
+    * compares full content without shipping big strings.
+    */
+  val chunkSliding = Check("chunk_sliding",
+    (spark, dir) => {
+      val t = docs(spark, dir).select(col("doc_id"),
+        graft.substrate.TextOps.tokens(col("text")).as("toks"))
+      val nChunks = (lit(1) +
+        ceil(greatest(size(col("toks")) - 64, lit(0)) / lit(32.0)).cast("int"))
+      t.withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("chunk_id") * 32 + 1, lit(64)))
+            .cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_id") * 32 + 1, lit(64)))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |1 + CAST(ceil(greatest(len(toks) - 64, 0) / 32.0) AS INT) AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64)) AS BIGINT) AS chunk_tokens,
+        |md5(array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
-    fuzzyMatchDist, runsOverlap)
+    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding)
 }
