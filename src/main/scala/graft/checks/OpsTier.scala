@@ -501,8 +501,38 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Data-level referential integrity: FK orphans in both directions via
+    * left_anti joins (lineitem rows whose order is missing; orders with
+    * no lineitem). The DATA-probing complement of the declaration-level
+    * relationship checks — zero counts are the assertion, not a vacuous
+    * result. Two anti joins, each one shuffle (or broadcast at dim size).
+    */
+  val orphanCheck = Check("orphan_check",
+    (spark, dir) => {
+      val li = table(spark, dir, "lineitem").select(col("l_orderkey"))
+      val o = table(spark, dir, "orders").select(col("o_orderkey"))
+      val liOrphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val childless = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      cnt(li).toDF("n_lineitem")
+        .crossJoin(cnt(o).toDF("n_orders"))
+        .crossJoin(cnt(liOrphans).toDF("n_lineitem_orphans"))
+        .crossJoin(cnt(childless).toDF("n_childless_orders"))
+        .select(col("n_lineitem").cast("long"), col("n_orders").cast("long"),
+          col("n_lineitem_orphans").cast("long"),
+          col("n_childless_orders").cast("long"))
+    },
+    Some(
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+        |(SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+        |(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_lineitem_orphans,
+        |(SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS n_childless_orders"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
-    skewSaltedAgg, hotkeySplitJoin, valuePercentiles)
+    skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck)
 }
