@@ -124,4 +124,28 @@ object FreshnessMonitor {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"))
+
+  /** Stream-STREAM interval join: attribute each conversion to the
+    * trigger event by the same user within the attribution window
+    * (trigger.ts <= conversion.ts <= trigger.ts + window). Watermarks on
+    * BOTH sides bound the join state — Spark evicts buffered rows once
+    * the other side's watermark passes the interval, so state is
+    * O(events in window), not unbounded (Factor 3's "streams" mechanism,
+    * `/root/reference/factors/3-current.md:12-15`, applied to the
+    * correlation the reference's Factor 4 traceability presupposes).
+    *
+    * @param triggers    streaming (user_id, ts) trigger events
+    * @param conversions streaming (user_id, ts) conversion events
+    */
+  def attributionJoin(triggers: DataFrame, conversions: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "10 minutes"): DataFrame = {
+    val t = triggers.withWatermark("ts", watermark).alias("t")
+    val c = conversions.withWatermark("ts", watermark).alias("c")
+    t.join(c, expr(
+      s"""t.user_id = c.user_id AND
+         |c.ts >= t.ts AND
+         |c.ts <= t.ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("t.user_id").as("user_id"),
+        col("t.ts").as("trigger_ts"), col("c.ts").as("conversion_ts"))
+  }
 }

@@ -157,4 +157,33 @@ class StreamingSpec extends SparkSpec {
       .sorted.toSeq
     assert(sessions == Seq((7L, 1L), (7L, 2L), (8L, 1L)))
   }
+
+  test("stream-stream attribution join matches within-window conversions only") {
+    implicit val sc = spark.sqlContext
+    val trig = MemoryStream[(Long, Timestamp)]
+    val conv = MemoryStream[(Long, Timestamp)]
+    val joined = FreshnessMonitor.attributionJoin(
+      trig.toDF().toDF("user_id", "ts"),
+      conv.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      trig.addData((1L, ts("2024-01-01 10:00:00")), // converts at 10:05 ✓
+        (2L, ts("2024-01-01 10:00:00")),            // converts at 10:20 ✗ (>10m)
+        (3L, ts("2024-01-01 10:00:00")))            // never converts
+      conv.addData((1L, ts("2024-01-01 10:05:00")),
+        (2L, ts("2024-01-01 10:20:00")),
+        (4L, ts("2024-01-01 10:05:00")))            // conversion w/o trigger
+      q.processAllAvailable()
+      // push both watermarks forward so buffered state flushes (the flush
+      // rows themselves are 60 min apart -> outside the window, no match)
+      trig.addData((99L, ts("2024-01-01 12:00:00")))
+      conv.addData((99L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("user_id", "conversion_ts")
+        .as[(Long, Timestamp)].collect().toSet
+      assert(rows == Set((1L, ts("2024-01-01 10:05:00"))))
+    } finally q.stop()
+  }
 }
