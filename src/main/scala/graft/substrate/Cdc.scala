@@ -39,6 +39,9 @@ object Cdc {
   def applyChangeLog(base: DataFrame, changes: DataFrame, keys: Seq[String],
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     val dataCols = base.columns.toSeq
+    require(!dataCols.contains(seqCol) && !dataCols.contains(opCol),
+      s"base must not already have a '$seqCol'/'$opCol' column — pass " +
+        "different seqCol/opCol names")
     require(dataCols.forall(changes.columns.contains),
       s"changes must carry all base columns; missing ${
         dataCols.filterNot(changes.columns.contains).mkString(",")}")
