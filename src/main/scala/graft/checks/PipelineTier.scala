@@ -222,7 +222,10 @@ object PipelineTier {
     * math on INTEGER micros (`unix_micros` / DuckDB `epoch_us`) with
     * event_id tie-breaks, so ordering and gap comparisons are
     * bit-identical cross-engine (events.ts is nanos in the file; both
-    * engines truncate to the same µs).
+    * engines truncate to the same µs). A gap of EXACTLY the threshold
+    * starts a new session (>=) — the same boundary rule as Structured
+    * Streaming's session_window, so the batch and streaming
+    * sessionizers agree row-for-row (see PipelineTierSpec parity test).
     *
     * Scale shape: one per-user window sort (sessionization's inherent
     * shuffle), then per-(user, session) and per-size aggregations. Output
@@ -235,7 +238,7 @@ object PipelineTier {
         .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"))
       val flagged = ev.withColumn("new_s",
         when(lag(col("tus"), 1).over(w).isNull ||
-          col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1L)
+          col("tus") - lag(col("tus"), 1).over(w) >= 1800L * 1000000L, 1L)
           .otherwise(0L))
       val sid = flagged.withColumn("session_id",
         sum(col("new_s")).over(
@@ -249,7 +252,7 @@ object PipelineTier {
     Some(
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
-        |OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
         |THEN 1 ELSE 0 END AS new_s FROM events),
         |sid AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id
         |ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s),

@@ -83,4 +83,18 @@ class PipelineTierSpec extends SparkSpec {
     }
     out.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
   }
+
+  test("batch sessionize agrees with streaming session_window on real events") {
+    // same gap rule (new session at gap >= 30 min) → the session-size
+    // histograms must be identical on the same corpus
+    val batchHist = graft.checks.Checks.byName("sessionize").run(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ev = graft.checks.CheckDsl.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+    val streamOpHist = graft.streaming.FreshnessMonitor.sessionize(ev)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(batchHist == streamOpHist,
+      s"batch $batchHist != session_window $streamOpHist")
+  }
 }
