@@ -531,8 +531,93 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** IQR-rule outlier counts per event type: quartiles by exact rank
+    * selection (same discipline as value_percentiles — elements of the
+    * data, engine-exact), fences at q1/q3 ∓ 1.5·IQR (exact .5-multiples
+    * of integers), then one fused pass counting fence violations. The
+    * numeric-distribution data-quality probe behind constraint checking.
+    */
+  val iqrOutliers = Check("iqr_outliers",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast("long").as("value_i"),
+          col("event_id"))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value_i", "event_id")
+      val ranked = ev.join(broadcast(counts), Seq("event_type"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val q = ranked
+        .filter(col("rn") === ceil(col("n") * lit(0.25)).cast("long") ||
+          col("rn") === ceil(col("n") * lit(0.75)).cast("long"))
+        .groupBy("event_type")
+        .agg(min("value_i").as("q1"), max("value_i").as("q3"))
+        .select(col("event_type"), col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(first("q1").as("q1"), first("q3").as("q3"),
+          sum(when(col("value_i") < col("lo") || col("value_i") > col("hi"), 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS value_i, event_id FROM events),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, value_i,
+        |CAST(row_number() OVER (PARTITION BY e.event_type ORDER BY value_i, event_id) AS BIGINT) AS rn, n.n
+        |FROM e JOIN n ON n.event_type = e.event_type),
+        |q AS (SELECT event_type, MIN(value_i) AS q1, MAX(value_i) AS q3,
+        |MIN(value_i) - 1.5::DOUBLE * (MAX(value_i) - MIN(value_i)) AS lo,
+        |MAX(value_i) + 1.5::DOUBLE * (MAX(value_i) - MIN(value_i)) AS hi
+        |FROM r WHERE rn = CAST(ceil(0.25::DOUBLE * n) AS BIGINT)
+        |OR rn = CAST(ceil(0.75::DOUBLE * n) AS BIGINT) GROUP BY 1)
+        |SELECT e.event_type, q.q1, q.q3,
+        |CAST(SUM(CASE WHEN e.value_i < q.lo OR e.value_i > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN q ON q.event_type = e.event_type
+        |GROUP BY 1, 2, 3 ORDER BY e.event_type"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Multi-way star join over the so-far-unexercised part/supplier
+    * dimensions: lineitem ⨝ part ⨝ supplier, revenue rolled up by part
+    * type prefix × supplier nation. Both dimensions are broadcast-size
+    * relative to the fact at any SF ratio — the plan must pick broadcast
+    * joins (fact never shuffles on a dimension key).
+    */
+  val partSupplierRollup = Check("part_supplier_rollup",
+    (spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long").as("price_i"),
+          col("l_quantity").cast("long").as("qty"))
+      val part = table(spark, dir, "part")
+        .select(col("p_partkey"), split(col("p_type"), " ").getItem(0).as("type_prefix"))
+      val supp = table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("type_prefix", "s_nationkey")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum("qty").cast("long").as("sum_qty"),
+          sum("price_i").cast("long").as("sum_price_i"))
+        .orderBy("type_prefix", "s_nationkey")
+    },
+    Some(
+      """SELECT string_split(p.p_type, ' ')[1] AS type_prefix, s.s_nationkey,
+        |CAST(COUNT(*) AS BIGINT) AS n_items,
+        |CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |CAST(SUM(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY 1, 2 ORDER BY type_prefix, s_nationkey"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
-    skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck)
+    skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
+    iqrOutliers, partSupplierRollup)
 }

@@ -93,6 +93,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("star join broadcasts both dimensions; the fact never shuffles") {
+    val plan = planOf(Checks.byName("part_supplier_rollup").run(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dimensions not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact shuffled for a dimension join:\n$plan")
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
