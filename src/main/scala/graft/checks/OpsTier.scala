@@ -580,6 +580,36 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Long→wide pivot: daily event counts, one column per event type
+    * (explicit value list — at scale you always enumerate pivot values;
+    * inference costs an extra distinct pass and unbounded width). Oracle
+    * mirrors with conditional aggregation, which is exactly what the
+    * pivot plans to.
+    */
+  val eventsPivotDaily = Check("events_pivot_daily",
+    (spark, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      table(spark, dir, "events")
+        .select(floor(expr("unix_micros(ts)") / lit(86400000000L))
+          .cast("long").as("day_num"), col("event_type"))
+        .groupBy("day_num")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day_num") +:
+          types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy("day_num")
+    },
+    Some(
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day_num"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Multi-way star join over the so-far-unexercised part/supplier
     * dimensions: lineitem ⨝ part ⨝ supplier, revenue rolled up by part
     * type prefix × supplier nation. Both dimensions are broadcast-size
@@ -619,5 +649,5 @@ object OpsTier {
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
-    iqrOutliers, partSupplierRollup)
+    iqrOutliers, partSupplierRollup, eventsPivotDaily)
 }
