@@ -552,8 +552,35 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Per-user chronological event sequences — the sequence-construction
+    * step for sequential/recommendation training data: collect each
+    * user's event types in (time, event_id) order, fingerprint the
+    * ordered sequence (md5) so the oracle checks CONTENT AND ORDER
+    * without shipping long strings. Ordered aggregation is done with
+    * array_sort over collected structs (deterministic total order), not
+    * a window + collect (one shuffle, map-side partial collect).
+    */
+  val userEventSequences = Check("user_event_sequences",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          col("event_id"), col("event_type"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(tus, event_id, event_type))), x -> x.event_type)"))
+            .cast("binary")).as("sequence_md5"))
+        .orderBy("user_id")
+    },
+    Some(
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |md5(string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)) AS sequence_md5
+        |FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
-    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding)
+    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences)
 }
