@@ -50,6 +50,20 @@ class CheckInvariantsSpec extends SparkSpec {
     assert(missing.isEmpty, s"unimplemented requirements: $missing")
   }
 
+  test("registry hygiene: unique names, well-formed oracles") {
+    val names = Checks.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct)}")
+    // an oracle that is present but blank/unbalanced would silently break
+    // the driver's DuckDB compare for that query
+    Checks.all.flatMap(c => c.oracle.map(c.name -> _)).foreach { case (n, sql) =>
+      assert(sql.trim.nonEmpty && sql.count(_ == '(') == sql.count(_ == ')'),
+        s"malformed oracle for $n")
+      assert(!sql.contains("\n"), s"oracle for $n has literal newlines " +
+        "(breaks the single-line JSON dump readability contract)")
+    }
+  }
+
   test("valueExpr property: hits/pop in [0,1], vacuous -> 1.0 (ScalaCheck)") {
     val gen = for {
       p <- Gen.chooseNum(0L, 1000000L)
