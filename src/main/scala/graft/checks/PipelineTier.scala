@@ -579,8 +579,55 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Within-session event-type co-occurrence: for every unordered type
+    * pair, in how many sessions do both appear (association-mining
+    * support counts). Sessions from the same gap rule as `sessionize`;
+    * the pair join is per-session over the DISTINCT types present
+    * (≤ 5 here), so the self-join fan-out is bounded by type
+    * cardinality², never by session length.
+    */
+  val sessionTypePairs = Check("session_type_pairs",
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          col("event_id"), col("event_type"))
+      val flagged = ev.withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) >= 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      val types = flagged.withColumn("session_id",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "session_id", "event_type").distinct()
+      types.as("x").join(types.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.session_id") === col("y.session_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+        .orderBy("type_a", "type_b")
+    },
+    Some(
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
+        |THEN 1 ELSE 0 END AS new_s FROM events),
+        |sid AS (SELECT user_id, event_type, SUM(new_s) OVER (PARTITION BY user_id
+        |ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |t AS (SELECT DISTINCT user_id, session_id, event_type FROM sid)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM t x JOIN t y ON y.user_id = x.user_id AND y.session_id = x.session_id
+        |AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
-    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences)
+    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
+    sessionTypePairs)
 }
