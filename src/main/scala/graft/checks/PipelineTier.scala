@@ -625,9 +625,51 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Stepwise funnel: users who viewed, then clicked strictly after the
+    * first view, then purchased strictly after that click. Each stage is
+    * an aggregation + broadcastable stage-table join keyed on user — no
+    * window over the raw event stream, so stage N costs one pass over
+    * the (already user-reduced) stage N−1 table. Micros-integer time
+    * math throughout.
+    */
+  val funnelConversion = Check("funnel_conversion",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").as("c")
+        .join(v, Seq("user_id"))
+        .filter(col("tus") > col("t_view"))
+        .groupBy("user_id").agg(min("tus").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").as("p")
+        .join(c, Seq("user_id"))
+        .filter(col("tus") > col("t_click"))
+        .groupBy("user_id").agg(min("tus").as("t_purchase"))
+      cnt(v).toDF("n_viewed")
+        .crossJoin(cnt(c).toDF("n_clicked_after"))
+        .crossJoin(cnt(p).toDF("n_purchased_after"))
+        .select(col("n_viewed").cast("long"),
+          col("n_clicked_after").cast("long"),
+          col("n_purchased_after").cast("long"))
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.tus) AS t_click FROM e JOIN v ON v.user_id = e.user_id
+        |WHERE e.event_type = 'click' AND e.tus > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.tus) AS t_purchase FROM e JOIN c ON c.user_id = e.user_id
+        |WHERE e.event_type = 'purchase' AND e.tus > c.t_click GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+        |(SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_after,
+        |(SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_after"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
-    sessionTypePairs)
+    sessionTypePairs, funnelConversion)
 }
