@@ -667,9 +667,46 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Retention cohorts: users grouped by first-signup week, distinct
+    * active users per week offset since signup. All time math is integer
+    * day/week numbers (`div`); the cohort table is user-grain (small
+    * relative to events) and broadcastable at any realistic ratio.
+    */
+  val retentionCohorts = Check("retention_cohorts",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          floor(expr("unix_micros(ts)") / lit(86400000000L)).cast("long").as("day"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("cohort_day"))
+      val activity = ev.select("user_id", "day").distinct()
+      activity.join(broadcast(cohort), Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .select(expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type,
+        |CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+        |WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT cohort_day // 7 AS cohort_week,
+        |(day - cohort_day) // 7 AS week_offset,
+        |CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM activity a JOIN cohort c ON c.user_id = a.user_id
+        |WHERE day >= cohort_day
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
-    sessionTypePairs, funnelConversion)
+    sessionTypePairs, funnelConversion, retentionCohorts)
 }
