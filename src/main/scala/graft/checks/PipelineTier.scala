@@ -704,9 +704,34 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Exact-k-per-stratum sample: rank documents by the sampling hash
+    * within each source and keep the 5 smallest — a reservoir-free exact-
+    * size sample that is stable under reruns and repartitioning (the
+    * hash is a total order per stratum; doc_id breaks the impossible-in-
+    * practice hash ties deterministically). One window shuffle on the
+    * stratum key.
+    */
+  val exactKSample = Check("exact_k_sample",
+    (spark, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(mix(col("doc_id")).asc, col("doc_id").asc)
+      docs(spark, dir)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
+    },
+    Some(
+      s"""SELECT source, doc_id, rk FROM (
+         |SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+         |ORDER BY $MixSql, doc_id) AS BIGINT) AS rk FROM documents)
+         |WHERE rk <= 5 ORDER BY source, rk"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
-    sessionTypePairs, funnelConversion, retentionCohorts)
+    sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)
 }
