@@ -136,15 +136,20 @@ object FreshnessMonitor {
     *
     * @param triggers    streaming (user_id, ts) trigger events
     * @param conversions streaming (user_id, ts) conversion events
+    * @param leftOuter true → also emit triggers that never converted
+    *        (null conversion_ts), released once the conversion-side
+    *        watermark passes their window — the "abandoned funnel" feed.
     */
   def attributionJoin(triggers: DataFrame, conversions: DataFrame,
-      windowMinutes: Int = 10, watermark: String = "10 minutes"): DataFrame = {
+      windowMinutes: Int = 10, watermark: String = "10 minutes",
+      leftOuter: Boolean = false): DataFrame = {
     val t = triggers.withWatermark("ts", watermark).alias("t")
     val c = conversions.withWatermark("ts", watermark).alias("c")
     t.join(c, expr(
       s"""t.user_id = c.user_id AND
          |c.ts >= t.ts AND
-         |c.ts <= t.ts + interval $windowMinutes minutes""".stripMargin))
+         |c.ts <= t.ts + interval $windowMinutes minutes""".stripMargin),
+      if (leftOuter) "left_outer" else "inner")
       .select(col("t.user_id").as("user_id"),
         col("t.ts").as("trigger_ts"), col("c.ts").as("conversion_ts"))
   }

@@ -186,4 +186,31 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, ts("2024-01-01 10:05:00"))))
     } finally q.stop()
   }
+
+  test("left-outer attribution emits unconverted triggers after the watermark") {
+    implicit val sc = spark.sqlContext
+    val trig = MemoryStream[(Long, Timestamp)]
+    val conv = MemoryStream[(Long, Timestamp)]
+    val joined = FreshnessMonitor.attributionJoin(
+      trig.toDF().toDF("user_id", "ts"),
+      conv.toDF().toDF("user_id", "ts"), leftOuter = true)
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      trig.addData((1L, ts("2024-01-01 10:00:00")),  // converts
+        (3L, ts("2024-01-01 10:00:00")))             // never converts
+      conv.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      trig.addData((99L, ts("2024-01-01 12:00:00")))
+      conv.addData((98L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("user_id", "conversion_ts")
+        .as[(Long, Option[Timestamp])].collect().toSet
+      // user 1 matched; user 3's trigger released with a NULL conversion
+      // once the conversion watermark passed its window
+      assert(rows == Set((1L, Some(ts("2024-01-01 10:05:00"))),
+        (3L, None)))
+    } finally q.stop()
+  }
 }
