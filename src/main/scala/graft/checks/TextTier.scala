@@ -210,11 +210,15 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  /** Embedding-cosine near-dup: global top-k most-similar pairs. Ranks
-    * only (integer output) — boundary margin measured at 3.5e-4 vs 1e-16
-    * cross-engine noise.
+  /** Exact all-pairs global top-k cosine — the GROUND-TRUTH WITNESS for
+    * the scale path (`neardup_cosine_topk` in VectorTier, sign-LSH
+    * candidates + rerank). O(n²) by construction, so it is registered as a
+    * small-sf oracle witness only — at 100 TB you run the LSH top-k; this
+    * entry exists so the driver keeps exact top-k semantics pinned at
+    * verify scale. Ranks only (integer output) — boundary margin measured
+    * at 3.5e-4 vs 1e-16 cross-engine noise.
     */
-  val neardupCosineTopk = Check("neardup_cosine_topk",
+  val neardupCosineAllpairs = Check("neardup_cosine_allpairs",
     (spark, dir) => {
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
@@ -440,6 +444,6 @@ object TextTier {
     isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupSimhashPortable, neardupCosineTopk, langId, textStats,
+    dedupSimhash, dedupSimhashPortable, neardupCosineAllpairs, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -215,7 +215,7 @@ object VectorTier {
 
   /** Embedding near-dup via mean-centered random-hyperplane sign LSH
     * (substrate.CosineSignLsh) — the sub-quadratic alternative to
-    * neardup_cosine_topk's all-pairs scan. The corpus has no natural
+    * neardup_cosine_allpairs' exact all-pairs scan. The corpus has no natural
     * near-dups (max background cosine ≈ 0.51), so the check PLANTS them:
     * every vec_id % 50 == 0 gains a copy at vec_id + 1,000,000 shifted by
     * +0.01 per component (cosine ≈ 0.9968) — both engines build the same
@@ -242,12 +242,12 @@ object VectorTier {
       s" UNION ALL SELECT vec_id + ${c}000000, list_transform(v, x -> x + ${0.01 * c})" +
         " FROM e WHERE vec_id % 50 = 0").mkString
 
-  /** The sign-LSH pair pipeline as DuckDB CTEs, ending in `pairs (a, b)` —
-    * the SQL mirror of CosineSignLsh.nearDupPairs (32 planes, 8-bit bands,
-    * mean-centered via per-plane offsets, rerank cosine ≥ 0.9 on the
-    * original vectors).
+  /** The sign-LSH candidate pipeline as DuckDB CTEs, ending in
+    * `scored (a, b, s)` — the SQL mirror of CosineSignLsh.scoredCandidates
+    * (32 planes, 8-bit bands, mean-centered via per-plane offsets, exact
+    * cosine on the original vectors per candidate pair).
     */
-  private def signLshPairCtes(augSql: String): String =
+  private def signLshScoredCtes(augSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |aug AS ($augSql),
        |ve AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM aug),
@@ -261,10 +261,17 @@ object VectorTier {
        |FROM dots JOIN off ON off.p = dots.p GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
        |JOIN bands y ON y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id),
-       |pairs AS (SELECT a, b FROM cand c JOIN aug va ON va.vec_id = c.a
-       |JOIN aug vb ON vb.vec_id = c.b
-       |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9)"""
+       |scored AS (SELECT a, b, list_cosine_similarity(va.v, vb.v) AS s
+       |FROM cand c JOIN aug va ON va.vec_id = c.a
+       |JOIN aug vb ON vb.vec_id = c.b)"""
       .stripMargin.replace("\n", " ")
+
+  /** scoredCtes + the ≥ 0.9 near-dup filter, ending in `pairs (a, b)` —
+    * the SQL mirror of CosineSignLsh.nearDupPairs.
+    */
+  private def signLshPairCtes(augSql: String): String =
+    signLshScoredCtes(augSql) +
+      ", pairs AS (SELECT a, b FROM scored WHERE s >= 0.9)"
 
   val neardupCosineLsh = Check("neardup_cosine_lsh",
     (spark, dir) => {
@@ -276,6 +283,31 @@ object VectorTier {
     },
     Some(s"WITH ${signLshPairCtes(plantedAugSql(1))} " +
       "SELECT a, b FROM pairs ORDER BY a, b"),
+    isScore = false)
+
+  /** Embedding near-dup GLOBAL TOP-K — the scale path for "show me the k
+    * most-similar pairs in the corpus": sign-LSH candidates + exact cosine
+    * rerank + TakeOrdered top-k, never an all-pairs product (plan-gated in
+    * PlanQualitySpec). Runs on the planted corpus so the ranking
+    * demonstrably surfaces the true near-dups first (planted cosine
+    * ≈ 0.997 vs ≤ 0.6 background): ranks 1..n_planted are exactly the
+    * planted pairs (asserted in DedupSpec), the tail ranks the best
+    * bucket-caught background pairs. Fully oracled — DuckDB mirrors the
+    * band algebra, rerank, and top-k rank. The exact-all-pairs ground
+    * truth lives on as the small-sf witness `neardup_cosine_allpairs`
+    * (TextTier).
+    */
+  val neardupCosineTopk = Check("neardup_cosine_topk",
+    (spark, dir) => {
+      graft.substrate.CosineSignLsh
+        .topKPairs(plantedAug(spark, dir, copies = 1), "vec_id", "v",
+          dim = 64, k = 20)
+        .orderBy("rank")
+    },
+    Some(s"WITH ${signLshScoredCtes(plantedAugSql(1))} " +
+      """SELECT CAST(row_number() OVER (ORDER BY s DESC, a, b) AS BIGINT) AS rank, a, b
+        |FROM scored ORDER BY s DESC, a, b LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
     isScore = false)
 
   /** Near-dup CLUSTERS — pairs are not yet a dedup decision; corpus
@@ -349,6 +381,6 @@ object VectorTier {
     isScore = false)
 
   val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
-    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, dedupClusters,
-    embeddingQuantizeInt8)
+    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, neardupCosineTopk,
+    dedupClusters, embeddingQuantizeInt8)
 }

@@ -78,19 +78,15 @@ object CosineSignLsh {
     }.reduce(_ unionAll _)
   }
 
-  /** Near-dup pairs with exact cosine ≥ threshold, candidates from the
-    * sign-LSH buckets. Eager (localCheckpoint) with caches released before
-    * returning — same caching contract as MinHashLsh.nearDupPairs.
-    *
-    * @param vecs (id, vector) rows; vector = array<double>, dimension `dim`.
-    * @return (a, b, cosine) with a < b.
+  /** LAZY (a, b, cosine) plan over the sign-LSH candidate set: band-key
+    * equi-join for candidates, one exact cosine per candidate pair — the
+    * shared core of [[nearDupPairs]] (threshold filter) and [[topKPairs]]
+    * (global rank). `vecs` must already be cached by the caller. Exposed
+    * for plan-shape tests (no CartesianProduct in this subtree).
     */
-  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int = 32, bandBits: Int = 8, threshold: Double = 0.9,
-      center: Boolean = true): DataFrame = {
-    val weOwnCache = vecs.storageLevel ==
-      org.apache.spark.storage.StorageLevel.NONE
-    val e = if (weOwnCache) vecs.persist() else vecs
+  private[graft] def scoredCandidates(e: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nPlanes: Int, bandBits: Int,
+      center: Boolean): DataFrame = {
     val offsets =
       if (!center) Nil
       else {
@@ -107,7 +103,7 @@ object CosineSignLsh {
     // norms as scalars BEFORE the join; one dot per candidate pair
     val sides = e.select(col(idCol), col(vecCol))
       .withColumn("__n", VectorOps.l2norm(col(vecCol)))
-    val out = candidates
+    candidates
       .join(sides.select(col(idCol).as("a"), col(vecCol).as("__va"),
         col("__n").as("__na")), Seq("a"))
       .join(sides.select(col(idCol).as("b"), col(vecCol).as("__vb"),
@@ -115,7 +111,53 @@ object CosineSignLsh {
       .select(col("a"), col("b"), VectorOps.cosineFromParts(
         VectorOps.dot(col("__va"), col("__vb")),
         col("__na"), col("__nb")).as("cosine"))
+  }
+
+  /** Near-dup pairs with exact cosine ≥ threshold, candidates from the
+    * sign-LSH buckets. Eager (localCheckpoint) with caches released before
+    * returning — same caching contract as MinHashLsh.nearDupPairs.
+    *
+    * @param vecs (id, vector) rows; vector = array<double>, dimension `dim`.
+    * @return (a, b, cosine) with a < b.
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 32, bandBits: Int = 8, threshold: Double = 0.9,
+      center: Boolean = true): DataFrame = {
+    val weOwnCache = vecs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (weOwnCache) vecs.persist() else vecs
+    val out = scoredCandidates(e, idCol, vecCol, dim, nPlanes, bandBits, center)
       .filter(col("cosine") >= threshold)
+      .localCheckpoint(true)
+    if (weOwnCache) e.unpersist(false)
+    out
+  }
+
+  /** Approximate global top-k most-similar pairs: exact cosine RANKING of
+    * the sign-LSH candidate set — the sub-quadratic replacement for an
+    * all-pairs top-k scan. For genuine near-duplicates (cosine ≥ 0.9 with
+    * 32 planes / 8-bit bands) bucket recall is ≈ 0.95+ per pair, so the
+    * true near-dups surface at the head of the ranking; the tail ranks
+    * whatever moderate-similarity pairs the buckets caught. orderBy+limit
+    * compiles to TakeOrdered (per-partition top-k, then k·partitions rows
+    * to one reducer) — never a global sort.
+    *
+    * @return (rank, a, b) — integer-only output, engine-portable.
+    */
+  def topKPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 32, bandBits: Int = 8, k: Int = 20,
+      center: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weOwnCache = vecs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (weOwnCache) vecs.persist() else vecs
+    val top = scoredCandidates(e, idCol, vecCol, dim, nPlanes, bandBits, center)
+      .orderBy(col("cosine").desc, col("a"), col("b")).limit(k)
+    // rank window runs over k rows only (post-limit)
+    val out = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("a"), col("b")))
+          .cast("long"))
+      .select("rank", "a", "b")
       .localCheckpoint(true)
     if (weOwnCache) e.unpersist(false)
     out

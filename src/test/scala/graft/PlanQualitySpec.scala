@@ -60,6 +60,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH path:\n$plan")
   }
 
+  test("neardup top-k scale path: candidates equi-join, no cartesian product") {
+    // the registered check is eager (localCheckpoint) — gate the LAZY
+    // candidate+rerank subtree it is built from, over the real table
+    import graft.substrate.{CosineSignLsh, VectorOps}
+    val e = CheckDsl.table(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+    val plan = planOf(CosineSignLsh.scoredCandidates(
+      e, "vec_id", "v", dim = 64, nPlanes = 32, bandBits = 8, center = false))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in neardup top-k scale path:\n$plan")
+  }
+
   test("knn exact broadcast: query sample broadcasts, collection streams") {
     val plan = planOf(Checks.byName("knn_exact_cosine").run(spark, sf))
     // the bounded cross join must be broadcast-nested-loop (query side tiny),

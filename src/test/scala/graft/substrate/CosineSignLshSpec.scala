@@ -44,6 +44,17 @@ class CosineSignLshSpec extends SparkSpec {
     assert(math.abs(all.sum / all.size) < 100000, "weights badly off-center")
   }
 
+  test("topKPairs ranks the planted near-dups at the head") {
+    val top = CosineSignLsh.topKPairs(vecs, "id", "v", dim, k = 5)
+      .select("rank", "a", "b").as[(Long, Long, Long)].collect()
+    // the two planted pairs (cos ≈ 1) must occupy ranks 1 and 2, ahead of
+    // any background pair the buckets happened to catch
+    val headPairs = top.filter(_._1 <= 2).map(t => (t._2, t._3)).toSet
+    assert(headPairs == Set((1L, 1001L), (15L, 1015L)),
+      s"planted pairs not ranked first: ${top.mkString(", ")}")
+    assert(top.map(_._1).toSeq == (1L to top.length).toSeq)
+  }
+
   test("plans bucket joins, never an all-pairs product") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
