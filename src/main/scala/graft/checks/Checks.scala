@@ -5,11 +5,34 @@ package graft.checks
   * adding a check here wires it into the driver's verify + bench loop.
   */
 object Checks {
-  /** Multimodal pipeline query (decode/feature plumbing is mapPartitions —
-    * Spark-only, rows-only check).
+  /** Multimodal pipeline, HASH-CHECKED half: the count/byte stats flow
+    * through the full mapPartitions feature pipeline on the Spark side but
+    * are derivable from `documents` in plain SQL (mime = doc_id % 3
+    * round-robin, bytes = utf8 text length), so the per-modality row
+    * counts and byte totals are oracled end-to-end. Only the histogram
+    * column (FakeCodec features) stays exempt — see `media_histogram`.
     */
   private val mediaFeatureStats = Check("media_feature_stats",
-    (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir),
+    (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir)
+      .select("mime", "n_media", "total_bytes"),
+    Some(
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |ELSE 'video/mp4' END AS mime,
+        |CAST(COUNT(*) AS BIGINT) AS n_media,
+        |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY mime"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** The histogram column of the multimodal pipeline — FakeCodec features
+    * (a stand-in for a real embedding model; no codecs in this
+    * environment) are Spark-side mapPartitions output with no SQL
+    * equivalent → documented rows-only exemption (the histogram math is
+    * spec-pinned in MultimodalSpec).
+    */
+  private val mediaHistogram = Check("media_histogram",
+    (spark, dir) => graft.multimodal.Multimodal.mediaFeatureStats(spark, dir)
+      .select("mime", "avg_bin0"),
     None, isScore = false)
 
   /** Composed EP1 oracle: the scorecard is a union of per-requirement
@@ -63,7 +86,7 @@ object Checks {
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
       VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
       ChangeTier.all ++
-      Seq(mediaFeatureStats, assessmentScorecard, factorRollup)
+      Seq(mediaFeatureStats, mediaHistogram, assessmentScorecard, factorRollup)
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
 }

@@ -380,16 +380,23 @@ object OpsTier {
     isScore = false)
 
   /** Approximate-sketch substrate (§2.B "approx distinct (HLL++)",
-    * "percentile_approx"): each sketch vs its exact answer with the
-    * relative error — the at-scale path for profiling where exact
-    * distinct/percentile would need a full shuffle. Sketch internals are
-    * engine-specific → rows-only (the spec asserts the error bounds).
+    * "percentile_approx"): each sketch vs its exact answer — the at-scale
+    * path for profiling where exact distinct/percentile would need a full
+    * shuffle. SELF-VERIFYING: the sketch values themselves are
+    * engine-specific, so the hash-checked output carries the EXACT answer
+    * (plain SQL on both engines) plus `within_tolerance`, the in-query
+    * assertion |approx−exact|/exact ≤ 0.05 — the oracle expects TRUE, so
+    * a sketch drifting past its documented bound fails the driver gate
+    * instead of hiding behind a rows-only exemption. HLL rsd is pinned at
+    * 0.02 (2.5× headroom under the asserted 5%); percentile_approx
+    * accuracy 10000 → error ≪ 1%.
     */
   val sketchAccuracy = Check("sketch_accuracy",
     (spark, dir) => {
       val li = table(spark, dir, "lineitem")
       val hll = li.agg(
-        approx_count_distinct("l_orderkey").cast("double").as("approx"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .cast("double").as("approx"),
         countDistinct("l_orderkey").cast("double").as("exact"))
         .select(lit("hll_distinct_orderkey").as("metric"), col("approx"), col("exact"))
       val pct = li.agg(
@@ -399,11 +406,22 @@ object OpsTier {
         .select(lit("p99_extendedprice").as("metric"),
           col("approx").cast("double"), col("exact").cast("double"))
       hll.unionAll(pct)
-        .withColumn("rel_err", abs(col("approx") - col("exact")) / col("exact"))
-        .withColumn("within_tolerance", col("rel_err") <= 0.05)
+        .select(col("metric"),
+          floor(col("exact")).cast("long").as("exact_i"),
+          (abs(col("approx") - col("exact")) / col("exact") <= 0.05)
+            .as("within_tolerance"))
         .orderBy("metric")
     },
-    None, isScore = false)
+    Some(
+      """SELECT 'hll_distinct_orderkey' AS metric,
+        |CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_i,
+        |TRUE AS within_tolerance FROM lineitem
+        |UNION ALL
+        |SELECT 'p99_extendedprice',
+        |CAST(floor(quantile_cont(l_extendedprice, 0.99)) AS BIGINT), TRUE
+        |FROM lineitem ORDER BY metric"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
 
   /** Two-phase salted aggregation (substrate.SkewOps) over the most
     * skew-shaped real column (events.event_type: 5 values → every key is

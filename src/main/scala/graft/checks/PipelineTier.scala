@@ -263,6 +263,41 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Batch mirror of EP3's stream-stream attribution join
+    * (streaming.FreshnessMonitor.attributionJoin, watermark-bounded
+    * interval join): attribute each purchase to every view by the same
+    * user within the 30-minute attribution window. Calls the SAME
+    * function as the streaming path — watermarks are no-ops on batch
+    * frames — so the oracle checks the exact semantics the stream runs
+    * (batch/stream row parity is additionally pinned in StreamingSpec).
+    * Output on integer micros for engine-exact comparison.
+    *
+    * Scale shape: equi-join on user_id with the interval as a residual
+    * predicate — per-user event counts are bounded, so the shuffle is the
+    * inherent per-user co-location, never a product.
+    */
+  val attributionJoin = Check("attribution_join",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val out = graft.streaming.FreshnessMonitor.attributionJoin(
+        ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        windowMinutes = 30)
+      out.select(col("user_id"),
+          expr("unix_micros(trigger_ts)").as("trigger_us"),
+          expr("unix_micros(conversion_ts)").as("conversion_us"))
+        .orderBy("user_id", "trigger_us", "conversion_us")
+    },
+    Some(
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.tus AS trigger_us, c.cus AS conversion_us
+        |FROM t JOIN c ON c.user_id = t.user_id
+        |AND c.cus >= t.tus AND c.cus <= t.tus + 1800000000
+        |ORDER BY 1, 2, 3"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Rolling 7-day event counts per type — the RANGE-frame window idiom
     * (SURVEY §2.B "frames") on integer day numbers: per (event_type, day)
     * count plus its trailing-week sum. Integer-only outputs.
@@ -731,6 +766,7 @@ object PipelineTier {
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
+    attributionJoin,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
     sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)

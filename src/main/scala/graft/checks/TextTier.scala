@@ -126,8 +126,11 @@ object TextTier {
   /** MinHash-LSH near-dup sweep (shingle → minhash signature → band →
     * bucket join → exact verify) — the sub-quadratic scale path for
     * full-corpus dedup; see substrate.MinHashLsh for the banding math.
-    * xxhash64 signatures aren't reproducible in SQL → no oracle. Output:
-    * one summary row.
+    * xxhash64 signatures aren't reproducible in SQL → no oracle; the
+    * banding ALGORITHM (signature → band → bucket join → exact verify) is
+    * hash-checked by its portable twin `dedup_minhash_banded`
+    * (PipelineTier), so this exemption covers only the engine-specific
+    * hash. Output: one summary row.
     */
   val dedupMinhashLsh = Check("dedup_minhash_lsh",
     (spark, dir) => {
@@ -148,8 +151,12 @@ object TextTier {
 
   /** SimHash signatures (64-bit, token-frequency weighted). Hamming-ball
     * pair search happens by banding the signature — see the spec test; the
-    * operator output is the signature table. xxhash64 is engine-specific →
-    * no SQL oracle.
+    * operator output is the signature table. xxhash64 is engine-specific,
+    * and the full algorithm (weighting, voting, bit packing) is already
+    * hash-checked by its portable twin `dedup_simhash_portable` — so this
+    * production variant is NOT registered as a driver query (it would only
+    * inflate the no_oracle count); it stays API-exposed and spec-covered
+    * (DedupSpec hamming-geometry tests).
     */
   val dedupSimhash = Check("dedup_simhash",
     (spark, dir) => {
@@ -444,6 +451,6 @@ object TextTier {
     isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupSimhashPortable, neardupCosineAllpairs, langId, textStats,
+    dedupSimhashPortable, neardupCosineAllpairs, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -187,6 +187,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution join: streaming output equals the batch mirror row-for-row") {
+    implicit val sc = spark.sqlContext
+    // deliberately includes an exact-boundary pair (10:00 -> 10:10 = window
+    // edge, kept by <=), a just-outside pair, multi-trigger attribution
+    // (two views both claim the 10:12 purchase), and an unrelated user
+    val trigRows = Seq((1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:08:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (5L, ts("2024-01-01 10:00:00")))
+    val convRows = Seq((1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 10:12:00")),
+      (2L, ts("2024-01-01 10:10:01")), // 1s past the 10-minute window
+      (6L, ts("2024-01-01 10:05:00")))
+    val trig = MemoryStream[(Long, Timestamp)]
+    val conv = MemoryStream[(Long, Timestamp)]
+    val joined = FreshnessMonitor.attributionJoin(
+      trig.toDF().toDF("user_id", "ts"),
+      conv.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      trig.addData(trigRows: _*)
+      conv.addData(convRows: _*)
+      q.processAllAvailable()
+      trig.addData((99L, ts("2024-01-01 12:00:00")))
+      conv.addData((99L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_parity")
+        .select("user_id", "trigger_ts", "conversion_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      // the BATCH mirror is the same function over plain DataFrames — the
+      // shape attribution_join's DuckDB oracle checks (flush rows included:
+      // 12:00 -> 13:00 is outside the window in batch too)
+      val batch = FreshnessMonitor.attributionJoin(
+          (trigRows :+ (99L, ts("2024-01-01 12:00:00"))).toDF("user_id", "ts"),
+          (convRows :+ (99L, ts("2024-01-01 13:00:00"))).toDF("user_id", "ts"))
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.map(t => (t._1, t._3.toString)) ==
+        Set((1L, "2024-01-01 10:10:00.0"), (1L, "2024-01-01 10:12:00.0")))
+    } finally q.stop()
+  }
+
   test("left-outer attribution emits unconverted triggers after the watermark") {
     implicit val sc = spark.sqlContext
     val trig = MemoryStream[(Long, Timestamp)]
