@@ -52,9 +52,12 @@ object Checks {
       val parts = runs.map { c =>
         val r = graft.model.Registry.byKey(c.name)
         val thr = graft.assess.Thresholds.forReq(c.name, workload)
+        // every isScore oracle yields exactly one row (enforced by
+        // CheckInvariantsSpec); LIMIT 1 pins the scalar-subquery contract
+        // so a future multi-row oracle fails THERE, not here
         s"SELECT '${c.name}' AS requirement, ${r.factor.id} AS factor, " +
           s"'${r.factor.name}' AS factor_name, '${workload.name}' AS workload, " +
-          s"(SELECT value FROM (${c.oracle.get})) AS value, " +
+          s"(SELECT value FROM (${c.oracle.get}) LIMIT 1) AS value, " +
           s"CAST($thr AS DOUBLE) AS threshold"
       }
       "SELECT requirement, factor, factor_name, workload, value, threshold, " +

@@ -131,10 +131,16 @@ object PipelineTier {
     * doc_id + 1,000,000 with the first token dropped (trigram Jaccard
     * ≈ (n-4)/(n-2) — high). Both engines build the same augmented corpus;
     * the LSH must surface exactly the planted pairs.
+    *
+    * This is a correctness WITNESS, not a throughput claim (the portable
+    * md5 hash is 2-3× slower than the production xxhash64), so it runs on
+    * a deterministic quarter of the corpus (doc_id % 4 == 0 — every
+    * planted %100 source survives, 100 % 4 == 0) to keep its bench cost
+    * proportional to what it proves.
     */
   val dedupMinhashBanded = Check("dedup_minhash_banded",
     (spark, dir) => {
-      val d = docs(spark, dir)
+      val d = docs(spark, dir).filter(col("doc_id") % 4 === 0)
       val toks = tokens(col("text"))
       val aug = d.select(col("doc_id"), col("text")).unionAll(
         d.filter(col("doc_id") % 100 === 0)
@@ -155,7 +161,7 @@ object PipelineTier {
       val bands = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sigs")
         .mkString(" UNION ALL ")
-      s"""WITH aug AS (SELECT doc_id, text FROM documents
+      s"""WITH aug AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
          |UNION ALL SELECT doc_id + 1000000 AS doc_id,
          |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
          |len(string_split_regex(trim(text), '\\s+'))), ' ') AS text

@@ -66,8 +66,9 @@ object CosineSignLsh {
       offsets: Seq[Double] = Nil): DataFrame = {
     require(nPlanes % bandBits == 0, "bands must tile the signature")
     val off = if (offsets.isEmpty) Seq.fill(nPlanes)(0.0) else offsets
+    val ps = planes(nPlanes, dim) // built once, not once per plane
     val bits = (0 until nPlanes).map(p =>
-      (VectorOps.dot(col(vecCol), typedLit(planes(nPlanes, dim)(p))) - off(p) >= 0)
+      (VectorOps.dot(col(vecCol), typedLit(ps(p))) - off(p) >= 0)
         .cast("int").as(s"__bit$p"))
     val sig = vecs.select(col(idCol) +: bits: _*)
     (0 until nPlanes / bandBits).map { b =>

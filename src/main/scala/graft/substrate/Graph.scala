@@ -65,6 +65,12 @@ object Graph {
       reached = reached.unionAll(frontier).localCheckpoint()
       iter += 1
     }
+    // a live frontier after maxIters means the BFS was truncated — an
+    // incomplete (silently wrong) reachable set must never be returned
+    if (frontier.limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"reachableDistributed did not converge in $maxIters rounds " +
+          "(graph depth exceeds maxIters; raise it)")
     reached
   }
 
@@ -116,8 +122,9 @@ object Graph {
     *
     * Same two-path shape as reachable()/closure(): union-find on the
     * driver for metadata-sized edge sets; distributed min-label
-    * propagation (converges in O(diameter) rounds — near-dup graphs have
-    * tiny diameters) with localCheckpoint truncating the plan per round.
+    * propagation with a pointer-doubling shortcut (converges in
+    * O(log diameter) rounds, and FAILS rather than return unconverged
+    * labels) with localCheckpoint truncating the plan per round.
     * Only nodes that appear in an edge participate (singletons are the
     * caller's complement set).
     */
@@ -163,13 +170,30 @@ object Graph {
       // push each node's label to its neighbors; fold the min per node
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("label"))
-      val next = labels.unionAll(msgs)
-        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      val mins = labels.unionAll(msgs)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer-doubling shortcut: also jump to the LABEL's current label
+      // (labels are node ids, so every label has a row). Each round the
+      // remaining path to the component min halves — O(log diameter)
+      // rounds instead of O(diameter), so long near-dup chains converge
+      // well inside maxIters.
+      val byNode = mins.select(col("node").as("l_node"), col("label").as("l_label"))
+      val next = mins
+        .join(byNode, mins("label") === byNode("l_node"), "left")
+        .select(mins("node"),
+          least(mins("label"), coalesce(col("l_label"), mins("label"))).as("label"))
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count() == 0
       labels = next
       iter += 1
     }
+    // unconverged labels are WRONG labels (a component would be split
+    // across several representatives) — fail loudly, never return them
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsDistributed did not converge in $maxIters rounds " +
+          "(should be ~log2(diameter) with pointer doubling; raise maxIters)")
     labels
   }
 
@@ -186,6 +210,10 @@ object Graph {
       acc = acc.unionAll(frontier).localCheckpoint()
       iter += 1
     }
+    if (frontier.limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"closureDistributed did not converge in $maxIters rounds " +
+          "(graph depth exceeds maxIters; raise it)")
     acc
   }
 }

@@ -49,4 +49,31 @@ class GraphDistributedSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(dist == local)
   }
+
+  test("pointer doubling: a 200-node chain converges within 10 rounds") {
+    // plain min-label propagation needs O(diameter)=199 rounds here; the
+    // doubling shortcut needs ~log2(199)+2. 10 rounds passing proves the
+    // shortcut is active, not just a bigger budget.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.componentsDistributed(chain, 10)
+      .as[(Long, Long)].collect()
+    assert(out.length == 200 && out.forall(_._2 == 1L))
+  }
+
+  test("unconverged component propagation raises instead of returning wrong labels") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.componentsDistributed(chain, 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("truncated reachable raises instead of returning a partial set") {
+    val chain = (1L until 20L).map(i => (i.toString, (i + 1).toString))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.reachableDistributed(chain, Seq("1").toDF("node"), 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
