@@ -165,7 +165,9 @@ object ScaleRehearsal {
     samples += measured("ivf_topk result rows (k=10)", "10x", nEmb10) { ivf(emb10) }
 
     val all = samples.result()
-    val md =
+    // table rows are appended OUTSIDE stripMargin (their leading '|' would
+    // otherwise be treated as a margin and stripped)
+    val head =
       s"""# SCALE — empirical rehearsal of the dedup/ANN tier
          |
          |`runMain graft.tools.ScaleRehearsal` on `$sfDir` (1×) and a
@@ -174,10 +176,12 @@ object ScaleRehearsal {
          |C(n,2): the sub-quadratic claim is that rate falls as n grows
          |(fixed bands) or is held near-zero by widening bands.
          |
-         || operator | scale | n | pairs/rows | cand rate | wall s | shuffle MB |
-         ||---|---|---|---|---|---|---|
-         |${all.map(_.row).mkString("\n")}
-         |
+         |""".stripMargin +
+        "| operator | scale | n | pairs/rows | cand rate | wall s | shuffle MB |\n" +
+        "|---|---|---|---|---|---|---|\n" +
+        all.map(_.row).mkString("\n") + "\n"
+    val md = head +
+      s"""
          |Reading the numbers:
          |
          |- **MinHash LSH**: band keys live in an effectively unbounded hash
