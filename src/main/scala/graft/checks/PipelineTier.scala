@@ -188,6 +188,79 @@ object PipelineTier {
     },
     isScore = false)
 
+  /** INCREMENTAL dedup — the nightly-ingest shape: match a DELTA batch
+    * against the already-indexed corpus (substrate.MinHashLsh
+    * .nearDupPairsAgainst) instead of re-deduping everything. The corpus
+    * is doc_id % 10 != 7; the delta is the %10==7 docs plus planted
+    * near-dups (every doc_id % 50 == 0 corpus doc re-ingested at
+    * +2,000,000 with its first token dropped). The banding must surface
+    * exactly the planted re-ingests; unrelated delta docs stay clean.
+    * Portable md5 hashes → the full cross-set band algebra is mirrored in
+    * DuckDB. At 100 TB the corpus side's signatures are a STORED artifact
+    * (MinHashLsh.signatures) — only the delta hashes fresh; candidates
+    * come from one (band, bkey) equi-join of delta bands vs the index.
+    */
+  val dedupIncremental = Check("dedup_incremental",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val toks = tokens(col("text"))
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+              .as("text")))
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      graft.substrate.MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+          numPerms = 8, bandRows = 2, threshold = 0.5,
+          hashFn = graft.substrate.MinHashLsh.portableHash,
+          bandKeyFn = graft.substrate.MinHashLsh.portableBandKey)
+        .orderBy("a", "b")
+    },
+    Some {
+      val sigCols = (0 until 8)
+        .map(p => s"MIN(md5(sh || ':$p')) AS m$p").mkString(", ")
+      def bands(src: String) = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+         |UNION ALL SELECT doc_id + 2000000 AS doc_id,
+         |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+         |len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+         |FROM documents WHERE doc_id % 50 = 0),
+         |ctoks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM corpus),
+         |ctri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM ctoks t1 JOIN ctoks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN ctoks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |dtoks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM delta),
+         |dtri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM dtoks t1 JOIN dtoks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN dtoks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |csigs AS (SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n FROM ctri GROUP BY doc_id),
+         |dsigs AS (SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n FROM dtri GROUP BY doc_id),
+         |cband AS (${bands("csigs")}),
+         |dband AS (${bands("dsigs")}),
+         |cand AS (SELECT DISTINCT d.doc_id AS a, c.doc_id AS b
+         |FROM dband d JOIN cband c ON d.band = c.band AND d.bkey = c.bkey),
+         |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+         |FROM cand c JOIN dtri ta ON ta.doc_id = c.a
+         |JOIN ctri tb ON tb.doc_id = c.b AND tb.sh = ta.sh GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         |SELECT c.a AS a, c.b AS b,
+         |CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN dsigs sa ON sa.doc_id = c.a JOIN csigs sb ON sb.doc_id = c.b)
+         |WHERE jaccard >= 0.5 ORDER BY a, b"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** Events attributed to the pipeline-run window they occurred in —
     * point-in-interval RANGE join (substrate.RangeJoin): binned to an
     * equi-join on hour buckets + residual BETWEEN, instead of the
@@ -771,8 +844,8 @@ object PipelineTier {
     isScore = false)
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
-    repetitionDetect, dedupMinhashBanded, eventsInRunWindow, sessionize,
-    attributionJoin,
+    repetitionDetect, dedupMinhashBanded, dedupIncremental, eventsInRunWindow,
+    sessionize, attributionJoin,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
     sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)

@@ -249,6 +249,81 @@ object TextTier {
         |FROM p ORDER BY s DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** PII scrub — the redaction pass a training pipeline runs before
+    * anything leaves the curation zone: detect emails and phone numbers
+    * (regex), count them per document, and redact them from the text. The
+    * corpus has no natural PII, so the check PLANTS it deterministically
+    * (doc_id % 25 == 0 gains an email, % 25 == 5 a 555-line phone) — both
+    * engines build the same augmented text and must agree on detection
+    * counts and the redacted length. Map-side only (per-row regex);
+    * integer outputs.
+    */
+  val piiScrub = Check("pii_scrub",
+    (spark, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val planted = docs(spark, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 25 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 25 === 5,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+            .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          length(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).cast("long").as("scrubbed_len"))
+        .filter(col("n_emails") + col("n_phones") > 0)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH planted AS (SELECT doc_id, text ||
+        |CASE WHEN doc_id % 25 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |CASE WHEN doc_id % 25 = 5 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+        |AS text FROM documents),
+        |scrubbed AS (SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |CAST(length(regexp_replace(regexp_replace(text,
+        |'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |'\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM planted)
+        |SELECT doc_id, n_emails, n_phones, scrubbed_len FROM scrubbed
+        |WHERE n_emails + n_phones > 0 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Per-source vocabulary statistics — the Zipf-tail view a corpus audit
+    * needs (vocabulary growth and hapax mass drive tokenizer and
+    * mixture decisions): total token count, distinct vocabulary, and
+    * hapax count (tokens seen exactly once in that source). Two-level
+    * aggregation, shuffles keyed on (source, token) then source —
+    * classic map-side-combinable counts, linear at 100 TB.
+    */
+  val vocabStats = Check("vocab_stats",
+    (spark, dir) => {
+      val toks = docs(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      toks.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum("n").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("vocab"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH toks AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |CAST(COUNT(*) AS BIGINT) AS vocab,
+        |CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |FROM tf GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Language ID by function-word vote against the per-language stopword
     * catalog; 'und' when no function word matches. One explode + broadcast
     * join + two-level agg — linear, shuffle only on doc_id.
@@ -451,6 +526,7 @@ object TextTier {
     isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhashPortable, neardupCosineAllpairs, langId, textStats,
+    dedupSimhashPortable, neardupCosineAllpairs, piiScrub, vocabStats,
+    langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -64,16 +64,8 @@ object MinHashLsh {
     val sh = if (weOwnCache) shingles.persist() else shingles
 
     // one aggregation pass: the minhashes + the set size together
-    val sigCols = (0 until numPerms)
-      .map(p => min(hashFn(col("shingle"), p)).as(s"m$p")) :+
-      count(lit(1)).as("n")
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
-
-    val nBands = numPerms / bandRows
-    val banded = (0 until nBands).map { b =>
-      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), bandKeyFn(cols).as("bkey"))
-    }.reduce(_ unionAll _)
+    val sigs = signatures(sh, numPerms, hashFn).persist()
+    val banded = bandedKeys(sigs, numPerms, bandRows, bandKeyFn)
 
     val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")),
@@ -97,6 +89,76 @@ object MinHashLsh {
       .localCheckpoint(true) // eager: compute pairs, then free the caches
     if (weOwnCache) sh.unpersist(false)
     sigs.unpersist(false)
+    pairs
+  }
+
+  /** (doc_id, m0..m{numPerms-1}, n) signature table — at 100 TB this IS
+    * the stored index artifact: computed once per corpus, appended to per
+    * ingest batch, never rebuilt.
+    */
+  def signatures(shingles: DataFrame, numPerms: Int,
+      hashFn: (Column, Int) => Column = defaultHash): DataFrame = {
+    val sigCols = (0 until numPerms)
+      .map(p => min(hashFn(col("shingle"), p)).as(s"m$p")) :+
+      count(lit(1)).as("n")
+    shingles.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) bucket rows from a signature table. */
+  def bandedKeys(sigs: DataFrame, numPerms: Int, bandRows: Int,
+      bandKeyFn: Seq[Column] => Column = defaultBandKey): DataFrame = {
+    require(numPerms % bandRows == 0, "bands must tile the signature")
+    (0 until numPerms / bandRows).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), bandKeyFn(cols).as("bkey"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** INCREMENTAL near-dup: match a DELTA batch against an existing corpus
+    * without comparing the corpus to itself — the nightly-ingest shape at
+    * 100 TB, where the corpus side's signatures/bands are a precomputed
+    * stored index and only the delta is hashed fresh. Candidates come from
+    * the (band, bkey) equi-join of delta bands against corpus bands;
+    * verification computes exact Jaccard on candidate pairs only.
+    *
+    * @param deltaShingles  (doc_id, shingle) for the new batch
+    * @param corpusShingles (doc_id, shingle) for the indexed corpus
+    * @return (a = delta doc, b = corpus doc, jaccard ≥ threshold)
+    */
+  def nearDupPairsAgainst(deltaShingles: DataFrame, corpusShingles: DataFrame,
+      numPerms: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = defaultHash,
+      bandKeyFn: Seq[Column] => Column = defaultBandKey): DataFrame = {
+    val dOwn = deltaShingles.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val cOwn = corpusShingles.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val dsh = if (dOwn) deltaShingles.persist() else deltaShingles
+    val csh = if (cOwn) corpusShingles.persist() else corpusShingles
+    val dsigs = signatures(dsh, numPerms, hashFn).persist()
+    val csigs = signatures(csh, numPerms, hashFn).persist()
+    val candidates = bandedKeys(dsigs, numPerms, bandRows, bandKeyFn)
+      .select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(bandedKeys(csigs, numPerms, bandRows, bandKeyFn)
+        .select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .select("a", "b").distinct()
+    val inter = candidates
+      .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(csh.select(col("doc_id").as("b2"), col("shingle").as("sh2")),
+        col("b") === col("b2") && col("shingle") === col("sh2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val pairs = candidates.join(inter, Seq("a", "b"), "left")
+      .join(dsigs.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(csigs.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    dsigs.unpersist(false); csigs.unpersist(false)
+    if (dOwn) dsh.unpersist(false)
+    if (cOwn) csh.unpersist(false)
     pairs
   }
 }

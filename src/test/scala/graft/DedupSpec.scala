@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("incremental LSH: delta matches corpus near-dups, never corpus-vs-corpus") {
+    import graft.substrate.{MinHashLsh, TextOps}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet gray")).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "beta gamma delta epsilon zeta eta theta"), // near-dup of 1
+      (102L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    val pairs = MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+        numPerms = 8, bandRows = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // only the planted (delta, corpus) pair; docs 2/3 similar to nothing,
+    // and corpus-internal pairs are never compared
+    assert(pairs == Set((101L, 1L)))
+  }
+
   test("SimHash.nearPairs banded search finds exactly the close-signature pairs") {
     val sigs = Seq(
       (0L, 0x0F0F0F0F0F0F0F0FL),
