@@ -1,5 +1,7 @@
 package graft.checks
 
+import org.apache.spark.sql.functions._
+
 /** Aggregated check registry: every implemented check, keyed by requirement
   * name. `SparkEntry.queries`/`oracleSql` are derived from this single list —
   * adding a check here wires it into the driver's verify + bench loop.
@@ -21,6 +23,56 @@ object Checks {
         |CAST(COUNT(*) AS BIGINT) AS n_media,
         |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY mime"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Decode plumbing, hash-checked end-to-end: the images flow through the
+    * REAL typed-Dataset mapPartitions decode path, and because FakeCodec's
+    * dimensions are pure arithmetic over the payload length (w = 1+len%64,
+    * h = 1+(len/64)%64, c = 3 — an honestly-labeled codec stand-in), the
+    * oracle derives the same dims from `documents` in SQL. A real codec
+    * swap turns this into a rows-only check; until then the partition
+    * batching, encoder boundary, and schema are driver-verified.
+    */
+  private val mediaDecodeDims = Check("media_decode_dims",
+    (spark, dir) => {
+      import spark.implicits._
+      val media = graft.multimodal.Multimodal.mediaTable(spark, dir)
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("width").cast("long"),
+          col("height").cast("long"), col("channels").cast("long"))
+        .orderBy("media_id")
+    },
+    Some(
+      """SELECT doc_id AS media_id,
+        |CAST(1 + strlen(text) % 64 AS BIGINT) AS width,
+        |CAST(1 + (strlen(text) // 64) % 64 AS BIGINT) AS height,
+        |CAST(3 AS BIGINT) AS channels
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Frame-sampling plumbing, hash-checked: videos flow through the real
+    * flatMap frame sampler (stride 2 over 256-byte blocks); the expected
+    * per-media frame count is ceil(ceil(len/256)/2) — plain arithmetic in
+    * the oracle. Empty payloads yield no frames (excluded both sides).
+    */
+  private val mediaFrameStats = Check("media_frame_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val media = graft.multimodal.Multimodal.mediaTable(spark, dir)
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.sampleFrames(media, stride = 2).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).cast("long").as("n_frames"))
+        .orderBy("media_id")
+    },
+    Some(
+      """SELECT doc_id AS media_id,
+        |CAST(((strlen(text) + 255) // 256 + 1) // 2 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0
+        |ORDER BY media_id"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
@@ -89,7 +141,8 @@ object Checks {
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
       VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
       ChangeTier.all ++
-      Seq(mediaFeatureStats, mediaHistogram, assessmentScorecard, factorRollup)
+      Seq(mediaFeatureStats, mediaDecodeDims, mediaFrameStats, mediaHistogram,
+        assessmentScorecard, factorRollup)
 
   def byName: Map[String, Check] = all.map(c => c.name -> c).toMap
 }
