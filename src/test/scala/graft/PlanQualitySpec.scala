@@ -72,6 +72,24 @@ class PlanQualitySpec extends SparkSpec {
       s"cartesian product in neardup top-k scale path:\n$plan")
   }
 
+  test("incremental dedup candidates: band equi-join, no cartesian product") {
+    import graft.substrate.MinHashLsh
+    import spark.implicits._
+    val dsh = Seq((1L, "a b c")).toDF("doc_id", "shingle")
+    val csh = Seq((2L, "b c d")).toDF("doc_id", "shingle")
+    // lazy candidate subtree (the registered check is eager): delta bands
+    // joined to corpus bands on (band, bkey)
+    val cand = MinHashLsh
+      .bandedKeys(MinHashLsh.signatures(dsh, 8), 8, 2)
+      .select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(MinHashLsh.bandedKeys(MinHashLsh.signatures(csh, 8), 8, 2)
+        .select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+    val plan = planOf(cand)
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in incremental dedup candidate path:\n$plan")
+  }
+
   test("knn exact broadcast: query sample broadcasts, collection streams") {
     val plan = planOf(Checks.byName("knn_exact_cosine").run(spark, sf))
     // the bounded cross join must be broadcast-nested-loop (query side tiny),
