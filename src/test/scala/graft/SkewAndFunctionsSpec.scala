@@ -30,6 +30,39 @@ class SkewAndFunctionsSpec extends SparkSpec {
     assert(split == plain)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    // one hot key carrying ~all rows vs a long tail; thresholds lowered so
+    // the test-sized skew triggers the same OptimizeSkewedJoin rule that
+    // fires at production sizes — the runtime complement to SkewOps'
+    // explicit salting
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val left = spark.range(0, 20000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("x"), col("id")).as("pad"))
+      val right = spark.range(0, 200).select(col("id").as("k"),
+        lit("dim").as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe (count() would plan a separate query and
+      // leave joined's own AQE plan unfinalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("registered SQL functions evaluate the native expressions") {
     GraftColumn.registerFunctions(spark)
     val dot = spark.sql(

@@ -187,6 +187,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedups each micro-batch against the static corpus index") {
+    // the nightly-ingest shape as a STREAM: foreachBatch runs the
+    // incremental matcher (MinHashLsh.nearDupPairsAgainst) per micro-batch
+    // against a persisted corpus shingle set — the streaming face of the
+    // stored-signature index; state never grows with the stream
+    implicit val sc = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.substrate.{MinHashLsh, TextOps}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    val indexSide = sh(corpus).persist()
+    val found = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MinHashLsh.nearDupPairsAgainst(sh(batch), indexSide,
+            numPerms = 8, bandRows = 2, threshold = 0.5)
+          .select("a", "b").as[(Long, Long)].collect()
+          .foreach(p => found.add(p))
+        ()
+      }
+      .start()
+    try {
+      input.addData((101L, "beta gamma delta epsilon zeta eta theta"), // ~doc 1
+        (102L, "unrelated totally different words appear here now"))
+      q.processAllAvailable()
+      input.addData((201L, "one two three four five six seven eight")) // ~doc 2
+      q.processAllAvailable()
+      assert(found.asScala.toSet == Set((101L, 1L), (201L, 2L)))
+    } finally { q.stop(); indexSide.unpersist() }
+  }
+
   test("attribution join: streaming output equals the batch mirror row-for-row") {
     implicit val sc = spark.sqlContext
     // deliberately includes an exact-boundary pair (10:00 -> 10:10 = window
