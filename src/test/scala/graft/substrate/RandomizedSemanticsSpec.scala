@@ -48,6 +48,49 @@ class RandomizedSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup == full dedup restricted to delta×corpus (8 random corpora)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // random word-soup corpora with planted cross-set near-dups: the
+    // incremental matcher must find EXACTLY the pairs the full self-dedup
+    // of (delta ∪ corpus) finds between the two sets — no more (it never
+    // compares corpus to itself) and no fewer (same signatures, same bands)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed)
+      def doc(): String =
+        Seq.fill(8 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val corpus = (1L to 12L).map(i => (i, doc()))
+      // delta: fresh random docs + near-dup re-ingests (drop first token)
+      val delta = (101L to 106L).map(i => (i, doc())) ++
+        corpus.filter(_._1 % 4 == 0).map { case (i, t) =>
+          (i + 1000L, t.split(" ").drop(1).mkString(" "))
+        }
+      def sh(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+      val incremental = MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+          numPerms = 8, bandRows = 2, threshold = 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val deltaIds = delta.map(_._1).toSet
+      val fullPairs: Set[(Long, Long)] = MinHashLsh
+        .nearDupPairs(sh(corpus ++ delta),
+          numPerms = 8, bandRows = 2, threshold = 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      // orient cross-set pairs as (delta, corpus); drop within-set pairs
+      val full = fullPairs.flatMap { p =>
+        val (a, b) = p
+        if (deltaIds.contains(a) && !deltaIds.contains(b)) Some((a, b))
+        else if (deltaIds.contains(b) && !deltaIds.contains(a)) Some((b, a))
+        else None
+      }
+      assert(incremental == full, s"seed $seed: $incremental != $full")
+      // every planted re-ingest must be present
+      val planted = corpus.filter(_._1 % 4 == 0).map(c => (c._1 + 1000L, c._1)).toSet
+      assert(planted.subsetOf(incremental), s"seed $seed missed planted: $planted")
+    }
+  }
+
   test("as-of joins match an in-memory scan, both directions (10 corpora)") {
     for (seed <- 1 to 10) {
       val rng = new Random(seed + 100)
