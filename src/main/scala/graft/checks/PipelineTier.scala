@@ -199,12 +199,16 @@ object PipelineTier {
     * DuckDB. At 100 TB the corpus side's signatures are a STORED artifact
     * (MinHashLsh.signatures) — only the delta hashes fresh; candidates
     * come from one (band, bkey) equi-join of delta bands vs the index.
+    * Witness discipline (same as dedup_minhash_banded): the md5 corpus
+    * side is capped to even doc_ids — every planted %50 source is even,
+    * every natural delta id (%10==7) is odd, so the sets stay disjoint
+    * and the planted pairs all survive at half the hash cost.
     */
   val dedupIncremental = Check("dedup_incremental",
     (spark, dir) => {
       val d = docs(spark, dir)
       val toks = tokens(col("text"))
-      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val corpus = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))
       val delta = d.filter(col("doc_id") % 10 === 7)
         .select(col("doc_id"), col("text"))
@@ -226,7 +230,7 @@ object PipelineTier {
       def bands(src: String) = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM $src")
         .mkString(" UNION ALL ")
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
          |UNION ALL SELECT doc_id + 2000000 AS doc_id,
          |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
