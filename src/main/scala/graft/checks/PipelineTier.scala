@@ -381,6 +381,57 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Attribution LATENCY distribution — last-touch attribution (the
+    * LATEST view within the window claims the purchase) composed on the
+    * same interval join as `attribution_join`, then exact rank-selection
+    * median/p90 of conversion latency in integer micros (the
+    * value_percentiles idiom: element-of-data, engine-portable). The
+    * global rank window runs over attributed conversions only (a tiny
+    * fraction of events); at 100 TB swap the exact selection for
+    * percentile_approx — this form is the oracle-checkable witness of
+    * that distribution.
+    */
+  val attributionLatency = Check("attribution_latency",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val pairs = graft.streaming.FreshnessMonitor.attributionJoin(
+        ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        windowMinutes = 30)
+      val lat = pairs.groupBy("user_id", "conversion_ts")
+        .agg(max("trigger_ts").as("trigger_ts"))
+        .select((expr("unix_micros(conversion_ts)") -
+          expr("unix_micros(trigger_ts)")).as("lat_us"))
+      val counts = lat.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("lat_us")
+      lat.crossJoin(broadcast(counts))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("t", explode(array(Seq(50, 90).map(p =>
+          struct(lit(p.toLong).as("p"),
+            ceil(col("n") * lit(p / 100.0)).cast("long").as("target"))): _*)))
+        .filter(col("rn") === col("t.target"))
+        .select(col("t.p").as("p"), col("lat_us"),
+          col("n").cast("long").as("n_attributed"))
+        .orderBy("p")
+    },
+    Some(
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT t.user_id, t.tus, c.cus FROM t JOIN c ON c.user_id = t.user_id
+        |AND c.cus >= t.tus AND c.cus <= t.tus + 1800000000),
+        |lastt AS (SELECT user_id, cus, MAX(tus) AS tus FROM pairs GROUP BY 1, 2),
+        |lat AS (SELECT cus - tus AS lat_us FROM lastt),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat),
+        |r AS (SELECT lat_us, CAST(row_number() OVER (ORDER BY lat_us) AS BIGINT) AS rn FROM lat)
+        |SELECT p, lat_us, nn.n AS n_attributed FROM (
+        |SELECT CAST(50 AS BIGINT) AS p, lat_us FROM r
+        |WHERE rn = (SELECT CAST(ceil(0.5::DOUBLE * n) AS BIGINT) FROM nn)
+        |UNION ALL SELECT 90, lat_us FROM r
+        |WHERE rn = (SELECT CAST(ceil(0.9::DOUBLE * n) AS BIGINT) FROM nn)), nn
+        |ORDER BY p"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Rolling 7-day event counts per type — the RANGE-frame window idiom
     * (SURVEY §2.B "frames") on integer day numbers: per (event_type, day)
     * count plus its trailing-week sum. Integer-only outputs.
@@ -849,7 +900,7 @@ object PipelineTier {
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental, eventsInRunWindow,
-    sessionize, attributionJoin,
+    sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
     sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)
