@@ -58,4 +58,32 @@ object Io {
   def parseJsonColumn(df: DataFrame, column: String, schema: StructType): DataFrame =
     df.withColumn(column,
       from_json(col(column), schema, Map("mode" -> "FAILFAST")))
+
+  /** Schema-enforced CSV read — same contract as readJsonLines: declared
+    * schema, FAILFAST on drift, explicit header flag (no inference pass).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST")
+      .option("header", header.toString).csv(path)
+
+  /** CSV sink with header (interchange format for row-oriented consumers). */
+  def writeCsv(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("header", "true")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+  }
+
+  /** ORC scan — the second columnar format Spark vectorizes natively;
+    * same pushdown behavior as parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (columnar alternative where the consuming stack is
+    * ORC-native).
+    */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

@@ -33,6 +33,35 @@ class SourcesSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("source=")))
   }
 
+  test("documents round-trip csv and orc with identical content") {
+    // csv can't carry nested/binary columns — documents is flat, so the
+    // full table round-trips; orc is columnar like parquet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cs = tmp("csv"); val orc = tmp("orc")
+    Io.writeCsv(docs, cs)
+    Io.writeOrc(docs, orc, partitionBy = Seq("source"))
+    val backCs = Io.readCsv(spark, cs, docs.schema)
+    val backOrc = Io.readOrc(spark, orc)
+    val cols = docs.columns.toSeq
+    assert(backCs.count() == docs.count())
+    assert(backOrc.count() == docs.count())
+    assert(docs.join(backCs.select(cols.map(col): _*), cols, "left_anti").isEmpty)
+    assert(docs.join(backOrc.select(cols.map(col): _*), cols, "left_anti").isEmpty)
+    val dirs = new java.io.File(orc).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("source=")))
+  }
+
+  test("orc scans push filters down like parquet") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val orc = tmp("orc_push")
+    Io.writeOrc(docs, orc)
+    val plan = Io.readOrc(spark, orc).filter(col("doc_id") > 100)
+      .select("doc_id", "text").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(doc_id,100)"), s"no pushed filter in:\n$plan")
+  }
+
   test("readJsonLines FAILFAST aborts on schema drift instead of nulling") {
     val dir = tmp("drift")
     Seq("""{"id": 1, "v": "ok"}""", """{"id": "not-a-number", "v": "bad"}""")
