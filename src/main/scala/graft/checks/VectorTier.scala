@@ -341,6 +341,48 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The DEDUP DECISION closed end-to-end: pairs → connected components →
+    * keep the min-id representative per cluster → corpus retention
+    * summary (total, clustered, removed, retained). This is the number a
+    * curation run actually acts on; the per-cluster view is
+    * `dedup_clusters`. On the copies=2 planted corpus every cluster is
+    * {v, v+1M, v+2M} keeping v, so removed = 2 × n_planted — and the
+    * oracle recomputes it through the full recursive closure, not the
+    * formula. One row, all integers.
+    */
+  val dedupRetain = Check("dedup_retain",
+    (spark, dir) => {
+      val corpus = plantedAug(spark, dir, copies = 2)
+      val pairs = graft.substrate.CosineSignLsh
+        .nearDupPairs(corpus, "vec_id", "v", dim = 64, threshold = 0.9)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comps = graft.substrate.Graph.components(pairs)
+      val nTotal = corpus.agg(count(lit(1)).as("n")).select(col("n"))
+      val nInClusters = comps.agg(count(lit(1)).as("c")).select(col("c"))
+      val nReps = comps.select("label").distinct()
+        .agg(count(lit(1)).as("r")).select(col("r"))
+      nTotal.crossJoin(nInClusters).crossJoin(nReps)
+        .select(col("n").as("n_docs"),
+          col("c").as("n_in_clusters"),
+          (col("c") - col("r")).as("n_removed"),
+          (col("n") - (col("c") - col("r"))).as("n_retained"))
+    },
+    Some(s"WITH RECURSIVE ${signLshPairCtes(plantedAugSql(2))}, " +
+      """edges AS (SELECT a AS s, b AS d FROM pairs
+        |UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS n FROM edges),
+        |reach AS (SELECT n AS root, n AS node FROM nodes
+        |UNION SELECT r.root, e.d FROM reach r JOIN edges e ON e.s = r.node),
+        |labels AS (SELECT root, MIN(node) AS label FROM reach GROUP BY root),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aug),
+        |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+        |CAST(COUNT(DISTINCT label) AS BIGINT) AS r FROM labels)
+        |SELECT tot.n AS n_docs, cl.c AS n_in_clusters,
+        |cl.c - cl.r AS n_removed, tot.n - (cl.c - cl.r) AS n_retained
+        |FROM tot, cl"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Per-vector int8 affine quantization — the 4× storage reduction step
     * an ANN index applies before sharding at 100 TB (min/max scale per
     * vector, codes = floor((x−mn)/(mx−mn)·255)). Map-side only: every
@@ -382,5 +424,5 @@ object VectorTier {
 
   val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
     annIvfTopk, retrievalRecallIvf, neardupCosineLsh, neardupCosineTopk,
-    dedupClusters, embeddingQuantizeInt8)
+    dedupClusters, dedupRetain, embeddingQuantizeInt8)
 }
