@@ -138,6 +138,20 @@ object ScaleRehearsal {
       MinHashLsh.nearDupPairs(shingles10, threshold = 0.5).count()
     }
 
+    // ---- incremental (delta vs stored index) -------------------------
+    // delta = a 10% slice of every replica (base id % 10 == 3), index =
+    // the rest: the nightly-ingest shape. Work tracks |delta|·rate, not
+    // |corpus|², and the found pairs are the cross-set share of the full
+    // dedup's verified pairs.
+    locally {
+      val baseId = col("doc_id") % 10000000L
+      val delta = shingles10.filter(baseId % 10 === 3)
+      val corpusIdx = shingles10.filter(baseId % 10 =!= 3)
+      samples += measured("incremental delta-vs-index verified pairs", "10x", nDocs10) {
+        MinHashLsh.nearDupPairsAgainst(delta, corpusIdx, threshold = 0.5).count()
+      }
+    }
+
     // ---- sign-LSH (embedding near-dup) -------------------------------
     def signCandidates(e: DataFrame, bandBits: Int): Long =
       CosineSignLsh.scoredCandidates(e, "vec_id", "v", dim = 64,
@@ -189,6 +203,11 @@ object ScaleRehearsal {
          |  ~linearly (rate drops ~10×ish at 10×) and verified near-dup pairs
          |  stay exactly the within-replica ones. This is the property that
          |  holds at 100 TB: work scales with true-duplicate density, not n².
+         |- **Incremental**: the delta-vs-index row matches a 10% slice
+         |  against the stored signatures of the other 90% — the nightly
+         |  ingest shape. Wall and shuffle track the DELTA, not the corpus:
+         |  at 100 TB the index side is a precomputed table
+         |  (MinHashLsh.signatures) and only the batch hashes fresh.
          |- **Sign-LSH**: 8-bit bands have only 256 buckets/band, so bucket
          |  occupancy — and the candidate rate — is roughly CONSTANT in n:
          |  fixed-width bands are quadratic in the limit. The documented knob
