@@ -91,6 +91,31 @@ class RandomizedSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("attribution interval join matches a nested-loop reference (10 corpora)") {
+    // random event times incl. exact-boundary collisions (minute
+    // granularity forces ties and window-edge hits); reference = the
+    // naive all-pairs filter the interval join must equal
+    val windowMin = 10
+    for (seed <- 1 to 10) {
+      val rng = new Random(seed)
+      def events(n: Int) = (1 to n).map(_ =>
+        (1L + rng.nextInt(4), ts(rng.nextInt(50))))
+      val trig = events(15)
+      val conv = events(15)
+      val expected = (for {
+        (tu, tt) <- trig
+        (cu, ct) <- conv
+        if cu == tu && ct.getTime >= tt.getTime &&
+          ct.getTime <= tt.getTime + windowMin * 60000L
+      } yield (tu, tt, ct)).toSet
+      val out = graft.streaming.FreshnessMonitor.attributionJoin(
+          trig.toDF("user_id", "ts"), conv.toDF("user_id", "ts"),
+          windowMinutes = windowMin)
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(out == expected, s"seed $seed: ${out.size} vs ${expected.size}")
+    }
+  }
+
   test("as-of joins match an in-memory scan, both directions (10 corpora)") {
     for (seed <- 1 to 10) {
       val rng = new Random(seed + 100)
