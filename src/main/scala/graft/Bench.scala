@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Serial attribution set: heavy queries whose SERIAL walls are the
+    * round-over-round comparable numbers. Run FIRST — post-warmup, before
+    * the concurrent suite — so they measure a quiet JVM: round 3 measured
+    * them AFTER the concurrent suite and inherited JVM/cache/GC state
+    * inflated unchanged queries up to 3× (VERDICT r3 what's-wrong #2).
+    * Membership = round 3's concurrent top-12 minus the bench-exempt md5
+    * witness (dedup_incremental), plus its production twin and the
+    * embedding-dedup family the bandBits rework touched.
+    */
+  private val SerialSet = Seq(
+    "tfidf_top_terms", "null_profile", "assessment_scorecard",
+    "split_contamination", "constraint_validation",
+    "retrieval_recall_compliance", "fuzzy_match_dist", "ngram_doc_freq",
+    "dedup_retain", "dedup_minhash_lsh", "dedup_minhash_banded",
+    "dedup_incremental_prod", "neardup_cosine_topk", "dedup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,8 +43,27 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () }
-    val bench = graft.checks.Checks.all.filter(_.inBench)
-      .map(c => c.name -> c.run)
+
+    // failed queries report -1, never a fast-looking elapsed time — the
+    // SERIAL path too (ADVICE r3: the old serial re-run swallowed the
+    // exception but kept the elapsed)
+    def timed(name: String): (String, Double) = {
+      val fn = graft.checks.Checks.byName(name).run
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -1.0)
+    }
+
+    // ---- serial attribution pass (quiet JVM) -------------------------
+    val serialNames = SerialSet.filter(graft.checks.Checks.byName.contains)
+    val serialTop = serialNames.map(timed)
+
+    // ---- concurrent suite (the headline wall) ------------------------
+    val bench = graft.checks.Checks.all.filter(_.inBench).map(_.name)
     // The suite runs CONCURRENTLY: most queries are small metadata plans
     // whose ~0.3s driver-side floor (analysis + planning + scheduling)
     // serializes on one thread while 31 cores idle; a modest pool overlaps
@@ -45,34 +81,25 @@ object Bench {
     val suiteT0 = System.nanoTime()
     val results =
       try {
-        val futs = bench.map { case (name, fn) => Future {
+        val futs = bench.map { name => Future {
           // per-query FAIR pool (thread-local; reset after the query so the
           // next query on this worker thread gets its own pool)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q_$name")
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
+          val r = timed(name)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          // failed queries report -1, never a fast-looking elapsed time
-          name -> (if (ok) elapsed else -1.0)
+          r
         }}
         futs.map(f => Await.result(f, Duration.Inf))
       } finally pool.shutdown()
     val wall = (System.nanoTime() - suiteT0) / 1e9
-    // SERIAL re-run of the 12 slowest: per-query walls under the pool are
-    // contention-inflated and not comparable round-over-round; these are.
-    // The headline `value` stays the concurrent suite wall.
-    val serialTop = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (name, _) =>
-        val fn = graft.checks.Checks.byName(name).run
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+
+    // serial re-run for any concurrent-top-12 query the pinned set missed
+    // (new heavies surface here and get promoted to SerialSet next round);
+    // their serial walls carry post-suite JVM state — comparable only to
+    // themselves, flagged by membership, not silently mixed
+    val extraSerial = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map(_._1).filterNot(serialNames.contains).map(timed)
+
     // Full per-query breakdown goes to stderr (debugging); the stdout JSON
     // line must stay SHORT — the round driver captures only the last 2000
     // chars of stdout, and round 1's ~2900-char all-queries line was
@@ -81,11 +108,12 @@ object Bench {
     val r3 = (v: Double) => math.rint(v * 1000) / 1000
     System.err.println(results.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("[bench] all: {", ",", "}"))
-    val nFailed = results.count(_._2 < 0)
+    val allSerial = serialTop ++ extraSerial
+    val nFailed = results.count(_._2 < 0) + allSerial.count(_._2 < 0)
     val serialSum = r3(results.map(_._2).filter(_ >= 0).sum)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    val serialJson = serialTop
+    val serialJson = allSerial
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"serial_sum":$serialSum,"queries":$slowest,"serial_top":$serialJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -191,8 +191,9 @@ object PipelineTier {
   /** INCREMENTAL dedup — the nightly-ingest shape: match a DELTA batch
     * against the already-indexed corpus (substrate.MinHashLsh
     * .nearDupPairsAgainst) instead of re-deduping everything. The corpus
-    * is doc_id % 10 != 7; the delta is the %10==7 docs plus planted
-    * near-dups (every doc_id % 50 == 0 corpus doc re-ingested at
+    * is the EVEN doc_ids; the delta is the %10==7 docs (all odd, so
+    * disjoint from the corpus) plus planted near-dups (every
+    * doc_id % 50 == 0 corpus doc re-ingested at
     * +2,000,000 with its first token dropped). The banding must surface
     * exactly the planted re-ingests; unrelated delta docs stay clean.
     * Portable md5 hashes → the full cross-set band algebra is mirrored in
@@ -263,7 +264,40 @@ object PipelineTier {
          |WHERE jaccard >= 0.5 ORDER BY a, b"""
         .stripMargin.replace("\n", " ")
     },
-    isScore = false)
+    isScore = false,
+    inBench = false) // md5 witness: proves the cross-set band algebra, not
+                     // throughput — the benched twin is dedup_incremental_prod
+
+  /** PRODUCTION-HASH twin of [[dedupIncremental]]: the same delta-vs-index
+    * shape on the same corpus split, but hashed with the engine-native
+    * xxhash64 permutations and int band keys (MinHashLsh defaults) — the
+    * path a real nightly ingest runs. xxhash64 is engine-private, so this
+    * is a rows-only entry (documented exemption); its ALGEBRA is witnessed
+    * green by `dedup_incremental` (portable md5 twin, full DuckDB mirror)
+    * and DedupSpec's randomized full-vs-incremental equivalence. Registered
+    * IN the bench headline so the production path's cost is tracked
+    * round-over-round (VERDICT r3 #8) — the md5 witness is bench-exempt
+    * for the same reason in reverse (proves correctness, not throughput).
+    */
+  val dedupIncrementalProd = Check("dedup_incremental_prod",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val toks = tokens(col("text"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+              .as("text")))
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      graft.substrate.MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+          threshold = 0.5)
+        .orderBy("a", "b")
+    },
+    None, isScore = false)
 
   /** Events attributed to the pipeline-run window they occurred in —
     * point-in-interval RANGE join (substrate.RangeJoin): binned to an
@@ -899,7 +933,8 @@ object PipelineTier {
     isScore = false)
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
-    repetitionDetect, dedupMinhashBanded, dedupIncremental, eventsInRunWindow,
+    repetitionDetect, dedupMinhashBanded, dedupIncremental,
+    dedupIncrementalProd, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,

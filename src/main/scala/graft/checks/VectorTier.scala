@@ -1,7 +1,5 @@
 package graft.checks
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,35 +61,20 @@ object VectorTier {
          |WHERE rank <= $K ORDER BY qid, rank""".stripMargin.replace("\n", " ")),
     isScore = false)
 
-  /** Fit the BRP-LSH model — THE "vector similarity index" artifact that
-    * checks #15/#19 assess (yaml:66-68: "index built and maintained").
-    * Seeded → deterministic.
-    */
-  private def lshModel(df: DataFrame) =
-    new BucketedRandomProjectionLSH()
-      .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
-      .setInputCol("features").setOutputCol("hashes")
-      .fit(df)
-
-  /** Approximate top-k per sampled query via the LSH index: join on shared
-    * hash bucket → rank candidates by exact distance. Sub-linear per query
-    * at scale (bucket-join instead of cross join).
+  /** Approximate top-k per sampled query via the deterministic multi-probe
+    * BRP index (substrate.BrpLsh) — THE "vector similarity index" artifact
+    * that checks #15/#19 assess (yaml:66-68: "index built and maintained").
+    * Replaced the seeded MLlib BucketedRandomProjectionLSH (VERDICT r3 #6):
+    * same euclidean-LSH family, but the projections are the integer-hash
+    * plane family, so the buckets — and therefore the recall number — are
+    * reproducible in any engine, and the serving path carries no fitted
+    * model artifact.
     */
   def annTopK(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = embeddingsD(spark, dir)
-      .withColumn("features", array_to_vector(col("v")))
-    val model = lshModel(e)
     val q = e.filter(col("vec_id") % QuerySampleMod === 0)
-      .select(col("vec_id").as("qid"), col("features").as("qf"))
-    val joined = model.approxSimilarityJoin(q.withColumnRenamed("qf", "features"), e,
-        Double.MaxValue, "dist")
-      .select(col("datasetA.qid").as("qid"), col("datasetB.vec_id").as("cid"),
-        col("dist"))
-      .filter(col("qid") =!= col("cid"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "cid")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    graft.substrate.BrpLsh.topK(e, q, dim = 64, k = k)
   }
 
   /** Exact euclidean top-k (ground truth for recall; euclidean because the
@@ -108,10 +91,40 @@ object VectorTier {
       .select("qid", "cid")
   }
 
-  /** #19 retrieval_recall_compliance (yaml:82-84): recall@k of the LSH index
-    * against the exact oracle, averaged over the query sample, compared to
-    * the declared recall SLA. No SQL oracle (MLlib LSH) → rows-only check
-    * per the driver contract.
+  /** The BRP index + recall pipeline as DuckDB CTEs — the SQL mirror of
+    * substrate.BrpLsh.topK at its defaults (6 tables, bucketLength 2e5,
+    * probe ±1) plus the exact euclidean ground truth, ending in
+    * `brp_recall (recall)`. Everything is deterministic arithmetic over
+    * the shared plane family, so the recall NUMBER itself is cross-engine
+    * reproducible — what makes #19 oracle-able at all.
+    */
+  private def brpRecallCtes: Seq[String] = Seq(
+    "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    s"q2 AS (SELECT vec_id AS qid, v AS qv FROM e2 WHERE vec_id % $QuerySampleMod = 0)",
+    "exact2 AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, " +
+      "row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank " +
+      s"FROM q2 q, e2 c WHERE c.vec_id <> q.qid) WHERE rank <= $K)",
+    "ve2 AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM e2)",
+    s"w2 AS (SELECT t, d, CAST(((t + ${graft.substrate.BrpLsh.TableOffset}) * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w " +
+      "FROM (SELECT unnest(generate_series(0, 5)) AS t), (SELECT unnest(generate_series(0, 63)) AS d))",
+    "dots2 AS (SELECT ve2.vec_id, w2.t, SUM(ve2.x * w2.w) AS dot FROM ve2 JOIN w2 ON w2.d = ve2.d GROUP BY 1, 2)",
+    "bk2 AS (SELECT vec_id, t, CAST(floor(dot / 200000.0) AS BIGINT) AS bucket FROM dots2)",
+    s"qp2 AS (SELECT vec_id AS qid, t, bucket + p AS bucket FROM bk2, " +
+      s"(SELECT unnest(generate_series(-1, 1)) AS p) WHERE vec_id % $QuerySampleMod = 0)",
+    "cand2 AS (SELECT DISTINCT qp2.qid, c.vec_id AS cid FROM qp2 " +
+      "JOIN bk2 c ON c.t = qp2.t AND c.bucket = qp2.bucket AND c.vec_id <> qp2.qid)",
+    "ann2 AS (SELECT qid, cid FROM (SELECT c.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, e.v), c.cid) AS rank " +
+      s"FROM cand2 c JOIN q2 q ON q.qid = c.qid JOIN e2 e ON e.vec_id = c.cid) WHERE rank <= $K)",
+    "brp_recall AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact2 JOIN ann2 USING (qid, cid)) " +
+      s"/ ((SELECT COUNT(DISTINCT qid) FROM exact2) * $K) AS recall)")
+
+  /** #19 retrieval_recall_compliance (yaml:82-84): recall@k of the BRP
+    * index against the exact euclidean oracle, averaged over the query
+    * sample, compared to the declared recall SLA. Fully oracled since the
+    * MLlib model was replaced by the deterministic substrate.BrpLsh
+    * (VERDICT r3 #6) — the DuckDB side recomputes the buckets, the probe
+    * join, the rerank, the recall fraction, and the SLA comparison.
     */
   val retrievalRecallCompliance = Check("retrieval_recall_compliance",
     (spark, dir) => {
@@ -131,7 +144,10 @@ object VectorTier {
         .filter(col("recall") >= col("threshold"))
       fractionDf(spark, "retrieval_recall_compliance", cnt(met), cnt(target))
     },
-    None)
+    Some(fractionSql("retrieval_recall_compliance",
+      "SELECT COUNT(*) FROM brp_recall r JOIN sla s ON s.sla_kind = 'recall' WHERE r.recall >= s.threshold",
+      "SELECT COUNT(*) FROM sla WHERE sla_kind = 'recall'",
+      Seq(sla), extraCtes = brpRecallCtes)))
 
   /** IVF-flat approximate top-k (substrate.IvfIndex): deterministic
     * centroid sample, nProbe-cell search. Oracle = the same pipeline in
@@ -166,9 +182,9 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  /** Recall@k of the IVF index vs the exact euclidean oracle — the fully
-    * ORACLE-CHECKED recall evaluation (unlike #19's MLlib-LSH variant whose
-    * random projections aren't reproducible in SQL): IVF's centroid sample,
+  /** Recall@k of the IVF index vs the exact euclidean oracle — the second
+    * oracle-checked recall evaluation (alongside #19's BRP variant, both
+    * deterministic since VERDICT r3 #6): IVF's centroid sample,
     * cell assignment, probe and rank are all deterministic arithmetic, so
     * the recall fraction itself (sum of integer overlaps / |Q|·k — one
     * division) is bit-identical cross-engine.
@@ -244,20 +260,27 @@ object VectorTier {
 
   /** The sign-LSH candidate pipeline as DuckDB CTEs, ending in
     * `scored (a, b, s)` — the SQL mirror of CosineSignLsh.scoredCandidates
-    * (32 planes, 8-bit bands, mean-centered via per-plane offsets, exact
-    * cosine on the original vectors per candidate pair).
+    * at its DEFAULTS: band width derived from the corpus count by the
+    * same integer CASE ladder as CosineSignLsh.autoBandBits (cfg CTE),
+    * nPlanes = DefaultBands × bits, mean-centered via per-plane offsets,
+    * exact cosine on the original vectors per candidate pair. Deriving the
+    * width IN SQL keeps the oracle honest when the corpus grows: both
+    * engines widen bands together.
     */
   private def signLshScoredCtes(augSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |aug AS ($augSql),
+       |cfg AS (SELECT ${graft.substrate.CosineSignLsh.autoBandBitsCaseSql} AS bits
+       |FROM (SELECT COUNT(*) AS n FROM aug)),
        |ve AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM aug),
        |m AS (SELECT d, AVG(x) AS mu FROM ve GROUP BY d),
        |w AS (SELECT p, d, CAST((p * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w
-       |FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(0, 63)) AS d)),
+       |FROM (SELECT unnest(generate_series(0, ${graft.substrate.CosineSignLsh.DefaultBands} * (SELECT bits FROM cfg) - 1)) AS p),
+       |(SELECT unnest(generate_series(0, 63)) AS d)),
        |off AS (SELECT p, SUM(m.mu * w.w) AS off FROM m JOIN w ON w.d = m.d GROUP BY p),
        |dots AS (SELECT ve.vec_id, w.p, SUM(ve.x * w.w) AS dot FROM ve JOIN w ON w.d = ve.d GROUP BY 1, 2),
-       |bands AS (SELECT vec_id, dots.p // 8 AS band,
-       |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % 8) ELSE 0 END) AS bkey
+       |bands AS (SELECT vec_id, dots.p // (SELECT bits FROM cfg) AS band,
+       |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % (SELECT bits FROM cfg)) ELSE 0 END) AS bkey
        |FROM dots JOIN off ON off.p = dots.p GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
        |JOIN bands y ON y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id),

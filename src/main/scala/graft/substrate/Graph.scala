@@ -159,7 +159,14 @@ object Graph {
   }
 
   private[substrate] def componentsDistributed(e: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int): DataFrame = componentsDistributedWithRounds(e, maxIters)._1
+
+  /** [[componentsDistributed]] plus the CONVERGENCE ROUND COUNT — the
+    * number the O(log diameter) pointer-doubling claim is measured by
+    * (tools.ScaleRehearsal records rounds vs log2(diameter) at 1×/10×).
+    */
+  private[graft] def componentsDistributedWithRounds(e: DataFrame,
+      maxIters: Int): (DataFrame, Int) = {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
@@ -194,7 +201,7 @@ object Graph {
       throw new IllegalStateException(
         s"componentsDistributed did not converge in $maxIters rounds " +
           "(should be ~log2(diameter) with pointer doubling; raise maxIters)")
-    labels
+    (labels, iter)
   }
 
   private[substrate] def closureDistributed(edges: DataFrame, maxIters: Int): DataFrame = {

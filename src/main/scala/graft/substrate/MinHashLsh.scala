@@ -123,7 +123,10 @@ object MinHashLsh {
     *
     * @param deltaShingles  (doc_id, shingle) for the new batch
     * @param corpusShingles (doc_id, shingle) for the indexed corpus
-    * @return (a = delta doc, b = corpus doc, jaccard ≥ threshold)
+    * @return (a = delta doc, b = corpus doc, jaccard ≥ threshold). A
+    *         doc_id present in BOTH sets (a re-ingest under the same id)
+    *         is not reported against itself — the candidate join drops
+    *         a = b pairs, mirroring nearDupPairs' a < b discipline.
     */
   def nearDupPairsAgainst(deltaShingles: DataFrame, corpusShingles: DataFrame,
       numPerms: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
@@ -142,6 +145,7 @@ object MinHashLsh {
       .join(bandedKeys(csigs, numPerms, bandRows, bandKeyFn)
         .select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
+      .filter(col("a") =!= col("b")) // same-id re-ingest is not a pair
       .select("a", "b").distinct()
     val inter = candidates
       .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))

@@ -44,11 +44,13 @@ object ScaleRehearsal {
   }
 
   final case class Sample(op: String, scale: String, n: Long, pairs: Long,
-      wallSec: Double, shuffleMb: Double) {
+      wallSec: Double, shuffleMb: Double, showRate: Boolean = true) {
     def rate: Double =
       if (n < 2) 0.0 else pairs.toDouble / (n.toDouble * (n - 1) / 2)
-    def row: String =
-      f"| $op | $scale | $n%,d | $pairs%,d | ${rate * 100}%.4f%% | $wallSec%.1f | $shuffleMb%.0f |"
+    def row: String = {
+      val r = if (showRate) f"${rate * 100}%.4f%%" else "n/a"
+      f"| $op | $scale | $n%,d | $pairs%,d | $r | $wallSec%.1f | $shuffleMb%.0f |"
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,12 +97,15 @@ object ScaleRehearsal {
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .persist()
-    // sign-scramble: s(k,d) = ±1 from the same integer-hash family as the
-    // LSH planes; k=0 keeps the original corpus
+    // sign-scramble: s(k,d) = ±1 from the CosineSignLsh.weight integer-hash
+    // family (sign of the centered hash value), so the sign depends on BOTH
+    // k and d — a parity-of-odd-multiple scheme would collapse to d alone
+    // and make replicas exact copies (ADVICE r3). k=0 keeps the original
+    // corpus; replicas 1-9 get mutually distinct scrambles.
     val emb10 = (0 until 10).map { k =>
       if (k == 0) emb1
       else emb1.select((col("vec_id") + k * 10000000L).as("vec_id"),
-        expr(s"transform(v, (x, d) -> CASE WHEN (($k * 64 + d) * 2654435761 + 123) % 2 = 0 THEN x ELSE -x END)")
+        expr(s"transform(v, (x, d) -> CASE WHEN (($k * 64 + d) * 2654435761 + 40503) % 2000001 < 1000000 THEN x ELSE -x END)")
           .as("v"))
     }.reduce(_ unionAll _).persist()
 
@@ -166,6 +171,18 @@ object ScaleRehearsal {
     samples += measured("sign_lsh cand (32 planes, 16-bit bands)", "10x", nEmb10) {
       signCandidates(emb10, 16)
     }
+    // AUTO band width (the default since r4 — VERDICT r3 #1): bandBits
+    // derives from the corpus count inside scoredCandidates, no knob. The
+    // sub-quadratic claim: the auto rate must FALL from 1× to 10×.
+    def signAuto(e: DataFrame): Long =
+      CosineSignLsh.scoredCandidates(e, "vec_id", "v", dim = 64,
+        nPlanes = 0, bandBits = 0, center = true).count()
+    samples += measured(
+      s"sign_lsh cand (auto: ${CosineSignLsh.autoBandBits(nEmb1)}-bit)", "1x",
+      nEmb1) { signAuto(emb1) }
+    samples += measured(
+      s"sign_lsh cand (auto: ${CosineSignLsh.autoBandBits(nEmb10)}-bit)", "10x",
+      nEmb10) { signAuto(emb10) }
 
     // ---- IVF ANN -----------------------------------------------------
     // centroid count scales with n (mod stays fixed), so mean cell size is
@@ -177,6 +194,75 @@ object ScaleRehearsal {
     }
     samples += measured("ivf_topk result rows (k=10)", "1x", nEmb1) { ivf(emb1) }
     samples += measured("ivf_topk result rows (k=10)", "10x", nEmb10) { ivf(emb10) }
+
+    // ---- distributed components: rounds vs log2(diameter) -------------
+    // (VERDICT r3 #7) A CHAIN is the worst-case-diameter graph; edge
+    // counts above Graph.LocalThreshold force the distributed pointer-
+    // doubling path. The claim under test: convergence rounds grow with
+    // log2(diameter) — ~+3.3 rounds for a 10× longer chain, never 10×.
+    def chain(nEdges: Long, scale: String): Sample = {
+      val e = spark.range(nEdges)
+        .select(col("id").cast("long").as("src"),
+          (col("id") + 1).cast("long").as("dst"))
+      var rounds = 0
+      val s = measured("components chain", scale, nEdges) {
+        val (labels, r) = graft.substrate.Graph
+          .componentsDistributedWithRounds(e, maxIters = 40)
+        rounds = r
+        labels.filter(col("label") === 0L).count() // one component, min id 0
+      }
+      s.copy(op = "components chain (rounds=" + rounds +
+        f", log2(diam)=${math.log(nEdges.toDouble) / math.log(2)}%.1f)",
+        showRate = false)
+    }
+    samples += chain(150000L, "1x")
+    samples += chain(1500000L, "10x")
+
+    // ---- stream-stream attribution: state vs stream length ------------
+    // (VERDICT r3 #7) The interval join buffers only watermark+window
+    // TIME's worth of rows per side. Same event RATE, 10× longer stream:
+    // max buffered state must stay FLAT (bounded by rows-in-20min × 2
+    // sides) while total input grows 10× — state is O(window), not O(n).
+    def attributionState(spanMin: Int, scale: String): Sample = {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val ratePerMin = 200
+      val batchMin = 20
+      val nBatches = spanMin / batchMin
+      val perBatch = ratePerMin * batchMin
+      val trig = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val conv = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val joined = graft.streaming.FreshnessMonitor.attributionJoin(
+        trig.toDF().toDF("user_id", "ts"), conv.toDF().toDF("user_id", "ts"))
+      val q = joined.writeStream.format("memory")
+        .queryName(s"attr_scale_$scale").outputMode("append").start()
+      var maxState = 0L
+      val s = measured("attribution join", scale, 2L * ratePerMin * spanMin) {
+        val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+        (0 until nBatches).foreach { b =>
+          val rows = (0 until perBatch).map { i =>
+            val t = base + b.toLong * batchMin * 60000L +
+              i.toLong * batchMin * 60000L / perBatch
+            (i.toLong % 5000, new java.sql.Timestamp(t))
+          }
+          trig.addData(rows)
+          conv.addData(rows.map { case (u, t) =>
+            (u, new java.sql.Timestamp(t.getTime + 300000L)) }) // +5 min
+          q.processAllAvailable()
+          val p = q.lastProgress
+          if (p != null) p.stateOperators.foreach(so =>
+            maxState = math.max(maxState, so.numRowsTotal))
+        }
+        q.stop()
+        maxState
+      }
+      s.copy(op = f"attribution join (max state=$maxState%,d rows)",
+        showRate = false)
+    }
+    samples += attributionState(120, "1x")
+    samples += attributionState(1200, "10x")
 
     val all = samples.result()
     // table rows are appended OUTSIDE stripMargin (their leading '|' would
@@ -213,11 +299,23 @@ object ScaleRehearsal {
          |  fixed-width bands are quadratic in the limit. The documented knob
          |  (bandBits; nPlanes stays a multiple) restores sub-quadratic
          |  growth: the 16-bit row shows the rate collapsing at the same n.
-         |  Policy at scale: bandBits ≈ log2(n) − 4, i.e. 16-24 bits for
-         |  1e6-1e9 vectors, rerank unchanged.
+         |  Since r4 the policy bandBits = clamp(ceil_log2(n) − 4, 6, 24) IS
+         |  the default (CosineSignLsh.autoBandBits, one corpus count, no
+         |  knob; oracle SQL derives the same width via a CASE ladder) — the
+         |  two `auto` rows must show the rate FALLING 1× → 10×.
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
+         |- **Components chain**: worst-case diameter (a path), forced onto
+         |  the distributed pointer-doubling path. Rounds must track
+         |  log2(diameter) (~+3.3 at 10×) — a linear-propagation
+         |  implementation would need 10× the rounds and stall at 100 TB
+         |  graph depth.
+         |- **Attribution join state**: same event rate, 10× longer stream —
+         |  max buffered state (numRowsTotal) must stay ~flat at
+         |  rows-in-(watermark+window) × 2 sides (≈ 200/min × 20 min × 2 =
+         |  8,000), while input grows 10×: stream state is O(window·rate),
+         |  never O(stream length).
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       md.getBytes("UTF-8"))

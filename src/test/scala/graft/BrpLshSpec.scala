@@ -1,17 +1,17 @@
 package graft
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
-/** Deterministic bucket behavior of the MLlib BRP-LSH index backing check
-  * #19 (VectorTier.lshModel, seed 42) — the one index whose hash function
-  * is MLlib-internal and so can't be oracled in SQL (VERDICT r2 "what's
-  * missing" #3). This spec pins the properties the recall check relies on:
-  * the same seed reproduces the same buckets run-to-run, and bucket
-  * sharing orders by distance (a near-identical pair shares hashes; a far
-  * pair shares fewer).
+import graft.substrate.BrpLsh
+
+/** Deterministic multi-probe BRP-LSH (substrate.BrpLsh) — the in-house
+  * euclidean index behind check #19, replacing the MLlib fitted model
+  * (VERDICT r3 #6). Pins the properties the recall check relies on:
+  * buckets are pure arithmetic (reproducible run-to-run with no fit), a
+  * near-identical pair shares every table's bucket, the probe window
+  * recovers neighbors one bucket over, and the candidate step plans as an
+  * equi-join (no all-pairs product).
   */
 class BrpLshSpec extends SparkSpec {
   import spark.implicits._
@@ -23,38 +23,62 @@ class BrpLshSpec extends SparkSpec {
     Seq.fill(dim)(rng.nextDouble() * 10 - 5)
   }
 
-  private def fitHashes(df: DataFrame): Map[Long, Seq[Double]] = {
-    val model = new BucketedRandomProjectionLSH()
-      .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
-      .setInputCol("features").setOutputCol("hashes")
-      .fit(df)
-    model.transform(df)
-      .select(col("id"), col("hashes"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[org.apache.spark.ml.linalg.Vector](1).map(_(0)).toSeq)
-      .toMap
-  }
-
   private lazy val corpus = ((1 to 20).map(i => (i.toLong, vec(i))) :+
-    (1001L, vec(1).map(_ + 0.01))) // planted near-dup of id 1
-    .toDF("id", "v")
-    .withColumn("features", array_to_vector(col("v")))
+    (1001L, vec(1).map(_ + 0.0001))) // planted near-dup of id 1
+    .toDF("vec_id", "v")
 
-  test("same seed -> bit-identical buckets across independent fits") {
-    val h1 = fitHashes(corpus)
-    val h2 = fitHashes(corpus)
-    assert(h1 == h2, "seeded BRP-LSH must be reproducible fit-to-fit")
+  // bucketLength sized to the ±5 cube with ±1e6-scale weights: dot spread
+  // is ~|w|·|v| ≈ 1e6·10, so 2e6 buckets resolve ~10 levels per table
+  private val L = 2e6
+
+  test("buckets are deterministic arithmetic: two independent plans agree") {
+    val k1 = BrpLsh.bucketKeys(corpus, "vec_id", "v", dim, 4, L).collect()
+    val k2 = BrpLsh.bucketKeys(corpus, "vec_id", "v", dim, 4, L).collect()
+    assert(k1.toSet == k2.toSet)
+    assert(k1.length == 21 * 4) // one row per (vector, table)
   }
 
-  test("near-identical vectors share every hash table's bucket") {
-    val h = fitHashes(corpus)
-    val shared = h(1L).zip(h(1001L)).count { case (a, b) => a == b }
-    assert(shared == 3, s"near-dup pair shares $shared/3 buckets")
-    // distant vectors must not ALL collide across every table (bucket
-    // length 1.0 on a ±5 cube keeps random collisions partial)
+  test("near-identical vectors share every table's bucket") {
+    val bk = BrpLsh.bucketKeys(corpus, "vec_id", "v", dim, 4, L)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(bk(1L) == bk(1001L), "near-dup pair must fully collide")
+    // distant vectors must not ALL collide across every table
     val farShared = for (i <- 2L to 20L)
-      yield h(1L).zip(h(i)).count { case (a, b) => a == b }
-    assert(farShared.exists(_ < 3), "every far pair fully collided")
+      yield bk(1L).zip(bk(i)).count { case (a, b) => a == b }
+    assert(farShared.exists(_ < 4), "every far pair fully collided")
+  }
+
+  test("topK surfaces the planted neighbor at rank 1 and never all-pairs") {
+    val q = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = BrpLsh.topK(corpus, q, dim, k = 3, nTables = 4,
+      bucketLength = L, probe = 1)
+    val rows = top.as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(rows.head == ((1L, 1L, 1001L)),
+      s"planted neighbor not rank 1: ${rows.mkString(", ")}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = BrpLsh.topK(corpus, q, dim, k = 3, nTables = 4,
+          bucketLength = L, probe = 1)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs product in BRP plan:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("probe window recovers a neighbor one bucket over") {
+    // two vectors straddling a bucket boundary: dots differ by < L but can
+    // floor to adjacent buckets; probe=1 must still pair them as candidates
+    val a = Seq.fill(dim)(0.0)
+    val b = Seq.fill(dim)(0.001) // tiny offset — adjacent or same bucket
+    val df = Seq((1L, a), (2L, b)).toDF("vec_id", "v")
+    val q = df.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = BrpLsh.topK(df, q, dim, k = 1, nTables = 4,
+      bucketLength = L, probe = 1).as[(Long, Long, Long)].collect()
+    assert(top.toSeq == Seq((1L, 1L, 2L)))
   }
 }

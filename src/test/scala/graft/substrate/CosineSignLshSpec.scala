@@ -44,6 +44,24 @@ class CosineSignLshSpec extends SparkSpec {
     assert(math.abs(all.sum / all.size) < 100000, "weights badly off-center")
   }
 
+  test("autoBandBits follows the clamped ceil-log2 policy, and the SQL ladder mirrors it") {
+    assert(CosineSignLsh.autoBandBits(1) == 6)
+    assert(CosineSignLsh.autoBandBits(1024) == 6)   // 2^10 → 6 (clamp floor)
+    assert(CosineSignLsh.autoBandBits(1025) == 7)
+    assert(CosineSignLsh.autoBandBits(5200) == 9)   // ceil_log2 = 13
+    assert(CosineSignLsh.autoBandBits(1L << 20) == 16)
+    assert(CosineSignLsh.autoBandBits(1L << 28) == 24)
+    assert(CosineSignLsh.autoBandBits(Long.MaxValue) == 24) // clamp ceiling
+    val ns = Seq(1L, 2L, 100L, 1024L, 1025L, 4096L, 5200L,
+      1L << 20, (1L << 24) + 7, 1L << 28, (1L << 28) + 1)
+    val mirrored = ns.toDF("n")
+      .selectExpr("n", s"${CosineSignLsh.autoBandBitsCaseSql} AS bits")
+      .as[(Long, Int)].collect()
+    mirrored.foreach { case (n, bits) =>
+      assert(bits == CosineSignLsh.autoBandBits(n), s"ladder diverges at n=$n")
+    }
+  }
+
   test("topKPairs ranks the planted near-dups at the head") {
     val top = CosineSignLsh.topKPairs(vecs, "id", "v", dim, k = 5)
       .select("rank", "a", "b").as[(Long, Long, Long)].collect()
