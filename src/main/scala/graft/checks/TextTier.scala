@@ -296,6 +296,52 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** URL density — the corpus-prep filter signal next to pii_scrub's
+    * redaction: link-farm / scraped-navigation pages carry high
+    * url-chars-per-byte and get dropped or down-weighted before training.
+    * The synthetic corpus has no URLs, so the check PLANTS them (same
+    * discipline as pii_scrub): doc_id % 20 == 0 gains one https URL,
+    * doc_id % 20 == 10 gains two http URLs. Output is integer-only
+    * (match count, matched chars, total length — density = url_chars/len
+    * is derivable, the integers hash exactly). Per-row regex → linear,
+    * map-side, trivially parallel at 100 TB.
+    */
+  val urlDensity = Check("url_density",
+    (spark, dir) => {
+      val urlRe = "https?://[a-z0-9.-]+/[a-z0-9]*"
+      val planted = docs(spark, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 20 === 0,
+            concat(lit(" see https://example.com/p"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 20 === 10,
+            concat(lit(" via http://mirror.example.org/m"), col("doc_id"),
+              lit(" or http://alt.example.net/a"), col("doc_id")))
+            .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(urlRe)).cast("long").as("n_urls"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), urlRe, ""))).cast("long")
+            .as("url_chars"),
+          length(col("text")).cast("long").as("text_len"))
+        .filter(col("n_urls") > 0)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH planted AS (SELECT doc_id, text ||
+        |CASE WHEN doc_id % 20 = 0 THEN ' see https://example.com/p' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |CASE WHEN doc_id % 20 = 10 THEN ' via http://mirror.example.org/m' || CAST(doc_id AS VARCHAR) ||
+        |' or http://alt.example.net/a' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |AS text FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, 'https?://[a-z0-9.-]+/[a-z0-9]*')) AS BIGINT) AS n_urls,
+        |CAST(length(text) - length(regexp_replace(text, 'https?://[a-z0-9.-]+/[a-z0-9]*', '', 'g')) AS BIGINT) AS url_chars,
+        |CAST(length(text) AS BIGINT) AS text_len
+        |FROM planted WHERE len(regexp_extract_all(text, 'https?://[a-z0-9.-]+/[a-z0-9]*')) > 0
+        |ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Per-source vocabulary statistics — the Zipf-tail view a corpus audit
     * needs (vocabulary growth and hapax mass drive tokenizer and
     * mixture decisions): total token count, distinct vocabulary, and
@@ -526,7 +572,8 @@ object TextTier {
     isScore = false, inBench = false)
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhashPortable, neardupCosineAllpairs, piiScrub, vocabStats,
+    dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
+    vocabStats,
     langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -69,6 +69,25 @@ class BrpLshSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("randomized: a planted near-duplicate is recalled at rank 1 (8 corpora)") {
+    for (seed <- 1 to 8) {
+      val rng = new scala.util.Random(seed * 77)
+      val n = 30 + rng.nextInt(40)
+      val base = (1 to n).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextDouble() * 10 - 5)))
+      val dupOf = 1L + rng.nextInt(n)
+      val corpus = (base :+
+        (9999L, base(dupOf.toInt - 1)._2.map(_ + 0.0001)))
+        .toDF("vec_id", "v")
+      val q = corpus.filter(col("vec_id") === dupOf)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val top = BrpLsh.topK(corpus, q, dim, k = 1, nTables = 4,
+        bucketLength = L, probe = 1).as[(Long, Long, Long)].collect()
+      assert(top.toSeq == Seq((dupOf, 1L, 9999L)),
+        s"seed $seed: planted dup of $dupOf not recalled: ${top.mkString(",")}")
+    }
+  }
+
   test("probe window recovers a neighbor one bucket over") {
     // two vectors straddling a bucket boundary: dots differ by < L but can
     // floor to adjacent buckets; probe=1 must still pair them as candidates
