@@ -268,6 +268,45 @@ object PipelineTier {
     inBench = false) // md5 witness: proves the cross-set band algebra, not
                      // throughput — the benched twin is dedup_incremental_prod
 
+  /** Sequence PACKING — the concat-and-chop step that turns a curated
+    * corpus into fixed-length LM training sequences: per source, documents
+    * lay out in doc_id order, token offsets accumulate, and a document
+    * belongs to the 512-token window its FIRST token lands in (pack_id =
+    * start_offset // seqLen; boundaries cut mid-document — the standard
+    * packing semantics). Output = per-(source, pack) doc count and token
+    * mass, the pack-utilization view a data loader plans batches from.
+    * Scale shape: one shuffle on source, an ordered running-sum window
+    * per source partition, then a map-side-combined groupBy — source
+    * partitions sort independently at 100 TB (for a single giant source,
+    * range-partition by doc_id and offset per range with a two-pass
+    * prefix sum).
+    */
+  val sequencePack = Check("sequence_pack",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 512L
+      val d = docs(spark, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      d.withColumn("cum", sum("n_toks").over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_toks")) / lit(seqLen)).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_toks").cast("long").as("tok_sum"))
+        .orderBy("source", "pack_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, source,
+        |len(string_split_regex(trim(text), '\s+')) AS n_toks FROM documents),
+        |c AS (SELECT source, n_toks,
+        |SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM d)
+        |SELECT source, CAST((cum - n_toks) // 512 AS BIGINT) AS pack_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** PRODUCTION-HASH twin of [[dedupIncremental]]: the same delta-vs-index
     * shape on the same corpus split, but hashed with the engine-native
     * xxhash64 permutations and int band keys (MinHashLsh defaults) — the
@@ -934,7 +973,7 @@ object PipelineTier {
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
-    dedupIncrementalProd, eventsInRunWindow,
+    dedupIncrementalProd, sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,

@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.substrate.{CosineSignLsh, IvfIndex, MinHashLsh, VectorOps}
+import graft.substrate.{BrpLsh, CosineSignLsh, IvfIndex, MinHashLsh, VectorOps}
 
 /** Empirical scale rehearsal for the dedup/ANN tier (VERDICT r2 #6): runs
   * the sub-quadratic candidate generators on 1× and 10× corpora and
@@ -195,6 +195,32 @@ object ScaleRehearsal {
     samples += measured("ivf_topk result rows (k=10)", "1x", nEmb1) { ivf(emb1) }
     samples += measured("ivf_topk result rows (k=10)", "10x", nEmb10) { ivf(emb10) }
 
+    // ---- BRP multi-probe (serving ANN index) ---------------------------
+    // value-space buckets: with FIXED bucketLength the occupied-bucket
+    // count tracks the data spread, not n, so candidate RATE stays
+    // ~constant — the same quadratic limit fixed sign-LSH bands had, with
+    // bucket WIDTH as the knob (the L/4 row shows the rate falling at the
+    // same n). Check #19 deliberately runs a generous width: its corpus is
+    // isotropic background whose exact top-10 sits barely nearer than
+    // random, so recall there trades directly against candidate volume.
+    def brpCand(e: DataFrame, bucketLength: Double): Long = {
+      val bk = BrpLsh.bucketKeys(e, "vec_id", "v", dim = 64,
+        nTables = 6, bucketLength = bucketLength)
+      bk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+        .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("b")),
+          Seq("tbl", "bucket"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    }
+    samples += measured("brp cand (6 tables, L=2e5)", "1x", nEmb1) {
+      brpCand(emb1, 2e5)
+    }
+    samples += measured("brp cand (6 tables, L=2e5)", "10x", nEmb10) {
+      brpCand(emb10, 2e5)
+    }
+    samples += measured("brp cand (6 tables, L=5e4)", "10x", nEmb10) {
+      brpCand(emb10, 5e4)
+    }
+
     // ---- distributed components: rounds vs log2(diameter) -------------
     // (VERDICT r3 #7) A CHAIN is the worst-case-diameter graph; edge
     // counts above Graph.LocalThreshold force the distributed pointer-
@@ -306,6 +332,15 @@ object ScaleRehearsal {
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
+         |- **BRP multi-probe**: value-space buckets (floor(dot/L)) — the
+         |  occupied-bucket count follows the data spread, not n, so a fixed
+         |  L holds the candidate rate ~constant (quadratic limit, like
+         |  fixed sign-LSH bands); the L/4 row shows the width knob cutting
+         |  the rate at the same n. Check #19 keeps a generous L by design:
+         |  its corpus is isotropic background (exact top-10 barely nearer
+         |  than random), where ANY sub-linear candidate set caps recall —
+         |  the curse of dimensionality, not an index defect; real corpora
+         |  with neighbor structure run narrow buckets and keep both.
          |- **Components chain**: worst-case diameter (a path), forced onto
          |  the distributed pointer-doubling path. Rounds must track
          |  log2(diameter) (~+3.3 at 10×) — a linear-propagation
