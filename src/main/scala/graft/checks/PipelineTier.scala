@@ -268,6 +268,95 @@ object PipelineTier {
     inBench = false) // md5 witness: proves the cross-set band algebra, not
                      // throughput — the benched twin is dedup_incremental_prod
 
+  /** QUALITY-AWARE dedup retention — the decision layer production
+    * curation actually runs: near-dup pairs → connected components →
+    * keep the HIGHEST-QUALITY member per cluster (here: most tokens,
+    * doc_id tiebreak), not the min-id. On the dedup_minhash_banded
+    * planted corpus every cluster is {original, first-token-dropped copy},
+    * so the quality rule must keep exactly the originals — a
+    * semantically-checkable retention decision, not just a convention.
+    * Output = one row per cluster (kept doc, its token count, cluster
+    * size). Oracle recomputes the full chain: md5 banding → exact-Jaccard
+    * pairs → recursive closure → per-cluster argmax. Composes three
+    * already-scale-safe parts (banded LSH, components, a per-cluster
+    * window over cluster-sized groups).
+    */
+  val dedupRetainQuality = Check("dedup_retain_quality",
+    (spark, dir) => {
+      val d = docs(spark, dir).filter(col("doc_id") % 4 === 0)
+      val toks = tokens(col("text"))
+      val aug = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+              .as("text")))
+      val sh = aug.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      val pairs = graft.substrate.MinHashLsh.nearDupPairs(sh, numPerms = 8,
+          bandRows = 2, threshold = 0.5,
+          hashFn = graft.substrate.MinHashLsh.portableHash,
+          bandKeyFn = graft.substrate.MinHashLsh.portableBandKey)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comps = graft.substrate.Graph.components(pairs)
+      val qual = aug.select(col("doc_id").as("node"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val sizes = comps.groupBy("label")
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      val w = Window.partitionBy("label").orderBy(col("n_tokens").desc, col("node"))
+      comps.join(qual, Seq("node"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(sizes, Seq("label"))
+        .select(col("node").as("kept_doc"), col("n_tokens").as("kept_tokens"),
+          col("cluster_size"))
+        .orderBy("kept_doc")
+    },
+    Some {
+      val sigCols = (0 until 8)
+        .map(p => s"MIN(md5(sh || ':$p')) AS m$p").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+         |len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+         |FROM documents WHERE doc_id % 100 = 0),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM aug),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |sigs AS (SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY doc_id),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+         |FROM cand c JOIN tri ta ON ta.doc_id = c.a
+         |JOIN tri tb ON tb.doc_id = c.b AND tb.sh = ta.sh GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM (
+         |SELECT c.a AS a, c.b AS b,
+         |CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b)
+         |WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS n FROM edges),
+         |reach AS (SELECT n AS root, n AS node FROM nodes
+         |UNION SELECT r.root, e.d FROM reach r JOIN edges e ON e.s = r.node),
+         |labels AS (SELECT root, MIN(node) AS label FROM reach GROUP BY root),
+         |qual AS (SELECT doc_id AS node,
+         |CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM aug),
+         |sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM labels GROUP BY label),
+         |ranked AS (SELECT l.root AS node, l.label, q.n_tokens,
+         |row_number() OVER (PARTITION BY l.label ORDER BY q.n_tokens DESC, l.root) AS rn
+         |FROM labels l JOIN qual q ON q.node = l.root)
+         |SELECT r.node AS kept_doc, r.n_tokens AS kept_tokens, s.cluster_size
+         |FROM ranked r JOIN sizes s ON s.label = r.label WHERE r.rn = 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** Sequence PACKING — the concat-and-chop step that turns a curated
     * corpus into fixed-length LM training sequences: per source, documents
     * lay out in doc_id order, token offsets accumulate, and a document
@@ -973,7 +1062,7 @@ object PipelineTier {
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
-    dedupIncrementalProd, sequencePack, eventsInRunWindow,
+    dedupIncrementalProd, dedupRetainQuality, sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,

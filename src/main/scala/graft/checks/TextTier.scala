@@ -296,6 +296,52 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Per-document DUPLICATED-SPAN stats — the exact-substring-dedup
+    * analysis view (the "what fraction of this document appears elsewhere
+    * in the corpus" signal behind span-level training-data dedup): for
+    * each document, its distinct word-trigram shingles and how many of
+    * them occur in at least one OTHER document. Unlike the pair-producing
+    * dedup operators this is the per-document diagnostic a curation run
+    * ranks and thresholds on. No planting needed — natural cross-doc
+    * trigram sharing is plentiful (≈40% of distinct trigrams at sf0.01).
+    * Scale shape: one shingle-keyed groupBy (the same shuffle the MinHash
+    * signature pass does), a semi-join back on the shingle, and doc-keyed
+    * aggs — linear, never all-pairs.
+    */
+  val dupSpanStats = Check("dup_span_stats",
+    (spark, dir) => {
+      val tri = docs(spark, dir).select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("sh"))
+      // tri is distinct per doc, so per-shingle row count == doc frequency
+      val dupSh = tri.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") > 1).select("sh")
+      val perDoc = tri.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val dup = tri.join(dupSh, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      docs(spark, dir).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).cast("long").as("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |dupsh AS (SELECT sh FROM (SELECT sh, COUNT(*) AS dfreq FROM tri GROUP BY sh) WHERE dfreq > 1),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY doc_id),
+        |dup AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tri t JOIN dupsh USING (sh) GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n, CAST(0 AS BIGINT)) AS n_shingles,
+        |COALESCE(u.n, CAST(0 AS BIGINT)) AS n_dup_shingles
+        |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        |LEFT JOIN dup u ON u.doc_id = d.doc_id ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** URL density — the corpus-prep filter signal next to pii_scrub's
     * redaction: link-farm / scraped-navigation pages carry high
     * url-chars-per-byte and get dropped or down-weighted before training.
@@ -573,7 +619,7 @@ object TextTier {
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
-    vocabStats,
+    dupSpanStats, vocabStats,
     langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

@@ -19,7 +19,9 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "embedding_coverage", "data_freshness", "consent_coverage",
-      "record_level_traceability", "knn_exact_cosine", "dedup_exact")
+      "record_level_traceability", "knn_exact_cosine", "dedup_exact",
+      "sequence_pack", "dup_span_stats", "retrieval_recall_compliance",
+      "neardup_cosine_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       Checks.byName(n).run(spark, dir).explain("formatted")
