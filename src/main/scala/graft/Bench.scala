@@ -16,7 +16,8 @@ object Bench {
     "split_contamination", "constraint_validation",
     "retrieval_recall_compliance", "fuzzy_match_dist", "ngram_doc_freq",
     "dedup_retain", "dedup_minhash_lsh", "dedup_minhash_banded",
-    "dedup_incremental_prod", "neardup_cosine_topk", "dedup_clusters")
+    "dedup_incremental_prod", "neardup_cosine_topk", "dedup_clusters",
+    "dedup_retain_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -131,6 +131,27 @@ class PlanQualitySpec extends SparkSpec {
       s"fact shuffled for a dimension join:\n$plan")
   }
 
+  test("sequence_pack: one source shuffle, partitioned window, no product") {
+    val plan = planOf(Checks.byName("sequence_pack").run(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"product in pack plan:\n$plan")
+    // the running-sum window must be partitioned (by source), never global
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+    assert(!plan.toLowerCase.contains("window operation! moving all data"),
+      "global window in sequence_pack")
+    // exactly the source-partition exchange + the final agg/order exchanges;
+    // a plan that shuffles the corpus more than 3x lost the single-pass shape
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"$exchanges exchanges in sequence_pack plan:\n$plan")
+  }
+
+  test("dup_span_stats: shingle joins are equi-joins, never a product") {
+    val plan = planOf(Checks.byName("dup_span_stats").run(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"product in dup_span_stats plan:\n$plan")
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
