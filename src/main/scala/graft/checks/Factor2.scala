@@ -10,7 +10,7 @@ import graft.checks.CheckDsl._
   * latencies" (reference `factors/2-consumable.md:3`; stanzas
   * `factors/requirements.yaml:41-88`). Checks #9-#20 of SURVEY.md §2.A.
   *
-  * #19 (LSH recall) lives in Factor2Vector — it needs MLlib and has no SQL
+  * #19 (LSH recall) lives in VectorTier with the deterministic BrpLsh
   * oracle.
   */
 object Factor2 {
