@@ -62,6 +62,25 @@ class CosineSignLshSpec extends SparkSpec {
     }
   }
 
+  test("auto width preserves planted recall across the 6->7-bit boundary") {
+    // corpora straddling n = 1024 (where autoBandBits steps 6 -> 7):
+    // widening bands must not lose the planted near-identical pairs
+    for (n <- Seq(900, 1100)) {
+      val rng = new scala.util.Random(n)
+      val base = (1 to n).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextDouble() * 2000 - 1000)))
+      val planted = Seq(
+        (100001L, base(0)._2.map(_ + 0.5)),
+        (100002L, base(n / 2)._2.map(_ + 0.5)))
+      val corpus = (base ++ planted).toDF("id", "v")
+      val found = CosineSignLsh.nearDupPairs(corpus, "id", "v", dim,
+          threshold = 0.999)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(found == Set((1L, 100001L), ((n / 2 + 1).toLong, 100002L)),
+        s"n=$n (bits=${CosineSignLsh.autoBandBits(n + 2)}): $found")
+    }
+  }
+
   test("topKPairs ranks the planted near-dups at the head") {
     val top = CosineSignLsh.topKPairs(vecs, "id", "v", dim, k = 5)
       .select("rank", "a", "b").as[(Long, Long, Long)].collect()
