@@ -54,6 +54,18 @@ object CosineSignLsh {
     * bucket occupancy grows linearly again — shard the corpus first.
     * Integer-exact (no float log), mirrored bit-for-bit by the SQL ladder
     * in [[autoBandBitsCaseSql]].
+    *
+    * Recall honesty: widening bands sharpens the LSH S-curve toward the
+    * near-identical end. With p = 1 − θ/π per bit and r = DefaultBands,
+    * pair recall is 1 − (1 − p^bits)^r: at 16 bits a cos ≈ 0.997
+    * duplicate still buckets with ~0.99 probability, but a borderline
+    * cos = 0.9 pair drops to ~0.3 — the auto policy is tuned for corpus
+    * DEDUP (near-identical targets), the regime the threshold-0.9 rerank
+    * serves. Mining borderline-similarity pairs at large n needs either a
+    * pinned narrower width (accepting the quadratic candidate cost that
+    * implies) or more bands (recall 1 − (1 − p^b)^r rises in r at fixed
+    * b) — both reachable through the explicit nPlanes/bandBits
+    * parameters.
     */
   def autoBandBits(n: Long): Int = {
     val ceilLog2 = if (n < 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
