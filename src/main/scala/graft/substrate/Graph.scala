@@ -174,25 +174,32 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // push each node's label to its neighbors; fold the min per node
+      // push each node's label to its neighbors; fold the min per node.
+      // The OLD label rides along the whole round (carried column, not a
+      // post-hoc join) so convergence detection reuses the checkpointed
+      // result instead of re-joining next×labels — one shuffle and one
+      // action fewer per round.
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("label"))
-      val mins = labels.unionAll(msgs)
-        .groupBy("node").agg(min("label").as("label"))
+      val msgMin = msgs.groupBy("node").agg(min("label").as("mlabel"))
+      val merged = labels.withColumnRenamed("label", "old")
+        .join(msgMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("mlabel"), col("old"))).as("label"))
       // pointer-doubling shortcut: also jump to the LABEL's current label
       // (labels are node ids, so every label has a row). Each round the
       // remaining path to the component min halves — O(log diameter)
       // rounds instead of O(diameter), so long near-dup chains converge
       // well inside maxIters.
-      val byNode = mins.select(col("node").as("l_node"), col("label").as("l_label"))
-      val next = mins
-        .join(byNode, mins("label") === byNode("l_node"), "left")
-        .select(mins("node"),
-          least(mins("label"), coalesce(col("l_label"), mins("label"))).as("label"))
+      val byNode = merged.select(col("node").as("l_node"), col("label").as("l_label"))
+      val next = merged
+        .join(byNode, merged("label") === byNode("l_node"), "left")
+        .select(merged("node"), merged("old"),
+          least(merged("label"), coalesce(col("l_label"), merged("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count() == 0
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      // cheap projection over the already-checkpointed round result
+      labels = next.select("node", "label")
       iter += 1
     }
     // unconverged labels are WRONG labels (a component would be split
