@@ -252,7 +252,8 @@ object PipelineTier {
          |cband AS (${bands("csigs")}),
          |dband AS (${bands("dsigs")}),
          |cand AS (SELECT DISTINCT d.doc_id AS a, c.doc_id AS b
-         |FROM dband d JOIN cband c ON d.band = c.band AND d.bkey = c.bkey),
+         |FROM dband d JOIN cband c ON d.band = c.band AND d.bkey = c.bkey
+         |AND d.doc_id <> c.doc_id),
          |inter AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
          |FROM cand c JOIN dtri ta ON ta.doc_id = c.a
          |JOIN ctri tb ON tb.doc_id = c.b AND tb.sh = ta.sh GROUP BY 1, 2)

@@ -106,11 +106,11 @@ object VectorTier {
       s"FROM q2 q, e2 c WHERE c.vec_id <> q.qid) WHERE rank <= $K)",
     "ve2 AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM e2)",
     s"w2 AS (SELECT t, d, CAST(((t + ${graft.substrate.BrpLsh.TableOffset}) * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w " +
-      "FROM (SELECT unnest(generate_series(0, 5)) AS t), (SELECT unnest(generate_series(0, 63)) AS d))",
+      s"FROM (SELECT unnest(generate_series(0, ${graft.substrate.BrpLsh.DefaultTables - 1})) AS t), (SELECT unnest(generate_series(0, 63)) AS d))",
     "dots2 AS (SELECT ve2.vec_id, w2.t, SUM(ve2.x * w2.w) AS dot FROM ve2 JOIN w2 ON w2.d = ve2.d GROUP BY 1, 2)",
-    "bk2 AS (SELECT vec_id, t, CAST(floor(dot / 200000.0) AS BIGINT) AS bucket FROM dots2)",
+    s"bk2 AS (SELECT vec_id, t, CAST(floor(dot / ${graft.substrate.BrpLsh.DefaultBucketLength}) AS BIGINT) AS bucket FROM dots2)",
     s"qp2 AS (SELECT vec_id AS qid, t, bucket + p AS bucket FROM bk2, " +
-      s"(SELECT unnest(generate_series(-1, 1)) AS p) WHERE vec_id % $QuerySampleMod = 0)",
+      s"(SELECT unnest(generate_series(${-graft.substrate.BrpLsh.DefaultProbe}, ${graft.substrate.BrpLsh.DefaultProbe})) AS p) WHERE vec_id % $QuerySampleMod = 0)",
     "cand2 AS (SELECT DISTINCT qp2.qid, c.vec_id AS cid FROM qp2 " +
       "JOIN bk2 c ON c.t = qp2.t AND c.bucket = qp2.bucket AND c.vec_id <> qp2.qid)",
     "ann2 AS (SELECT qid, cid FROM (SELECT c.qid, c.cid, " +

@@ -45,22 +45,34 @@ object BrpLsh {
     */
   val TableOffset = 1000
 
+  /** Index defaults, named so the check #19 oracle CTEs interpolate the
+    * SAME values the Spark path runs — tuning a knob here cannot silently
+    * desync the two engines.
+    */
+  val DefaultTables = 6
+  val DefaultBucketLength = 200000.0
+  val DefaultProbe = 1
+
   def weight(t: Int, d: Int, dim: Int): Double =
     CosineSignLsh.weight(t + TableOffset, d, dim)
 
   def tables(nTables: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nTables).map(t => (0 until dim).map(d => weight(t, d, dim)))
 
-  /** (id, tbl, bucket) index rows — the stored BRP index artifact. */
+  /** (id, tbl, bucket) index rows — the stored BRP index artifact. All
+    * nTables buckets compute in ONE projection over ONE scan and unpivot
+    * via explode (a unionAll of per-table projections would re-scan the
+    * source once per table — nTables+1 corpus reads per search).
+    */
   def bucketKeys(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nTables: Int, bucketLength: Double): DataFrame = {
     val ws = tables(nTables, dim)
-    val keyed = vecs.select(col(idCol) +: (0 until nTables).map(t =>
+    val kvs = (0 until nTables).map(t => struct(
+      lit(t).as("tbl"),
       floor(VectorOps.dot(col(vecCol), typedLit(ws(t))) / bucketLength)
-        .cast("long").as(s"__b$t")): _*)
-    (0 until nTables).map(t =>
-      keyed.select(col(idCol), lit(t).as("tbl"), col(s"__b$t").as("bucket")))
-      .reduce(_ unionAll _)
+        .cast("long").as("bucket")))
+    vecs.select(col(idCol), explode(array(kvs: _*)).as("kv"))
+      .select(col(idCol), col("kv.tbl").as("tbl"), col("kv.bucket").as("bucket"))
   }
 
   /** Approximate euclidean top-k per query via the multi-probe bucket
@@ -72,8 +84,9 @@ object BrpLsh {
     * @return (qid, rank, cid), rank 1..k by exact distance.
     */
   def topK(e: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      nTables: Int = 6, bucketLength: Double = 200000.0,
-      probe: Int = 1): DataFrame = {
+      nTables: Int = DefaultTables,
+      bucketLength: Double = DefaultBucketLength,
+      probe: Int = DefaultProbe): DataFrame = {
     val corpusBuckets = bucketKeys(e, "vec_id", "v", dim, nTables, bucketLength)
     val qBuckets = bucketKeys(
       queries.select(col("qid").as("vec_id"), col("qv").as("v")),

@@ -139,7 +139,18 @@ object CosineSignLsh {
   private[graft] def scoredCandidates(e: DataFrame, idCol: String,
       vecCol: String, dim: Int, nPlanes: Int, bandBits: Int,
       center: Boolean): DataFrame = {
-    val bits = if (bandBits > 0) bandBits else autoBandBits(e.count())
+    // partial overrides resolve consistently: nPlanes alone keeps the
+    // DefaultBands split (nPlanes=32 → 8-bit bands, the pre-auto
+    // behavior) instead of mixing a pinned plane count with an
+    // auto-derived width that may not tile it
+    val bits =
+      if (bandBits > 0) bandBits
+      else if (nPlanes > 0) {
+        require(nPlanes % DefaultBands == 0,
+          s"nPlanes=$nPlanes must be a multiple of $DefaultBands bands " +
+            "when bandBits is not pinned")
+        nPlanes / DefaultBands
+      } else autoBandBits(e.count())
     val np = if (nPlanes > 0) nPlanes else DefaultBands * bits
     val offsets =
       if (!center) Nil

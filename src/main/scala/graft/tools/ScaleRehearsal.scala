@@ -266,23 +266,24 @@ object ScaleRehearsal {
         .queryName(s"attr_scale_$scale").outputMode("append").start()
       var maxState = 0L
       val s = measured("attribution join", scale, 2L * ratePerMin * spanMin) {
-        val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
-        (0 until nBatches).foreach { b =>
-          val rows = (0 until perBatch).map { i =>
-            val t = base + b.toLong * batchMin * 60000L +
-              i.toLong * batchMin * 60000L / perBatch
-            (i.toLong % 5000, new java.sql.Timestamp(t))
+        try {
+          val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+          (0 until nBatches).foreach { b =>
+            val rows = (0 until perBatch).map { i =>
+              val t = base + b.toLong * batchMin * 60000L +
+                i.toLong * batchMin * 60000L / perBatch
+              (i.toLong % 5000, new java.sql.Timestamp(t))
+            }
+            trig.addData(rows)
+            conv.addData(rows.map { case (u, t) =>
+              (u, new java.sql.Timestamp(t.getTime + 300000L)) }) // +5 min
+            q.processAllAvailable()
+            val p = q.lastProgress
+            if (p != null) p.stateOperators.foreach(so =>
+              maxState = math.max(maxState, so.numRowsTotal))
           }
-          trig.addData(rows)
-          conv.addData(rows.map { case (u, t) =>
-            (u, new java.sql.Timestamp(t.getTime + 300000L)) }) // +5 min
-          q.processAllAvailable()
-          val p = q.lastProgress
-          if (p != null) p.stateOperators.foreach(so =>
-            maxState = math.max(maxState, so.numRowsTotal))
-        }
-        q.stop()
-        maxState
+          maxState
+        } finally q.stop() // never leak a running query into later samples
       }
       s.copy(op = f"attribution join (max state=$maxState%,d rows)",
         showRate = false)

@@ -62,6 +62,16 @@ class CosineSignLshSpec extends SparkSpec {
     }
   }
 
+  test("explicit nPlanes alone resolves to the DefaultBands split, no crash") {
+    // pre-auto callers pinned nPlanes=32 and relied on 8-bit bands; with
+    // bandBits unset the width must derive from nPlanes (32/4 bands = 8),
+    // never from the corpus count (which may not tile nPlanes)
+    val out = CosineSignLsh.nearDupPairs(vecs, "id", "v", dim,
+        nPlanes = 32, threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1001L), (15L, 1015L)))
+  }
+
   test("auto width preserves planted recall across the 6->7-bit boundary") {
     // corpora straddling n = 1024 (where autoBandBits steps 6 -> 7):
     // widening bands must not lose the planted near-identical pairs
