@@ -342,6 +342,49 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** N-gram NOVELTY — the order-aware companion to [[dupSpanStats]]: for
+    * each document (in doc_id ingest order), how many of its distinct
+    * trigrams appear here FIRST (min introducing doc_id == this doc)
+    * versus repeat earlier documents. This is the marginal-novelty curve
+    * a curriculum / data-valuation pass ranks on — late documents full of
+    * already-seen n-grams add little; dup_span_stats can't see this
+    * because global doc-frequency is order-blind. Same linear shape: one
+    * shingle-keyed MIN agg, an equi-join back, doc-keyed counts.
+    */
+  val ngramNovelty = Check("ngram_novelty",
+    (spark, dir) => {
+      val tri = docs(spark, dir).select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("sh"))
+      val firstSeen = tri.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val perDoc = tri.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val novel = tri.join(firstSeen, Seq("sh"))
+        .filter(col("doc_id") === col("first_doc"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      docs(spark, dir).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).cast("long").as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |firstseen AS (SELECT sh, MIN(doc_id) AS first_doc FROM tri GROUP BY sh),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY doc_id),
+        |novel AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tri t
+        |JOIN firstseen f ON f.sh = t.sh AND f.first_doc = t.doc_id GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n, CAST(0 AS BIGINT)) AS n_shingles,
+        |COALESCE(v.n, CAST(0 AS BIGINT)) AS n_novel
+        |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        |LEFT JOIN novel v ON v.doc_id = d.doc_id ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** URL density — the corpus-prep filter signal next to pii_scrub's
     * redaction: link-farm / scraped-navigation pages carry high
     * url-chars-per-byte and get dropped or down-weighted before training.
@@ -619,7 +662,7 @@ object TextTier {
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
-    dupSpanStats, vocabStats,
+    dupSpanStats, ngramNovelty, vocabStats,
     langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }
