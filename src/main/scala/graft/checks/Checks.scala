@@ -84,6 +84,12 @@ object Checks {
     * guarded to j < n1 for the len > n1 short-buffer case). Proves not
     * just dims/schema but the decoded BYTES cross the encoder boundary
     * intact — the strongest claim the fake codec supports.
+    *
+    * The char-position algebra assumes 1 char = 1 byte and that '.'
+    * matches every payload char — i.e. ASCII, single-line text. The
+    * oracle ASSERTS that (guard CTE → DuckDB error(), ADVICE r4): a
+    * corpus regen with multi-byte or multi-line text fails loudly there
+    * instead of as a confusing hash mismatch.
     */
   private val mediaDecodePixels = Check("media_decode_pixels",
     (spark, dir) => {
@@ -101,9 +107,14 @@ object Checks {
         |(1 + strlen(text) % 64) * (1 + (strlen(text) // 64) % 64) * 3 AS n1
         |FROM documents WHERE doc_id % 3 = 0),
         |ch AS (SELECT media_id, n1, len, unnest(regexp_extract_all(text, '.')) AS chr,
-        |generate_subscripts(regexp_extract_all(text, '.'), 1) - 1 AS j FROM img)
-        |SELECT i.media_id, CAST(COALESCE(SUM(CASE WHEN c.j < c.n1
-        |THEN ascii(c.chr) * ((c.n1 - 1 - c.j) // c.len + 1) ELSE 0 END), 0) AS BIGINT) AS px_sum
+        |generate_subscripts(regexp_extract_all(text, '.'), 1) - 1 AS j FROM img),
+        |guard AS (SELECT COALESCE(bool_and(length(text) = strlen(text)
+        |AND NOT contains(text, chr(10))), TRUE) AS ok FROM img)
+        |SELECT i.media_id, CASE WHEN (SELECT ok FROM guard)
+        |THEN CAST(COALESCE(SUM(CASE WHEN c.j < c.n1
+        |THEN ascii(c.chr) * ((c.n1 - 1 - c.j) // c.len + 1) ELSE 0 END), 0) AS BIGINT)
+        |ELSE CAST(error('media_decode_pixels oracle assumes ASCII single-line text: char j from regexp_extract_all must equal byte j of the payload') AS BIGINT)
+        |END AS px_sum
         |FROM img i LEFT JOIN ch c ON c.media_id = i.media_id
         |GROUP BY i.media_id ORDER BY 1"""
         .stripMargin.replace("\n", " ")),

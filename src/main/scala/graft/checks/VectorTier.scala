@@ -92,11 +92,16 @@ object VectorTier {
   }
 
   /** The BRP index + recall pipeline as DuckDB CTEs — the SQL mirror of
-    * substrate.BrpLsh.topK at its defaults (6 tables, bucketLength 2e5,
-    * probe ±1) plus the exact euclidean ground truth, ending in
-    * `brp_recall (recall)`. Everything is deterministic arithmetic over
-    * the shared plane family, so the recall NUMBER itself is cross-engine
-    * reproducible — what makes #19 oracle-able at all.
+    * substrate.BrpLsh.topK at its defaults (6 tables, AUTO per-table
+    * bucket widths targeting DefaultOccupancy rows/bucket, probe ±1) plus
+    * the exact euclidean ground truth, ending in `brp_recall (recall)`.
+    * The width derivation is mirrored too (ext2/len2: L_t =
+    * (max−min)·occupancy/n over the same dots, same operation order —
+    * the autoBandBits precedent, VERDICT r4 #1), so a corpus growth
+    * re-derives identical widths in both engines. Everything is
+    * deterministic arithmetic over the shared plane family, so the recall
+    * NUMBER itself is cross-engine reproducible — what makes #19
+    * oracle-able at all.
     */
   private def brpRecallCtes: Seq[String] = Seq(
     "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -108,7 +113,9 @@ object VectorTier {
     s"w2 AS (SELECT t, d, CAST(((t + ${graft.substrate.BrpLsh.TableOffset}) * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w " +
       s"FROM (SELECT unnest(generate_series(0, ${graft.substrate.BrpLsh.DefaultTables - 1})) AS t), (SELECT unnest(generate_series(0, 63)) AS d))",
     "dots2 AS (SELECT ve2.vec_id, w2.t, SUM(ve2.x * w2.w) AS dot FROM ve2 JOIN w2 ON w2.d = ve2.d GROUP BY 1, 2)",
-    s"bk2 AS (SELECT vec_id, t, CAST(floor(dot / ${graft.substrate.BrpLsh.DefaultBucketLength}) AS BIGINT) AS bucket FROM dots2)",
+    "ext2 AS (SELECT t, MAX(dot) AS mx, MIN(dot) AS mn, COUNT(*) AS n FROM dots2 GROUP BY t)",
+    s"len2 AS (SELECT t, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) * CAST(${graft.substrate.BrpLsh.DefaultOccupancy} AS DOUBLE) / n END AS L FROM ext2)",
+    "bk2 AS (SELECT vec_id, dots2.t, CAST(floor(dot / L) AS BIGINT) AS bucket FROM dots2 JOIN len2 ON len2.t = dots2.t)",
     s"qp2 AS (SELECT vec_id AS qid, t, bucket + p AS bucket FROM bk2, " +
       s"(SELECT unnest(generate_series(${-graft.substrate.BrpLsh.DefaultProbe}, ${graft.substrate.BrpLsh.DefaultProbe})) AS p) WHERE vec_id % $QuerySampleMod = 0)",
     "cand2 AS (SELECT DISTINCT qp2.qid, c.vec_id AS cid FROM qp2 " +

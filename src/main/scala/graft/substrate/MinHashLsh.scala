@@ -123,15 +123,21 @@ object MinHashLsh {
     *
     * @param deltaShingles  (doc_id, shingle) for the new batch
     * @param corpusShingles (doc_id, shingle) for the indexed corpus
-    * @return (a = delta doc, b = corpus doc, jaccard ≥ threshold). A
-    *         doc_id present in BOTH sets (a re-ingest under the same id)
-    *         is not reported against itself — the candidate join drops
-    *         a = b pairs, mirroring nearDupPairs' a < b discipline.
+    * @param includeSameId whether a doc_id present in BOTH sets may match
+    *        itself. Default false: a same-id re-ingest of UNCHANGED
+    *        content would otherwise report every re-ingested doc as its
+    *        own near-dup. But this is a caller CHOICE, not intra-set
+    *        self-pair discipline (ADVICE r4): pass true when the delta
+    *        carries re-ingests of possibly-CHANGED content under stable
+    *        ids — there the same-id pair (with its Jaccard < 1) IS the
+    *        content-drift signal.
+    * @return (a = delta doc, b = corpus doc, jaccard ≥ threshold).
     */
   def nearDupPairsAgainst(deltaShingles: DataFrame, corpusShingles: DataFrame,
       numPerms: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
       hashFn: (Column, Int) => Column = defaultHash,
-      bandKeyFn: Seq[Column] => Column = defaultBandKey): DataFrame = {
+      bandKeyFn: Seq[Column] => Column = defaultBandKey,
+      includeSameId: Boolean = false): DataFrame = {
     val dOwn = deltaShingles.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
     val cOwn = corpusShingles.storageLevel ==
@@ -145,7 +151,7 @@ object MinHashLsh {
       .join(bandedKeys(csigs, numPerms, bandRows, bandKeyFn)
         .select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
-      .filter(col("a") =!= col("b")) // same-id re-ingest is not a pair
+      .filter(if (includeSameId) lit(true) else col("a") =!= col("b"))
       .select("a", "b").distinct()
     val inter = candidates
       .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))

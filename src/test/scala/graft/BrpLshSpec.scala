@@ -88,6 +88,27 @@ class BrpLshSpec extends SparkSpec {
     }
   }
 
+  test("auto widths are spread*occupancy/n per table; default topK recalls the planted dup") {
+    val dots = BrpLsh.projections(corpus, "vec_id", "v", dim, 4)
+    val lengths = BrpLsh.autoBucketLengths(dots, 4, occupancy = 8)
+    val ext = dots.groupBy("tbl")
+      .agg(max("dot").as("mx"), min("dot").as("mn"), count(lit(1)).as("n"))
+      .as[(Int, Double, Double, Long)].collect()
+    assert(ext.length == 4)
+    ext.foreach { case (t, mx, mn, n) =>
+      assert(n == 21)
+      // the exact derivation the oracle CTE mirrors: (mx-mn)*occ/n
+      assert(lengths(t) == (mx - mn) * 8 / n, s"table $t width mismatch")
+    }
+    // default (auto) topK: the near-identical pair still fully collides —
+    // identical-to-4-decimal vectors share every bucket at any data width
+    val q = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = BrpLsh.topK(corpus, q, dim, k = 1, nTables = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(top.toSeq == Seq((1L, 1L, 1001L)), s"auto path lost the dup: ${top.mkString(",")}")
+  }
+
   test("probe window recovers a neighbor one bucket over") {
     // two vectors straddling a bucket boundary: dots differ by < L but can
     // floor to adjacent buckets; probe=1 must still pair them as candidates

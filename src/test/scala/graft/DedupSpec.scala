@@ -75,6 +75,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((101L, 1L)))
   }
 
+  test("incremental LSH: includeSameId surfaces a changed re-ingest under a stable id") {
+    import graft.substrate.{MinHashLsh, TextOps}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    // doc 1 re-ingested with one edit: same id, drifted content
+    val delta = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    // default: the same-id pair is suppressed (re-ingest is not a dup)
+    val suppressed = MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+        numPerms = 8, bandRows = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(suppressed.isEmpty)
+    // includeSameId: the (1, 1) pair with jaccard < 1 IS the drift signal
+    val drift = MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus),
+        numPerms = 8, bandRows = 2, threshold = 0.5, includeSameId = true)
+      .select(col("a"), col("b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+    assert(drift.map(t => (t._1, t._2)).toSet == Set((1L, 1L)))
+    assert(drift.head._3 < 1.0 && drift.head._3 > 0.5)
+  }
+
   test("SimHash.nearPairs banded search finds exactly the close-signature pairs") {
     val sigs = Seq(
       (0L, 0x0F0F0F0F0F0F0F0FL),

@@ -62,6 +62,21 @@ class CosineSignLshSpec extends SparkSpec {
     }
   }
 
+  test("autoBandBits warns past the 2^28 clamp boundary, silent at it") {
+    // past AutoBandBitsMaxN occupancy grows linearly again (the 24-bit
+    // clamp); the policy still returns 24 but must say so out loud
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try {
+      assert(CosineSignLsh.autoBandBits(CosineSignLsh.AutoBandBitsMaxN) == 24)
+      assert(buf.toString.isEmpty, "warned at the boundary itself")
+      assert(CosineSignLsh.autoBandBits(CosineSignLsh.AutoBandBitsMaxN + 1) == 24)
+      assert(buf.toString.contains("shard the corpus"),
+        "no sharding warning past the clamp boundary")
+    } finally System.setErr(old)
+  }
+
   test("explicit nPlanes alone resolves to the DefaultBands split, no crash") {
     // pre-auto callers pinned nPlanes=32 and relied on 8-bit bands; with
     // bandBits unset the width must derive from nPlanes (32/4 bands = 8),
