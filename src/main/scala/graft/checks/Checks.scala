@@ -255,7 +255,7 @@ object Checks {
   def all: Seq[Check] =
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
       VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
-      ChangeTier.all ++
+      ChangeTier.all ++ StreamTier.all ++
       Seq(mediaFeatureStats, mediaDecodeDims, mediaDecodePixels,
         mediaResizeDims, mediaFrameStats, mediaHistogram,
         assessmentScorecard, assessmentScorecardServing, factorRollup,

@@ -1,0 +1,121 @@
+package graft.checks
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{AssetEvent, FreshnessMonitor}
+
+/** Driver-visible face of the streaming tier (VERDICT r4 #4): EP3's
+  * freshness-transition monitor run through a REAL Structured Streaming
+  * micro-batch execution — MemoryStream source, one micro-batch per
+  * fixture batch, update-mode memory sink — so the streaming path has its
+  * own row in the driver's CORRECTNESS/BENCH artifacts instead of living
+  * only in StreamingSpec. The rest of the tier (windowed freshness,
+  * stream-stream attribution, incremental dedup) keeps its spec + batch
+  * twins (`windowed_freshness_batch`, `attribution_join`).
+  *
+  * Determinism: the fixture is scheduled so the emitted-row SET is
+  * invariant to Spark's no-data-batch scheduling (timeouts may fire in an
+  * auto-triggered no-data batch right after the watermark moves, or in
+  * the next data batch — Spark does not pin which):
+  *  - every intended stale flip's deadline passes STRICTLY before the
+  *    final data batch's processing watermark, so by the last batch every
+  *    pending timeout has fired regardless of scheduling;
+  *  - no surviving asset's deadline passes the final watermark, so
+  *    trailing no-data batches emit nothing;
+  *  - no event arrives already-stale and no data batch of an asset
+  *    coincides with the batch its own deadline passes (the one genuinely
+  *    scheduling-dependent case).
+  *
+  * The oracle recomputes the transitions from the same fixture in SQL —
+  * the event-time rules themselves (running-max watermark lagged one
+  * batch, first-sight fresh, timeout when the watermark passes
+  * latest + SLA before the asset's next event, re-fresh on the event
+  * after a timeout), not a pasted expected-rows VALUES list.
+  */
+object StreamTier {
+
+  private val SlaMinutes = 30
+  private val WatermarkMinutes = 10
+
+  /** (batch, asset, ts) — see the class doc for the scheduling
+    * constraints this timeline satisfies. Timeline: A fresh@10:00, goes
+    * stale (silent past 10:30 while B's events advance the watermark),
+    * recovers@11:50, goes stale again; B fresh@10:05 with steady events
+    * to 11:30, then silent → stale; C fresh@13:00 and still fresh at the
+    * end.
+    */
+  private val FixtureBatches: Seq[Seq[(String, String)]] = Seq(
+    Seq("A" -> "2024-01-01T10:00:00Z", "B" -> "2024-01-01T10:05:00Z"),
+    Seq("B" -> "2024-01-01T10:20:00Z"),
+    Seq("B" -> "2024-01-01T11:00:00Z"),
+    Seq("B" -> "2024-01-01T11:30:00Z"),
+    Seq("A" -> "2024-01-01T11:50:00Z"),
+    Seq("C" -> "2024-01-01T13:00:00Z"),
+    Seq("C" -> "2024-01-01T14:00:00Z"))
+
+  /** Instant-based (TZ-independent) timestamps: the parquet micros the
+    * driver compares are the instants themselves, matching the oracle's
+    * naive-UTC literals regardless of JVM default zone.
+    */
+  private def ts(iso: String): Timestamp = Timestamp.from(Instant.parse(iso))
+
+  private val sinkId = new AtomicInteger(0)
+
+  val freshnessTransitionsStream = Check("freshness_transitions_stream",
+    (spark, _) => {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Timestamp)]
+      val transitions = FreshnessMonitor.freshnessTransitions(
+        input.toDF().toDF("asset", "ts").as[AssetEvent],
+        slaMs = SlaMinutes * 60L * 1000,
+        watermark = s"$WatermarkMinutes minutes")
+      // unique sink name per invocation: bench reruns this in one JVM
+      val qname = s"freshness_transitions_sink_${sinkId.incrementAndGet()}"
+      val q = transitions.writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try
+        FixtureBatches.foreach { batch =>
+          input.addData(batch.map { case (a, t) => (a, ts(t)) })
+          q.processAllAvailable()
+        }
+      finally q.stop()
+      spark.table(qname)
+        .select(col("asset"), col("latest_ts"), col("fresh"))
+        .orderBy("asset", "latest_ts", "fresh")
+    },
+    Some {
+      val values = FixtureBatches.zipWithIndex.flatMap { case (b, i) =>
+        b.map { case (a, t) =>
+          s"(${i + 1}, '$a', TIMESTAMP '${t.stripSuffix("Z").replace("T", " ")}')" }
+      }.mkString(", ")
+      s"""WITH evts(batch, asset, ts) AS (VALUES $values),
+         |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch) - INTERVAL $WatermarkMinutes MINUTE AS wm_after
+         |FROM (SELECT batch, max(ts) AS mx FROM evts GROUP BY batch)),
+         |lat AS (SELECT asset, batch, max(bmax) OVER (PARTITION BY asset ORDER BY batch) AS latest
+         |FROM (SELECT asset, batch, max(ts) AS bmax FROM evts GROUP BY asset, batch)),
+         |nxt AS (SELECT asset, batch, latest,
+         |lead(batch) OVER (PARTITION BY asset ORDER BY batch) AS next_batch,
+         |row_number() OVER (PARTITION BY asset ORDER BY batch) AS rn FROM lat),
+         |firsts AS (SELECT asset, latest AS latest_ts, TRUE AS fresh FROM nxt WHERE rn = 1),
+         |stale AS (SELECT n.asset, n.latest AS latest_ts, FALSE AS fresh FROM nxt n
+         |JOIN wm w ON w.batch = COALESCE(n.next_batch - 1, (SELECT max(batch) FROM evts))
+         |WHERE w.wm_after > n.latest + INTERVAL $SlaMinutes MINUTE),
+         |refresh AS (SELECT l.asset, l.latest AS latest_ts, TRUE AS fresh FROM nxt p
+         |JOIN lat l ON l.asset = p.asset AND l.batch = p.next_batch
+         |JOIN wm w ON w.batch = p.next_batch - 1
+         |WHERE w.wm_after > p.latest + INTERVAL $SlaMinutes MINUTE)
+         |SELECT asset, latest_ts, fresh FROM
+         |(SELECT * FROM firsts UNION ALL SELECT * FROM stale UNION ALL SELECT * FROM refresh)
+         |ORDER BY asset, latest_ts, fresh"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
+  val all: Seq[Check] = Seq(freshnessTransitionsStream)
+}

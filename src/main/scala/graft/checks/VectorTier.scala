@@ -126,6 +126,20 @@ object VectorTier {
     "brp_recall AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact2 JOIN ann2 USING (qid, cid)) " +
       s"/ ((SELECT COUNT(DISTINCT qid) FROM exact2) * $K) AS recall)")
 
+  /** The BRP index's own rows-level entry (symmetric with ann_ivf_topk for
+    * IVF): the multi-probe top-k itself, hash-checked row-for-row — ranks
+    * only, integer-typed, engine-portable. Reuses #19's CTE pipeline up to
+    * the candidate set and reranks with its own row_number.
+    */
+  val annBrpTopk = Check("ann_brp_topk",
+    (spark, dir) => annTopK(spark, dir).orderBy("qid", "rank"),
+    Some(s"WITH ${brpRecallCtes.dropRight(1).mkString(", ")} " +
+      "SELECT qid, rank, cid FROM (SELECT c.qid, c.cid, " +
+      "CAST(row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, e.v), c.cid) AS BIGINT) AS rank " +
+      "FROM cand2 c JOIN q2 q ON q.qid = c.qid JOIN e2 e ON e.vec_id = c.cid) " +
+      s"WHERE rank <= $K ORDER BY qid, rank"),
+    isScore = false)
+
   /** #19 retrieval_recall_compliance (yaml:82-84): recall@k of the BRP
     * index against the exact euclidean oracle, averaged over the query
     * sample, compared to the declared recall SLA. Fully oracled since the
@@ -452,7 +466,8 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(knnExactCosine, retrievalRecallCompliance,
-    annIvfTopk, retrievalRecallIvf, neardupCosineLsh, neardupCosineTopk,
-    dedupClusters, dedupRetain, embeddingQuantizeInt8)
+  val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
+    retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
+    neardupCosineLsh, neardupCosineTopk, dedupClusters, dedupRetain,
+    embeddingQuantizeInt8)
 }

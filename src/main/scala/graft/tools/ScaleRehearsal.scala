@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
 import graft.substrate.{BrpLsh, CosineSignLsh, IvfIndex, MinHashLsh, VectorOps}
 
 /** Empirical scale rehearsal for the dedup/ANN tier (VERDICT r2 #6): runs
-  * the sub-quadratic candidate generators on 1× and 10× corpora and
-  * records candidate-pair counts, candidate RATE (pairs / C(n,2)), wall
-  * time, and shuffle bytes — validating that the banded/bucketed designs
-  * hold up when the data grows, and quantifying the band-width knob that
-  * keeps them sub-quadratic at 100 TB.
+  * the sub-quadratic candidate generators on 1× and 10× corpora — and a
+  * THIRD decade (100×) for the claims that extrapolate to 100 TB (the
+  * sign-LSH/BRP auto-width falling candidate rate and the components
+  * log-diameter rounds, VERDICT r4 #3: two points are a line, three are
+  * a trend) — and records candidate-pair counts, candidate RATE
+  * (pairs / C(n,2)), wall time, and shuffle bytes — validating that the
+  * banded/bucketed designs hold up when the data grows, and quantifying
+  * the width knobs that keep them sub-quadratic at 100 TB.
   *
   * The 10× corpora are deterministic replicas constructed to be MUTUALLY
   * DISSIMILAR (no cross-replica near-dups), so within-replica similarity
@@ -101,17 +104,20 @@ object ScaleRehearsal {
     // family (sign of the centered hash value), so the sign depends on BOTH
     // k and d — a parity-of-odd-multiple scheme would collapse to d alone
     // and make replicas exact copies (ADVICE r3). k=0 keeps the original
-    // corpus; replicas 1-9 get mutually distinct scrambles.
-    val emb10 = (0 until 10).map { k =>
+    // corpus; replicas 1..copies-1 get mutually distinct scrambles.
+    def embScaled(copies: Int): DataFrame = (0 until copies).map { k =>
       if (k == 0) emb1
       else emb1.select((col("vec_id") + k * 10000000L).as("vec_id"),
         expr(s"transform(v, (x, d) -> CASE WHEN (($k * 64 + d) * 2654435761 + 40503) % 2000001 < 1000000 THEN x ELSE -x END)")
           .as("v"))
-    }.reduce(_ unionAll _).persist()
+    }.reduce(_ unionAll _)
+    val emb10 = embScaled(10).persist()
+    val emb100 = embScaled(100).persist()
 
     val nDocs1 = shingles1.select("doc_id").distinct().count()
     val nDocs10 = shingles10.select("doc_id").distinct().count()
     val nEmb1 = emb1.count(); val nEmb10 = emb10.count()
+    val nEmb100 = emb100.count()
 
     // ---- MinHash LSH (xxhash64 production path) ----------------------
     // candidate prefix mirrors MinHashLsh.nearDupPairs' banding exactly
@@ -183,6 +189,10 @@ object ScaleRehearsal {
     samples += measured(
       s"sign_lsh cand (auto: ${CosineSignLsh.autoBandBits(nEmb10)}-bit)", "10x",
       nEmb10) { signAuto(emb10) }
+    // third decade (VERDICT r4 #3): the auto-width rate must KEEP falling
+    samples += measured(
+      s"sign_lsh cand (auto: ${CosineSignLsh.autoBandBits(nEmb100)}-bit)", "100x",
+      nEmb100) { signAuto(emb100) }
 
     // ---- IVF ANN -----------------------------------------------------
     // centroid count scales with n (mod stays fixed), so mean cell size is
@@ -220,6 +230,30 @@ object ScaleRehearsal {
     samples += measured("brp cand (6 tables, L=5e4)", "10x", nEmb10) {
       brpCand(emb10, 5e4)
     }
+    // AUTO per-table widths (the default since r5 — VERDICT r4 #1):
+    // L_t = spread_t × occupancy / n, so bucket count grows with n and
+    // the rate must FALL 1× → 10× → 100× where the fixed L held it flat.
+    def brpCandAuto(e: DataFrame): Long = {
+      val dots = BrpLsh.projections(e, "vec_id", "v", dim = 64, nTables = 6)
+      val bk = BrpLsh.bucketKeysFromDots(dots, "vec_id",
+        BrpLsh.autoBucketLengths(dots, nTables = 6))
+      bk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+        .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("b")),
+          Seq("tbl", "bucket"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    }
+    val occ = BrpLsh.DefaultOccupancy
+    samples += measured(s"brp cand (auto occ=$occ)", "1x", nEmb1) {
+      brpCandAuto(emb1)
+    }
+    samples += measured(s"brp cand (auto occ=$occ)", "10x", nEmb10) {
+      brpCandAuto(emb10)
+    }
+    samples += measured(s"brp cand (auto occ=$occ)", "100x", nEmb100) {
+      brpCandAuto(emb100)
+    }
+
+    emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
     // ---- distributed components: rounds vs log2(diameter) -------------
     // (VERDICT r3 #7) A CHAIN is the worst-case-diameter graph; edge
@@ -243,6 +277,8 @@ object ScaleRehearsal {
     }
     samples += chain(150000L, "1x")
     samples += chain(1500000L, "10x")
+    // third decade (VERDICT r4 #3): rounds must grow ~log2, never linearly
+    samples += chain(15000000L, "100x")
 
     // ---- stream-stream attribution: state vs stream length ------------
     // (VERDICT r3 #7) The interval join buffers only watermark+window
@@ -297,9 +333,11 @@ object ScaleRehearsal {
     val head =
       s"""# SCALE — empirical rehearsal of the dedup/ANN tier
          |
-         |`runMain graft.tools.ScaleRehearsal` on `$sfDir` (1×) and a
-         |deterministic 10× replica corpus (mutually-dissimilar replicas —
-         |see ScaleRehearsal.scala). Candidate RATE = candidate pairs /
+         |`runMain graft.tools.ScaleRehearsal` on `$sfDir` (1×) and
+         |deterministic 10×/100× replica corpora (mutually-dissimilar
+         |replicas — see ScaleRehearsal.scala; the 100× decade runs for the
+         |claims that extrapolate furthest: auto-width candidate rates and
+         |components rounds). Candidate RATE = candidate pairs /
          |C(n,2): the sub-quadratic claim is that rate falls as n grows
          |(fixed bands) or is held near-zero by widening bands.
          |
@@ -329,24 +367,30 @@ object ScaleRehearsal {
          |  Since r4 the policy bandBits = clamp(ceil_log2(n) − 4, 6, 24) IS
          |  the default (CosineSignLsh.autoBandBits, one corpus count, no
          |  knob; oracle SQL derives the same width via a CASE ladder) — the
-         |  two `auto` rows must show the rate FALLING 1× → 10×.
+         |  three `auto` rows must show the rate FALLING across 1× → 10× →
+         |  100×: a three-point trend, not a two-point line.
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
-         |- **BRP multi-probe**: value-space buckets (floor(dot/L)) — the
-         |  occupied-bucket count follows the data spread, not n, so a fixed
-         |  L holds the candidate rate ~constant (quadratic limit, like
-         |  fixed sign-LSH bands); the L/4 row shows the width knob cutting
-         |  the rate at the same n. Check #19 keeps a generous L by design:
-         |  its corpus is isotropic background (exact top-10 barely nearer
-         |  than random), where ANY sub-linear candidate set caps recall —
-         |  the curse of dimensionality, not an index defect; real corpora
-         |  with neighbor structure run narrow buckets and keep both.
+         |- **BRP multi-probe**: value-space buckets (floor(dot/L)) — with
+         |  a FIXED L the occupied-bucket count follows the data spread, not
+         |  n, so the candidate rate sits ~constant (quadratic limit, like
+         |  fixed sign-LSH bands; the L=2e5 rows keep that shape on record,
+         |  and the L/4 row shows the width knob cutting the rate at the
+         |  same n). Since r5 the DEFAULT is the auto policy (BrpLsh
+         |  .autoBucketLengths: L_t = spread_t × occupancy / n per table,
+         |  mirrored in check #19's oracle CTEs): bucket count grows with n,
+         |  so the three `auto` rows must show the rate FALLING 1× → 10× →
+         |  100×. The occupancy default is generous because #19's corpus is
+         |  isotropic background (exact top-10 barely nearer than random),
+         |  where ANY sub-linear candidate set caps recall — the curse of
+         |  dimensionality, not an index defect; real corpora with neighbor
+         |  structure run occupancy ~8-16 and keep both.
          |- **Components chain**: worst-case diameter (a path), forced onto
          |  the distributed pointer-doubling path. Rounds must track
-         |  log2(diameter) (~+3.3 at 10×) — a linear-propagation
-         |  implementation would need 10× the rounds and stall at 100 TB
-         |  graph depth.
+         |  log2(diameter) (~+3.3 per decade, across all three decades to
+         |  15M edges) — a linear-propagation implementation would need 10×
+         |  the rounds per decade and stall at 100 TB graph depth.
          |- **Attribution join state**: same event rate, 10× longer stream —
          |  max buffered state (numRowsTotal) must stay ~flat at
          |  rows-in-(watermark+window) × 2 sides (≈ 200/min × 20 min × 2 =

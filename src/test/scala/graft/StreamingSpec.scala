@@ -134,6 +134,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freshness_transitions_stream check emits exactly the oracle's transition set") {
+    // the driver-visible streaming entry (StreamTier): a real micro-batch
+    // run over the fixed fixture must produce the same 7 transitions the
+    // DuckDB oracle derives from the event-time rules
+    def its(iso: String) = Timestamp.from(java.time.Instant.parse(iso))
+    val out = graft.checks.StreamTier.freshnessTransitionsStream.run(spark, sf)
+      .as[(String, Timestamp, Boolean)].collect().toSeq
+    val expected = Seq(
+      ("A", its("2024-01-01T10:00:00Z"), false),
+      ("A", its("2024-01-01T10:00:00Z"), true),
+      ("A", its("2024-01-01T11:50:00Z"), false),
+      ("A", its("2024-01-01T11:50:00Z"), true),
+      ("B", its("2024-01-01T10:05:00Z"), true),
+      ("B", its("2024-01-01T11:30:00Z"), false),
+      ("C", its("2024-01-01T13:00:00Z"), true))
+    assert(out == expected, s"got: ${out.mkString(", ")}")
+  }
+
   test("freshnessTransitions batch-mode parity: one initial row per asset") {
     import graft.streaming.AssetEvent
     val batch = Seq(("x", ts("2024-01-01 10:00:00")),
