@@ -167,10 +167,30 @@ object Graph {
     */
   private[graft] def componentsDistributedWithRounds(e: DataFrame,
       maxIters: Int): (DataFrame, Int) = {
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val spark = e.sparkSession
+    // Round-state checkpointing via SELF-OWNED persisted RDDs: like
+    // localCheckpoint this truncates lineage (plans stay O(1) per round),
+    // but the explicit handle lets the PREVIOUS round's blocks be freed
+    // the moment the next round is materialized — O(1) generations of
+    // storage instead of O(rounds), which is what let a 24-round 15M-edge
+    // chain OOM an 8g JVM (r5 rehearsal) and would bloat executor storage
+    // on a real cluster the same way. (localCheckpoint exposes no safe
+    // per-DF unpersist, and sweeping sc.getPersistentRDDs would race
+    // concurrent queries' caches — a concurrent engine can't do that.)
+    // Serialized storage: 3 boxed-long Rows per edge are ~4× the bytes.
+    def checkpoint(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      rdd.count() // materialize eagerly, like localCheckpoint(true)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (sym, symRdd) = checkpoint(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var (labels, labelsRdd) = checkpoint(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -192,16 +212,19 @@ object Graph {
       // rounds instead of O(diameter), so long near-dup chains converge
       // well inside maxIters.
       val byNode = merged.select(col("node").as("l_node"), col("label").as("l_label"))
-      val next = merged
+      val (next, nextRdd) = checkpoint(merged
         .join(byNode, merged("label") === byNode("l_node"), "left")
         .select(merged("node"), merged("old"),
-          least(merged("label"), coalesce(col("l_label"), merged("label"))).as("label"))
-        .localCheckpoint()
+          least(merged("label"), coalesce(col("l_label"), merged("label"))).as("label")))
       converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      // the previous round fed `next`, which is now materialized — free it
+      labelsRdd.unpersist(false)
       // cheap projection over the already-checkpointed round result
       labels = next.select("node", "label")
+      labelsRdd = nextRdd
       iter += 1
     }
+    symRdd.unpersist(false) // the final labels read only their own blocks
     // unconverged labels are WRONG labels (a component would be split
     // across several representatives) — fail loudly, never return them
     if (!converged)

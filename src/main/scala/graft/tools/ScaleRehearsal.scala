@@ -368,7 +368,14 @@ object ScaleRehearsal {
          |  the default (CosineSignLsh.autoBandBits, one corpus count, no
          |  knob; oracle SQL derives the same width via a CASE ladder) — the
          |  three `auto` rows must show the rate FALLING across 1× → 10× →
-         |  100×: a three-point trend, not a two-point line.
+         |  100×: a three-point trend, not a two-point line. The 100× fall
+         |  is real but dampened vs uniform-bucket theory: the replica
+         |  corpus is 100 subpopulations each carrying its own (scrambled)
+         |  mean, and ONE global centering cannot de-skew them all — biased
+         |  bits crowd within-replica buckets. A production corpus mixing
+         |  genuinely distinct populations wants per-shard centering (hash
+         |  the shards separately); a single-population corpus centers
+         |  clean, as the 1×/10× decades show.
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
