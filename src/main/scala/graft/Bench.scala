@@ -123,9 +123,11 @@ object Bench {
     // (new heavies surface here and get promoted to SerialSet next round);
     // their serial walls carry post-suite JVM state — comparable only to
     // themselves, so they're emitted under their OWN key (serial_extra),
-    // never mixed into serial_top's quiet-JVM numbers (ADVICE r4)
+    // never mixed into serial_top's quiet-JVM numbers (ADVICE r4). Capped
+    // at 8: the stdout JSON must stay well inside the driver's 2000-char
+    // capture window with the 16-entry pinned set alongside.
     val extraSerial = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map(_._1).filterNot(serialNames.contains).map(timed)
+      .map(_._1).filterNot(serialNames.contains).take(8).map(timed)
 
     // Full per-query breakdown goes to stderr (debugging); the stdout JSON
     // line must stay SHORT — the round driver captures only the last 2000

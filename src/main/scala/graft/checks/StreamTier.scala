@@ -67,8 +67,17 @@ object StreamTier {
 
   val freshnessTransitionsStream = Check("freshness_transitions_stream",
     (spark, _) => {
-      import spark.implicits._
-      implicit val sq = spark.sqlContext
+      // isolated child session: a stateful micro-batch costs one task per
+      // shuffle/state partition per batch, so the suite-wide partition
+      // count (32) turns this 8-event fixture into ~500 tiny tasks across
+      // the ~15 (data + no-data) batches — pure scheduler overhead. The
+      // child session pins 2 partitions for THIS query only (state scale
+      // here is O(assets), and a real deployment sizes its own session);
+      // conf isolation means no set/unset race with concurrent queries.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Timestamp)]
       val transitions = FreshnessMonitor.freshnessTransitions(
@@ -85,7 +94,7 @@ object StreamTier {
           q.processAllAvailable()
         }
       finally q.stop()
-      spark.table(qname)
+      ss.table(qname)
         .select(col("asset"), col("latest_ts"), col("fresh"))
         .orderBy("asset", "latest_ts", "fresh")
     },

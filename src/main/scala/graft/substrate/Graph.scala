@@ -177,11 +177,15 @@ object Graph {
     // on a real cluster the same way. (localCheckpoint exposes no safe
     // per-DF unpersist, and sweeping sc.getPersistentRDDs would race
     // concurrent queries' caches — a concurrent engine can't do that.)
-    // Serialized storage: 3 boxed-long Rows per edge are ~4× the bytes.
+    // Deserialized storage: the Rows are built once at materialization
+    // and each of the ~3 per-round reads is by reference — a SER level
+    // re-decodes the whole generation per read (measured ~1.6× the round
+    // wall); with the previous generation freed every round the deser
+    // footprint stays at ~2 generations, which is the point of the handle.
     def checkpoint(df: DataFrame): (DataFrame,
         org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.count() // materialize eagerly, like localCheckpoint(true)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
