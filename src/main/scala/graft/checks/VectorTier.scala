@@ -354,6 +354,63 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The PER-SHARD sign-LSH pipeline as DuckDB CTEs, ending in
+    * `pairs (a, b)` — the SQL mirror of CosineSignLsh.nearDupPairsSharded
+    * at its defaults: shard = vec_id % 4, band width from the LARGEST
+    * shard's count (same integer CASE ladder), per-shard offsets as the
+    * per-shard AVG of the raw plane dots (dot commutes with the mean —
+    * the same identity the Spark side exploits, so both engines compute
+    * the offsets from the identical dots), candidates joined on
+    * (shard, band, bkey), exact-cosine rerank at ≥ 0.9.
+    */
+  private def signLshShardedPairCtes(augSql: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |aug AS ($augSql),
+       |sh AS (SELECT vec_id, vec_id % 4 AS shard, v FROM aug),
+       |cfg AS (SELECT ${graft.substrate.CosineSignLsh.autoBandBitsCaseSql} AS bits
+       |FROM (SELECT MAX(cnt) AS n FROM (SELECT COUNT(*) AS cnt FROM sh GROUP BY shard))),
+       |ve AS (SELECT vec_id, shard, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM sh),
+       |w AS (SELECT p, d, CAST((p * 64 + d) * 2654435761 + 40503 AS BIGINT) % 2000001 - 1000000 AS w
+       |FROM (SELECT unnest(generate_series(0, ${graft.substrate.CosineSignLsh.DefaultBands} * (SELECT bits FROM cfg) - 1)) AS p),
+       |(SELECT unnest(generate_series(0, 63)) AS d)),
+       |dots AS (SELECT ve.vec_id, ve.shard, w.p, SUM(ve.x * w.w) AS dot FROM ve JOIN w ON w.d = ve.d GROUP BY 1, 2, 3),
+       |off AS (SELECT shard, p, AVG(dot) AS off FROM dots GROUP BY 1, 2),
+       |bands AS (SELECT vec_id, dots.shard, dots.p // (SELECT bits FROM cfg) AS band,
+       |SUM(CASE WHEN dot - off >= 0 THEN 1 << (dots.p % (SELECT bits FROM cfg)) ELSE 0 END) AS bkey
+       |FROM dots JOIN off ON off.shard = dots.shard AND off.p = dots.p GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x
+       |JOIN bands y ON y.shard = x.shard AND y.band = x.band AND y.bkey = x.bkey AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT a, b FROM cand c JOIN sh va ON va.vec_id = c.a
+       |JOIN sh vb ON vb.vec_id = c.b
+       |WHERE list_cosine_similarity(va.v, vb.v) >= 0.9)"""
+      .stripMargin.replace("\n", " ")
+
+  /** PER-SHARD embedding near-dup — the shape a multi-source pipeline
+    * dedups in (within each crawl/source/language), and the implemented
+    * remedy for the mixed-corpus skew SCALE.md's 100× sign-LSH rows
+    * document: one global centering cannot de-skew k subpopulations with
+    * distinct means, per-shard centering restores balanced sign bits in
+    * every shard (measured in ShardedLshSpec: candidate volume collapses
+    * vs global centering on a 2-subpopulation corpus). Candidates never
+    * cross shards (the band key carries the shard); the planted copies
+    * stay in their base's shard (offset 1e6 ≡ 0 mod 4), so every planted
+    * pair must still surface. Fully oracled — DuckDB re-derives the
+    * per-shard widths, offsets, buckets, and rerank from the same corpus.
+    */
+  val neardupCosineSharded = Check("neardup_cosine_sharded",
+    (spark, dir) => {
+      val corpus = plantedAug(spark, dir, copies = 1)
+        .withColumn("shard", col("vec_id") % 4)
+      graft.substrate.CosineSignLsh
+        .nearDupPairsSharded(corpus, "vec_id", "v", "shard", dim = 64,
+          threshold = 0.9)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    },
+    Some(s"WITH ${signLshShardedPairCtes(plantedAugSql(1))} " +
+      "SELECT a, b FROM pairs ORDER BY a, b"),
+    isScore = false)
+
   /** Near-dup CLUSTERS — pairs are not yet a dedup decision; corpus
     * curation needs each connected component of the pair graph collapsed
     * to one representative (Graph.components, min-id label). The corpus
@@ -468,6 +525,6 @@ object VectorTier {
 
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
-    neardupCosineLsh, neardupCosineTopk, dedupClusters, dedupRetain,
-    embeddingQuantizeInt8)
+    neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
+    dedupClusters, dedupRetain, embeddingQuantizeInt8)
 }

@@ -215,6 +215,105 @@ object CosineSignLsh {
     out
   }
 
+  /** PER-SHARD near-dup pairs with per-shard mean centering — the remedy
+    * SCALE.md's 100× sign-LSH rows document for MIXED corpora: when the
+    * corpus is k subpopulations each carrying its own mean (sources,
+    * languages, snapshot generations), ONE global centering cannot
+    * de-skew them all, sign bits stay biased inside every subpopulation,
+    * and bucket occupancy — hence candidate volume — stays high. Centering
+    * each shard on its own mean restores balanced bits per shard, and the
+    * LSH collision/cosine relation holds again within each shard.
+    *
+    * Semantics: candidates NEVER cross shards (the band key includes the
+    * shard), i.e. this is per-source dedup — the shape a multi-source
+    * training-data pipeline wants anyway (dedup within each crawl/source,
+    * exact-match or union the shards afterwards for the cross-source
+    * pass). Band width is derived from the LARGEST shard (occupancy is
+    * per-shard once the key carries the shard).
+    *
+    * The per-shard offsets need NO mean-vector pass: because the dot
+    * commutes with the mean — dot(μ_s, p) = avg over shard rows of
+    * dot(v, p) — each offset is a per-shard AVG of the raw plane dots the
+    * signature already computes. One groupBy(shard) over np doubles per
+    * row (map-side partials), broadcast back (shard cardinality is small
+    * by contract: sources, not documents).
+    *
+    * Scale shape: np codegen'd dots per row map-side; one tiny shard agg +
+    * broadcast join (no extra shuffle of the corpus); banding fan-out and
+    * ONE shuffle on (shard, band, bkey); rerank touches candidates only.
+    *
+    * @param shardCol grouping column (source id, language, …) — LOW
+    *                 cardinality (the offsets table is broadcast).
+    * @return (a, b, cosine) with a < b, both sides in the same shard.
+    */
+  def nearDupPairsSharded(vecs: DataFrame, idCol: String, vecCol: String,
+      shardCol: String, dim: Int, nPlanes: Int = 0, bandBits: Int = 0,
+      threshold: Double = 0.9): DataFrame = {
+    val weOwnCache = vecs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (weOwnCache) vecs.persist() else vecs
+    val out = shardedScoredCandidates(e, idCol, vecCol, shardCol, dim,
+        nPlanes, bandBits)
+      .filter(col("cosine") >= threshold)
+      .localCheckpoint(true)
+    if (weOwnCache) e.unpersist(false)
+    out
+  }
+
+  /** LAZY (a, b, cosine) plan over the per-shard candidate set — the
+    * sharded sibling of [[scoredCandidates]]. `vecs` must already be
+    * cached by the caller. Exposed for plan/skew tests.
+    */
+  private[graft] def shardedScoredCandidates(e: DataFrame, idCol: String,
+      vecCol: String, shardCol: String, dim: Int, nPlanes: Int,
+      bandBits: Int): DataFrame = {
+    val bits =
+      if (bandBits > 0) bandBits
+      else if (nPlanes > 0) {
+        require(nPlanes % DefaultBands == 0,
+          s"nPlanes=$nPlanes must be a multiple of $DefaultBands bands " +
+            "when bandBits is not pinned")
+        nPlanes / DefaultBands
+      } else autoBandBits(
+        e.groupBy(col(shardCol)).count().agg(max("count")).head().getLong(0))
+    val np = if (nPlanes > 0) nPlanes else DefaultBands * bits
+    val ps = planes(np, dim)
+    // raw plane dots, reused for BOTH the shard offsets (avg) and the
+    // sign bits — dot commutes with the mean, so no per-shard mean-vector
+    // pass exists at all. Lazy (recomputed per referencing branch over the
+    // caller-cached e), same accepted shape as bandKeys' per-band fan-out.
+    val raw = e.select(col(idCol) +: col(shardCol).as("__shard") +:
+      (0 until np).map(p =>
+        VectorOps.dot(col(vecCol), typedLit(ps(p))).as(s"__dot$p")): _*)
+    val offCols = (0 until np).map(p => avg(col(s"__dot$p")).as(s"__off$p"))
+    val offs = raw.groupBy("__shard").agg(offCols.head, offCols.tail: _*)
+    val withOff = raw.join(broadcast(offs), "__shard")
+    val banded = (0 until np / bits).map { b =>
+      val key = (0 until bits).map { i =>
+        val p = b * bits + i
+        (col(s"__dot$p") - col(s"__off$p") >= 0).cast("int") * lit(1 << i)
+      }.reduce(_ + _)
+      withOff.select(col("__shard"), col(idCol), lit(b).as("band"),
+        key.as("bkey"))
+    }.reduce(_ unionAll _)
+    val candidates = banded
+      .select(col("__shard"), col("band"), col("bkey"), col(idCol).as("a"))
+      .join(banded.select(col("__shard"), col("band"), col("bkey"),
+        col(idCol).as("b")), Seq("__shard", "band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sides = e.select(col(idCol), col(vecCol))
+      .withColumn("__n", VectorOps.l2norm(col(vecCol)))
+    candidates
+      .join(sides.select(col(idCol).as("a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("a"))
+      .join(sides.select(col(idCol).as("b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"), VectorOps.cosineFromParts(
+        VectorOps.dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")).as("cosine"))
+  }
+
   /** Approximate global top-k most-similar pairs: exact cosine RANKING of
     * the sign-LSH candidate set — the sub-quadratic replacement for an
     * all-pairs top-k scan. For genuine near-duplicates (cosine ≥ 0.9 at
