@@ -459,6 +459,70 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** N-gram language-model quality scoring — the CCNet/KenLM-style filter
+    * a training-data pipeline runs to rank documents by fluency: train an
+    * add-one-smoothed bigram LM on the corpus token stream, score each
+    * document by its mean negative log-likelihood (nll = −avg ln P(w2|w1);
+    * perplexity = e^nll — monotone, so the nll ranks identically).
+    * Gibberish and boilerplate-repetition score high-nll / low-nll
+    * respectively vs the corpus norm, which is the filter signal.
+    *
+    * Self-scored (the LM trains on the same corpus it scores), so every
+    * document bigram exists in the model and the inner joins are total.
+    * Scale shape: bigrams are built map-side (posexplode + element_at, no
+    * self-join); counts are two hash aggs on the n-gram keys; scoring is
+    * one shuffle equi-join of doc-bigrams against the LM table, then a
+    * doc-keyed agg — linear end-to-end, never all-pairs. At 100 TB train
+    * the LM on a sampled/reference slice instead, keep the top-M n-grams,
+    * broadcast them, and give unseen bigrams the smoothed floor
+    * 1/(c(w1)+V) — the algebra below is unchanged.
+    *
+    * DuckDB mirrors the same tokenization (`string_split_regex`, the
+    * vocab_stats parity), counts, smoothing arithmetic in identical
+    * operation order, and −AVG(ln p). Outputs: doc-keyed (doc_id,
+    * n_bigrams, nll); docs under 2 tokens have no bigrams and are
+    * absent from both engines alike.
+    */
+  private[graft] def lmScore(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val bi = d
+      .select(col("doc_id"), col("ts"), posexplode(col("ts")).as(Seq("i", "w1")))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("doc_id"), col("w1"),
+        element_at(col("ts"), col("i") + lit(2)).as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = d.select(explode(col("ts")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val lm = c12.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        ((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (-avg(log(col("p")))).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val lmQualityScore = Check("lm_quality_score",
+    (spark, dir) => lmScore(docs(spark, dir)),
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |bi AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2 FROM toks t1
+        |JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+        |lm AS (SELECT w1, w2, (c12 + 1.0) / (c1.c1 + v.v) AS p
+        |FROM c12 JOIN c1 USING (w1), v)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |-AVG(ln(p)) AS nll
+        |FROM bi JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2
+        |GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Language ID by function-word vote against the per-language stopword
     * catalog; 'und' when no function word matches. One explode + broadcast
     * join + two-level agg — linear, shuffle only on doc_id.
@@ -663,6 +727,6 @@ object TextTier {
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
     dupSpanStats, ngramNovelty, vocabStats,
-    langId, textStats,
+    lmQualityScore, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

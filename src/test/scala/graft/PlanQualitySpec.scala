@@ -152,6 +152,18 @@ class PlanQualitySpec extends SparkSpec {
       s"product in dup_span_stats plan:\n$plan")
   }
 
+  test("lm_quality_score: n-gram joins are equi-joins; scan pruned to doc_id/text") {
+    val plan = planOf(Checks.byName("lm_quality_score").run(spark, sf))
+    // the only non-equi join allowed is the broadcast of the 1-row vocab
+    // count; the bigram->LM and count joins must never be products
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in lm_quality_score plan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source"), s"unpruned scan: $readSchema")
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
