@@ -719,6 +719,51 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Benchmark decontamination at the SPAN level — the 13-gram overlap
+    * check (GPT-3 appendix-C lineage): a test document is contaminated if
+    * ANY of its word 13-grams also appears in any train document, which
+    * catches quoted/partial leakage the whole-doc fingerprint of
+    * `split_contamination` misses. Output is the actionable diagnostic: the
+    * contaminated test doc_ids with their shared-span counts (integers
+    * only). The corpus carries natural repeated spans, so the result is
+    * non-trivially non-empty at every SF without planting.
+    *
+    * Scale shape: distinct 13-grams per doc build map-side (the codegen'd
+    * WordShingles expression), train grams dedupe with one hash agg, and
+    * contamination is one shingle-keyed equi-join — linear, never
+    * doc×doc. At 100 TB shuffle xxhash64(g) instead of the raw 13-gram
+    * strings (the dedup_minhash_lsh production-twin pattern); raw strings
+    * keep this entry engine-portable.
+    */
+  val ngramContamination = Check("ngram_contamination",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val split = when(mix(col("doc_id")) % 100 < 80, "train")
+        .when(mix(col("doc_id")) % 100 < 90, "validation")
+        .otherwise("test")
+      val grams = d.select(col("doc_id"), split.as("split"),
+        explode(wordShingles(col("text"), 13)).as("g"))
+      val trainGrams = grams.filter(col("split") === "train")
+        .select("g").distinct()
+      grams.filter(col("split") === "test")
+        .join(trainGrams, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+12], ' ') AS g
+         |FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS i) pos),
+         |d AS (SELECT doc_id, CASE WHEN $MixSql % 100 < 80 THEN 'train'
+         |WHEN $MixSql % 100 < 90 THEN 'validation' ELSE 'test' END AS split FROM documents),
+         |trg AS (SELECT DISTINCT g FROM grams JOIN d USING (doc_id) WHERE d.split = 'train')
+         |SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         |FROM grams JOIN trg USING (g) JOIN d ON d.doc_id = grams.doc_id
+         |WHERE d.split = 'test' GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Corpus n-gram statistics: top-20 word trigrams by DOCUMENT frequency
     * (distinct-per-doc shingles → one agg on the shingle key). The
     * global top-k is `orderBy.limit(k)` — per-partition top-k then a
@@ -1065,7 +1110,8 @@ object PipelineTier {
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
     dedupIncrementalProd, dedupRetainQuality, sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
-    rollingDailyCounts, gapFillForward, splitContamination, ngramDocFreq,
+    rollingDailyCounts, gapFillForward, splitContamination, ngramContamination,
+    ngramDocFreq,
     fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
     sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)
 }

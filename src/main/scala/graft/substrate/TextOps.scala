@@ -28,6 +28,13 @@ object TextOps {
   def wordTrigrams(text: Column): Column =
     GraftColumn.of(WordShingles(GraftColumn.expressionOf(tokens(text)), 3))
 
+  /** Distinct word n-gram shingles for arbitrary n (empty array for docs
+    * under n tokens) — wordTrigrams generalized; n = 13 is the classic
+    * benchmark-decontamination span.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftColumn.of(WordShingles(GraftColumn.expressionOf(tokens(text)), n))
+
   /** BPE-ish subtoken count: letter runs, digit runs, single non-space
     * symbols.
     */

@@ -193,6 +193,24 @@ object ScaleRehearsal {
     samples += measured(
       s"sign_lsh cand (auto: ${CosineSignLsh.autoBandBits(nEmb100)}-bit)", "100x",
       nEmb100) { signAuto(emb100) }
+    // PER-SHARD centering (r5): the replica corpus is exactly the mixed-
+    // corpus shape that dampens the global rows (k subpopulations, each
+    // with its own scrambled mean) — shard by replica and center each on
+    // its own mean (nearDupPairsSharded's core). The claim: the sharded
+    // rate sits well below the global-centered rate at the same scale,
+    // because per-shard centering rebalances the sign bits the global
+    // mean cannot. (Band width auto-derives from the LARGEST shard, so
+    // the sharded rows use fewer bits yet still collide less.)
+    def signShardedAuto(e: DataFrame): Long = {
+      val sharded = e.withColumn("shard",
+        (col("vec_id") / 10000000L).cast("long"))
+      CosineSignLsh.shardedScoredCandidates(sharded, "vec_id", "v",
+        "shard", dim = 64, nPlanes = 0, bandBits = 0).count()
+    }
+    samples += measured("sign_lsh SHARDED cand (auto, shard=replica)", "10x",
+      nEmb10) { signShardedAuto(emb10) }
+    samples += measured("sign_lsh SHARDED cand (auto, shard=replica)", "100x",
+      nEmb100) { signShardedAuto(emb100) }
 
     // ---- IVF ANN -----------------------------------------------------
     // centroid count scales with n (mod stays fixed), so mean cell size is
@@ -375,7 +393,17 @@ object ScaleRehearsal {
          |  bits crowd within-replica buckets. A production corpus mixing
          |  genuinely distinct populations wants per-shard centering (hash
          |  the shards separately); a single-population corpus centers
-         |  clean, as the 1×/10× decades show.
+         |  clean, as the 1×/10× decades show. Since r5 the remedy is
+         |  IMPLEMENTED — `CosineSignLsh.nearDupPairsSharded` centers each
+         |  shard on its own mean (offsets = per-shard AVG of the raw
+         |  plane dots; dot commutes with the mean, so there is no
+         |  mean-vector pass) and keeps candidates within shards — and
+         |  MEASURED here: the `sign_lsh SHARDED` rows shard the replica
+         |  corpus by replica id and must sit well below the
+         |  global-centered `auto` rows at the same scale, with FEWER
+         |  bits (width derives from the largest shard). ShardedLshSpec
+         |  pins the skew collapse on a 2-subpopulation fixture and
+         |  `neardup_cosine_sharded` oracles the pipeline in DuckDB.
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
