@@ -484,6 +484,58 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540) —
+    * the cluster-scoped branch of the embedding-dedup family, alongside
+    * the LSH branch (`neardup_cosine_lsh` → `dedup_retain`): cluster the
+    * embedding space and compare pairs WITHIN each cluster only. Cells are
+    * the deterministic IVF assignment (substrate.IvfIndex — mean cell
+    * size = centroidMod, a constant), so the within-cell all-pairs is
+    * O(n · centroidMod): linear in the corpus, never corpus-quadratic, and
+    * at 100 TB the cell-partitioned index artifact makes the self-join
+    * partition-local (one shuffle on cell, then in-partition pairs).
+    *
+    * Drop rule: a vector with ANY cosine ≥ 0.95 neighbor of smaller id in
+    * its cell is dropped, keeper = its min such neighbor. (The paper keeps
+    * the member farthest from the centroid; min-id is the deterministic
+    * stand-in both engines reproduce bit-for-bit — same substitution as
+    * dedup_clusters' min-id representative.) Runs on the planted corpus
+    * (copies at cosine ≈ 0.997 vs ≤ 0.6 background, so the 0.95 cut is
+    * engine-robust); output integers only. SemDeDup's known approximation
+    * is shared faithfully: a copy landing in a DIFFERENT cell than its
+    * original is missed (cell-boundary recall loss) — SemanticDedupSpec
+    * measures that recall and pins the keeper identity.
+    */
+  val dedupSemantic = Check("dedup_semantic",
+    (spark, dir) => {
+      val aug = plantedAug(spark, dir, copies = 1)
+      val cells = graft.substrate.IvfIndex.assign(aug, centroidMod = 23)
+      val lhs = cells.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
+      val rhs = cells.select(col("cell"), col("vec_id").as("b"), col("v").as("vb"))
+      lhs.join(rhs, Seq("cell"))
+        .filter(col("a") < col("b"))
+        .filter(cosineFromParts(dot(col("va"), col("vb")),
+          l2norm(col("va")), l2norm(col("vb"))) >= 0.95)
+        .groupBy(col("b").as("dropped"), col("cell"))
+        .agg(min(col("a")).as("keeper"))
+        .select(col("dropped"), col("keeper"), col("cell"))
+        .orderBy("dropped")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |aug AS (${plantedAugSql(1)}),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM aug WHERE vec_id % 23 = 0),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |SELECT aug.vec_id, aug.v, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY aug.vec_id ORDER BY list_distance(aug.v, c.cv), c.cent_id) AS rn
+         |FROM aug, cents c) WHERE rn = 1),
+         |pairs AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b
+         |FROM assigned x JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id
+         |WHERE list_cosine_similarity(x.v, y.v) >= 0.95)
+         |SELECT b AS dropped, CAST(MIN(a) AS BIGINT) AS keeper, cell
+         |FROM pairs GROUP BY b, cell ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Per-vector int8 affine quantization — the 4× storage reduction step
     * an ANN index applies before sharding at 100 TB (min/max scale per
     * vector, codes = floor((x−mn)/(mx−mn)·255)). Map-side only: every
@@ -526,5 +578,5 @@ object VectorTier {
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
-    dedupClusters, dedupRetain, embeddingQuantizeInt8)
+    dedupClusters, dedupRetain, dedupSemantic, embeddingQuantizeInt8)
 }
