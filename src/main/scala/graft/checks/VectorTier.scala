@@ -505,20 +505,36 @@ object VectorTier {
     * original is missed (cell-boundary recall loss) — SemanticDedupSpec
     * measures that recall and pins the keeper identity.
     */
+  /** The SemDeDup drop rule over an assigned `(vec_id, v, cell)` table:
+    * within-cell pairs only, cosine ≥ 0.95 drops the larger id, keeper =
+    * its min qualifying neighbor. Shared by the flat and hierarchical
+    * assignment variants.
+    */
+  private def semanticDrops(cells: DataFrame): DataFrame = {
+    val lhs = cells.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
+    val rhs = cells.select(col("cell"), col("vec_id").as("b"), col("v").as("vb"))
+    lhs.join(rhs, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(cosineFromParts(dot(col("va"), col("vb")),
+        l2norm(col("va")), l2norm(col("vb"))) >= 0.95)
+      .groupBy(col("b").as("dropped"), col("cell"))
+      .agg(min(col("a")).as("keeper"))
+      .select(col("dropped"), col("keeper"), col("cell"))
+      .orderBy("dropped")
+  }
+
+  /** SQL tail of [[semanticDrops]] over a CTE named `assigned`. */
+  private val semanticDropsSql: String =
+    """pairs AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b
+      |FROM assigned x JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id
+      |WHERE list_cosine_similarity(x.v, y.v) >= 0.95)
+      |SELECT b AS dropped, CAST(MIN(a) AS BIGINT) AS keeper, cell
+      |FROM pairs GROUP BY b, cell ORDER BY 1""".stripMargin
+
   val dedupSemantic = Check("dedup_semantic",
     (spark, dir) => {
       val aug = plantedAug(spark, dir, copies = 1)
-      val cells = graft.substrate.IvfIndex.assign(aug, centroidMod = 23)
-      val lhs = cells.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
-      val rhs = cells.select(col("cell"), col("vec_id").as("b"), col("v").as("vb"))
-      lhs.join(rhs, Seq("cell"))
-        .filter(col("a") < col("b"))
-        .filter(cosineFromParts(dot(col("va"), col("vb")),
-          l2norm(col("va")), l2norm(col("vb"))) >= 0.95)
-        .groupBy(col("b").as("dropped"), col("cell"))
-        .agg(min(col("a")).as("keeper"))
-        .select(col("dropped"), col("keeper"), col("cell"))
-        .orderBy("dropped")
+      semanticDrops(graft.substrate.IvfIndex.assign(aug, centroidMod = 23))
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -528,11 +544,46 @@ object VectorTier {
          |SELECT aug.vec_id, aug.v, c.cent_id AS cell,
          |row_number() OVER (PARTITION BY aug.vec_id ORDER BY list_distance(aug.v, c.cv), c.cent_id) AS rn
          |FROM aug, cents c) WHERE rn = 1),
-         |pairs AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b
-         |FROM assigned x JOIN assigned y ON y.cell = x.cell AND x.vec_id < y.vec_id
-         |WHERE list_cosine_similarity(x.v, y.v) >= 0.95)
-         |SELECT b AS dropped, CAST(MIN(a) AS BIGINT) AS keeper, cell
-         |FROM pairs GROUP BY b, cell ORDER BY 1"""
+         |$semanticDropsSql"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** `dedup_semantic` through the TWO-LEVEL assignment
+    * (IvfIndex.assignHier — coarse codebook = every 8th fine centroid,
+    * 4 coarse probes): the 100 TB path, where flat assignment's
+    * |N|×|C| distance evaluations are the quadratic term. The oracle
+    * mirrors the whole route — fine→coarse routing, per-vector top-4
+    * coarse probe, best probed fine centroid, then the same within-cell
+    * drop rule — so the approximate index's assignment decisions are
+    * reproduced bit-for-bit by both engines, including every (distance,
+    * id) tie-break. Where a vector's true nearest fine centroid routed
+    * to an unprobed coarse cell, both engines agree on the same
+    * second-best cell (the approximation is deterministic, not fuzzy).
+    */
+  val dedupSemanticHier = Check("dedup_semantic_hier",
+    (spark, dir) => {
+      val aug = plantedAug(spark, dir, copies = 1)
+      semanticDrops(graft.substrate.IvfIndex.assignHier(aug,
+        centroidMod = 23, coarseFactor = 8, nProbeCoarse = 4))
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |aug AS (${plantedAugSql(1)}),
+         |fine AS (SELECT vec_id AS cent_id, v AS cv FROM aug WHERE vec_id % 23 = 0),
+         |coarse AS (SELECT vec_id AS co_id, v AS cov FROM aug WHERE vec_id % ${23 * 8} = 0),
+         |routed AS (SELECT cent_id, cv, co_id FROM (
+         |SELECT f.cent_id, f.cv, c.co_id,
+         |row_number() OVER (PARTITION BY f.cent_id ORDER BY list_distance(f.cv, c.cov), c.co_id) AS rn
+         |FROM fine f, coarse c) WHERE rn = 1),
+         |probes AS (SELECT vec_id, v, co_id FROM (
+         |SELECT a.vec_id, a.v, c.co_id,
+         |row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cov), c.co_id) AS rn
+         |FROM aug a, coarse c) WHERE rn <= 4),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |SELECT p.vec_id, p.v, r.cent_id AS cell,
+         |row_number() OVER (PARTITION BY p.vec_id ORDER BY list_distance(p.v, r.cv), r.cent_id) AS rn
+         |FROM probes p JOIN routed r ON r.co_id = p.co_id) WHERE rn = 1),
+         |$semanticDropsSql"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
@@ -578,5 +629,6 @@ object VectorTier {
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
-    dedupClusters, dedupRetain, dedupSemantic, embeddingQuantizeInt8)
+    dedupClusters, dedupRetain, dedupSemantic, dedupSemanticHier,
+    embeddingQuantizeInt8)
 }

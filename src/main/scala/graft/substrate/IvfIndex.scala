@@ -45,6 +45,59 @@ object IvfIndex {
       .select(col("vec_id"), col("v"), col("cell"))
   }
 
+  /** Coarse→fine two-level assignment — the 100 TB path for [[assign]].
+    *
+    * Flat assignment is |N|×|C| distance evaluations; with cell occupancy
+    * held constant (|C| = n/centroidMod) that term is O(n²/centroidMod) —
+    * a quadratic hiding inside the otherwise-linear cluster-scoped dedup.
+    * Routing through a coarse codebook (every coarseFactor-th fine
+    * centroid, |C|/coarseFactor cells) first cuts the per-vector work to
+    * |C|/coarseFactor + nProbeCoarse·coarseFactor comparisons — minimized
+    * at coarseFactor ≈ sqrt(|C|), the classic IVF-on-centroids shape.
+    *
+    * Probe discipline: each vector routes to its nProbeCoarse nearest
+    * coarse cells, then exact-assigns among the fine centroids routed to
+    * those cells. Coarse centroids are a SUBSET of fine centroids (the
+    * coarse mod is a multiple of the fine mod), so every probed cell
+    * holds at least its own centroid and assignment is total. A vector
+    * whose true nearest fine centroid routed to an unprobed coarse cell
+    * gets its best PROBED fine centroid instead — the documented
+    * approximation (SemanticDedupSpec measures the agreement rate, and
+    * nProbeCoarse ≥ |coarse| makes the result identical to [[assign]]).
+    *
+    * Shuffle shape: both codebooks broadcast; the top-w coarse probe is a
+    * collect_list + array_sort per vector (the cross-join rows stay in
+    * the producing partition, so partial aggregation collapses them
+    * map-side and the exchange moves N rows — same discipline as
+    * [[assign]]'s min_by).
+    */
+  def assignHier(e: DataFrame, centroidMod: Int, coarseFactor: Int,
+      nProbeCoarse: Int): DataFrame = {
+    val fine = centroids(e, centroidMod)
+    val coarse = e.filter(col("vec_id") % (centroidMod * coarseFactor) === 0)
+      .select(col("vec_id").as("co_id"), col("v").as("cov"))
+    val routed = fine.crossJoin(broadcast(coarse))
+      .select(col("cent_id"), col("cv"), col("co_id"),
+        sqDist(col("cv"), col("cov")).as("d2"))
+      .groupBy("cent_id")
+      .agg(min_by(col("co_id"), struct(col("d2"), col("co_id"))).as("co_id"),
+        first(col("cv")).as("cv"))
+    val probes = e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"),
+        struct(sqDist(col("v"), col("cov")).as("d2"), col("co_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbeCoarse).as("top"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), explode(col("top.co_id")).as("co_id"))
+    probes.join(broadcast(routed), Seq("co_id"))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        sqDist(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
   /** Approximate top-k: probe the nProbe nearest cells per query, exact
     * distance inside the probed cells only.
     */

@@ -271,6 +271,36 @@ object ScaleRehearsal {
       brpCandAuto(emb100)
     }
 
+    // ---- semantic dedup (cluster-scoped within-cell pairs) -------------
+    // Cell occupancy is held constant (|C| = n/23 centroids), so the
+    // within-cell PAIR term is linear and its rate must fall ~10× per
+    // decade. The quadratic hides in FLAT assignment — n·|C| distance
+    // evals — which is what the hierarchical route (coarse = |C|/8,
+    // 4 probes: n·(|C|/8 + ~4·8) evals) exists to cut; the wall columns
+    // at 100× carry that claim. Pair counts between the two rows differ
+    // only by probe-miss reassignment (near-ties on this isotropic
+    // corpus — SemanticDedupSpec pins that near-dup pairs still co-route).
+    def semanticPairs(assigned: DataFrame): Long = {
+      val a = assigned.select(col("cell"), col("vec_id").as("a"))
+      val b = assigned.select(col("cell"), col("vec_id").as("b"))
+      a.join(b, Seq("cell")).filter(col("a") < col("b")).count()
+    }
+    samples += measured("semantic cell pairs (flat assign, occ=23)", "1x", nEmb1) {
+      semanticPairs(IvfIndex.assign(emb1, centroidMod = 23))
+    }
+    samples += measured("semantic cell pairs (flat assign, occ=23)", "10x", nEmb10) {
+      semanticPairs(IvfIndex.assign(emb10, centroidMod = 23))
+    }
+    samples += measured("semantic cell pairs (flat assign, occ=23)", "100x", nEmb100) {
+      semanticPairs(IvfIndex.assign(emb100, centroidMod = 23))
+    }
+    samples += measured("semantic cell pairs (hier assign, co=8 w=4)", "10x", nEmb10) {
+      semanticPairs(IvfIndex.assignHier(emb10, 23, 8, 4))
+    }
+    samples += measured("semantic cell pairs (hier assign, co=8 w=4)", "100x", nEmb100) {
+      semanticPairs(IvfIndex.assignHier(emb100, 23, 8, 4))
+    }
+
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
     // ---- distributed components: rounds vs log2(diameter) -------------
@@ -407,6 +437,19 @@ object ScaleRehearsal {
          |- **IVF**: centroids scale with n (fixed centroidMod), so mean cell
          |  size is constant and probe cost per query is flat; assignment is
          |  one broadcast-centroids pass over the corpus per (re)build.
+         |- **Semantic dedup** (`dedup_semantic` / `dedup_semantic_hier`):
+         |  constant cell occupancy keeps the within-cell pair term linear —
+         |  the pair RATE must fall ~10× per decade across all three flat
+         |  rows. The quadratic hides in FLAT assignment (n·|C| distance
+         |  evals, |C| = n/23): compare the flat and hier WALLS at 100× —
+         |  the two-level route (coarse codebook = |C|/8, 4 probes,
+         |  IvfIndex.assignHier) pays n·(|C|/8 + ~32) instead, the classic
+         |  IVF-on-centroids shape (coarseFactor ≈ √|C| at production
+         |  scale). Pair counts differ between the two only by probe-miss
+         |  reassignment among near-tied cells; SemanticDedupSpec pins that
+         |  planted near-dups still co-route (recall 0.90 at sf0.1) and
+         |  `dedup_semantic_hier`'s DuckDB oracle reproduces every routing
+         |  tie-break bit-for-bit.
          |- **BRP multi-probe**: value-space buckets (floor(dot/L)) — with
          |  a FIXED L the occupied-bucket count follows the data spread, not
          |  n, so the candidate rate sits ~constant (quadratic limit, like
