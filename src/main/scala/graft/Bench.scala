@@ -18,7 +18,26 @@ object Bench {
     "retrieval_recall_compliance", "fuzzy_match_dist", "ngram_doc_freq",
     "dedup_retain", "dedup_minhash_lsh", "dedup_minhash_banded",
     "dedup_incremental_prod", "neardup_cosine_topk", "dedup_clusters",
-    "dedup_retain_quality", "field_masking")
+    "dedup_retain_quality", "field_masking",
+    // r5 serial_extra stragglers, promoted per BENCH_NOTES.md's policy
+    // (VERDICT r5 #5): each now gets a quiet-JVM median-of-3 number
+    "freshness_transitions_stream", "media_frame_stats",
+    "session_type_pairs", "cdc_upsert", "media_histogram")
+
+  /** Queries that drive a BLOCKING stateful micro-batch loop
+    * (processAllAvailable per fixture batch). Correct and cheap serially,
+    * but inside the FAIR-pool concurrent suite the loop occupies a pool
+    * worker for its full span while every micro-batch queues behind the
+    * suite's jobs — r5 measured freshness_transitions_stream at 21.7 s
+    * under contention vs 3.1 s serial, dragging the headline wall from
+    * 26.3 s to 41.5 s and starving assessment_scorecard's inner per-check
+    * jobs (17.7 s vs 2.7 s serial median). VERDICT r5 #1: stateful
+    * streaming entries bench in their own SERIAL phase (the pinned
+    * SerialSet above, median-of-3) and are EXCLUDED from the concurrent
+    * throughput suite; they still count in n_queries and a serial failure
+    * still fails the run.
+    */
+  private val StatefulSet = Set("freshness_transitions_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number
@@ -74,6 +93,9 @@ object Bench {
     // ---- serial attribution pass (quiet JVM, median of SerialRuns) ----
     // run-major order (whole set, then the set again) so run k of a query
     // sees the same JVM history as run k of every other query
+    // stateful entries bench ONLY here — they must be pinned serial
+    StatefulSet.foreach(n => require(SerialSet.contains(n),
+      s"stateful bench query $n must be in the pinned SerialSet"))
     val serialNames = SerialSet.filter(registry.contains)
     val serialRuns = (1 to SerialRuns).map(_ => serialNames.map(timed))
     val serialTop = serialNames.zipWithIndex.map { case (name, i) =>
@@ -89,7 +111,11 @@ object Bench {
     }
 
     // ---- concurrent suite (the headline wall) ------------------------
-    val bench = graft.checks.Checks.all.filter(_.inBench).map(_.name)
+    // stateful streaming entries are benched in the serial phase above
+    // only (StatefulSet doc); they still count toward n_queries below
+    val benched = graft.checks.Checks.all.filter(_.inBench).map(_.name)
+    val statefulBenched = benched.filter(StatefulSet.contains)
+    val bench = benched.filterNot(StatefulSet.contains)
     // The suite runs CONCURRENTLY: most queries are small metadata plans
     // whose ~0.3s driver-side floor (analysis + planning + scheduling)
     // serializes on one thread while 31 cores idle; a modest pool overlaps
@@ -149,7 +175,10 @@ object Bench {
     // `value` (concurrent wall) is measured on a JVM pre-warmed by the
     // serial pass — comparable to r4 onward; r2/r3 walls were cold-ish
     // (ADVICE r4: the regime is recorded here as wall_regime)
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"queries":$slowest,"serial_top":${obj(serialTop)},"serial_extra":${obj(extraSerial)},"sf":"$sfDir"}""")
+    // n_queries counts the whole benched surface: concurrent suite +
+    // stateful entries benched serially (their medians are in serial_top)
+    val nQueries = results.size + statefulBenched.size
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"queries":$slowest,"serial_top":${obj(serialTop)},"serial_extra":${obj(extraSerial)},"sf":"$sfDir"}""")
     spark.stop()
     // a failing bench query must fail the run, not just shrink the total
     if (nFailed > 0) sys.exit(1)

@@ -277,6 +277,9 @@ object CosineSignLsh {
       } else autoBandBits(
         e.groupBy(col(shardCol)).count().agg(max("count")).head().getLong(0))
     val np = if (nPlanes > 0) nPlanes else DefaultBands * bits
+    // same tiling guard as bandKeys: with both knobs pinned to non-tiling
+    // values, np / bits would silently drop the trailing planes
+    require(np % bits == 0, "bands must tile the signature")
     val ps = planes(np, dim)
     // raw plane dots, reused for BOTH the shard offsets (avg) and the
     // sign bits — dot commutes with the mean, so no per-shard mean-vector

@@ -87,7 +87,7 @@ class SemanticDedupSpec extends SparkSpec {
     // measured (not assumed) cell-boundary cost; the planted copies sit
     // ~0.003 from their originals so the probe route almost always lands
     // them together — the drop rule's recall must not collapse.
-    val dir = "/root/testdata/sf0.1"
+    val dir = sfDir("0.1")
     val aug = augmented(dir).cache()
     val n = aug.count()
     val flat = IvfIndex.assign(aug, centroidMod = 23)

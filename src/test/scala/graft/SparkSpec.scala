@@ -22,5 +22,11 @@ object TestSpark {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
-  val sf: String = "/root/testdata/sf0.001"
+
+  /** Driver-generated testdata root for scale factor `name` — the single
+    * place the path convention lives (ADVICE r5: suites that need a
+    * larger corpus derive it here, never inline).
+    */
+  def sfDir(name: String): String = s"/root/testdata/sf$name"
+  val sf: String = sfDir("0.001")
 }
