@@ -114,6 +114,11 @@ object Bench {
     // stateful streaming entries are benched in the serial phase above
     // only (StatefulSet doc); they still count toward n_queries below
     val benched = graft.checks.Checks.all.filter(_.inBench).map(_.name)
+    // a RENAMED stateful query must fail loudly here, not silently rejoin
+    // the concurrent suite with both stale lists still satisfying the
+    // SerialSet guard above (ADVICE r6)
+    StatefulSet.foreach(n => require(benched.contains(n),
+      s"stateful bench query $n is not in the benched registry — renamed?"))
     val statefulBenched = benched.filter(StatefulSet.contains)
     val bench = benched.filterNot(StatefulSet.contains)
     // The suite runs CONCURRENTLY: most queries are small metadata plans

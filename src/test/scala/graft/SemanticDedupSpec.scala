@@ -26,14 +26,16 @@ class SemanticDedupSpec extends SparkSpec {
         s"keeper of $dropped must be its own original, got $keeper")
     }
 
-    // Independent recomputation of the cell-boundary rule.
+    // Independent recomputation of the cell-boundary rule — through the
+    // SAME assignment the registered entry runs (assignAuto since r7; the
+    // flat witness has its own entry, dedup_semantic_flat).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
     val aug = e.unionAll(e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v")))
-    val cells = IvfIndex.assign(aug, centroidMod = 23)
+    val cells = IvfIndex.assignAuto(aug, centroidMod = 23)
       .select(col("vec_id"), col("cell")).cache()
     val coCelled = cells.filter(col("vec_id") >= 1000000L).as("c")
       .join(cells.as("o"),
@@ -82,30 +84,33 @@ class SemanticDedupSpec extends SparkSpec {
   }
 
   test("hierarchical assignment at sf0.1: total, high agreement, planted pairs survive") {
-    // 2,000 vectors → 11 coarse cells > 4 probes: the approximation is
-    // real here. Assignment must stay total; agreement with flat is the
-    // measured (not assumed) cell-boundary cost; the planted copies sit
-    // ~0.003 from their originals so the probe route almost always lands
-    // them together — the drop rule's recall must not collapse.
+    // 2,000 vectors → ~10 derived coarse cells > 2 probes: the
+    // approximation is real here, at the NARROW-probe configuration the
+    // dedup_semantic_hier entry registers (derived √|C| coarse budget,
+    // nProbeCoarse = 2). Assignment must stay total; agreement with flat
+    // is the measured (not assumed) cell-boundary cost; the planted copies
+    // sit ~0.003 from their originals so the probe route almost always
+    // lands them together — the drop rule's recall must not collapse.
     val dir = sfDir("0.1")
     val aug = augmented(dir).cache()
     val n = aug.count()
     val flat = IvfIndex.assign(aug, centroidMod = 23)
       .select(col("vec_id"), col("cell").as("flat_cell"))
-    val hier = IvfIndex.assignHier(aug, centroidMod = 23,
-      coarseFactor = 8, nProbeCoarse = 4)
+    val hier = IvfIndex.assignAuto(aug, centroidMod = 23, nProbeCoarse = 2)
       .select(col("vec_id"), col("cell").as("hier_cell")).cache()
     assert(hier.count() == n, "hier assignment must cover every vector")
     // Absolute cell agreement is the HARD case on this corpus: the
     // background is near-isotropic, so coarse centroids are nearly
-    // equidistant from most vectors and probing 4 of 11 cells misses the
-    // near-tied true argmin often (measured ≈ 0.64). That is IVF's known
-    // behavior without cluster structure — what dedup needs is the pair
-    // CO-ROUTING asserted below, not per-vector argmin fidelity.
+    // equidistant from most vectors and probing 2 of ~10 derived cells
+    // misses the near-tied true argmin often (measured ≈ 0.45 — well above
+    // the ~0.2 chance cell coverage, and the narrow-probe price vs ≈ 0.64
+    // at 4 probes). That is IVF's known behavior without cluster
+    // structure — what dedup needs is the pair CO-ROUTING asserted below,
+    // not per-vector argmin fidelity.
     val agree = flat.join(hier, Seq("vec_id"))
       .filter(col("flat_cell") === col("hier_cell")).count()
     info(f"hier-vs-flat cell agreement at sf0.1 = ${agree.toDouble / n}%.3f ($agree of $n)")
-    assert(agree.toDouble / n >= 0.5,
+    assert(agree.toDouble / n >= 0.35,
       s"agreement ${agree.toDouble / n} collapsed — probe routing drifted")
 
     // Near-identical vectors see near-identical distances everywhere, so
