@@ -27,6 +27,13 @@ object TextTier {
   private val JaccardSampleMod = 20
   private val ChunkTokens = 64
 
+  /** 15-token out-of-vocabulary span planted by dedup_span_removal —
+    * 15 tokens give three all-planted 13-grams, which together cover
+    * every planted token.
+    */
+  private val SpanPlant = "zephyr quartz fjord glyph nymph vex jukebox " +
+    "sphinx waltz quiver blitz gnome plume torch ember"
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
 
@@ -339,6 +346,54 @@ object TextTier {
         |COALESCE(u.n, CAST(0 AS BIGINT)) AS n_dup_shingles
         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
         |LEFT JOIN dup u ON u.doc_id = d.doc_id ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Span-removal dedup — the ACTION [[dupSpanStats]] diagnoses (VERDICT
+    * r5 #4 / r6 #7): substrate.SpanDedup rewrites each document by
+    * deleting every token covered by a 13-gram that also appears in
+    * another document (Lee et al. 2022 exact-substring dedup, word-shingle
+    * form). The corpus's small vocabulary yields real natural 13-gram
+    * sharing (~900 duplicated grams at sf0.01), and the check ADDITIONALLY
+    * plants a fixed 15-token out-of-vocabulary span on every doc_id % 10
+    * == 0 (same discipline as pii_scrub's planted emails): every planted
+    * token is covered by an all-planted 13-gram, so the span must vanish
+    * from every planted document, while grams crossing the plant boundary
+    * carry doc-specific prefixes and stay unique — novel text survives
+    * (pinned in NgramContaminationSpec). Fully oracled: DuckDB re-derives
+    * position-tagged grams (list slicing), the cross-doc gram set, the
+    * covered positions, and the rebuilt text (string_agg ORDER BY pos).
+    * Output integers + the rewritten text itself, hash-checked.
+    */
+  val dedupSpanRemoval = Check("dedup_span_removal",
+    (spark, dir) => {
+      val planted = docs(spark, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(" " + SpanPlant))
+            .otherwise(lit(""))).as("text"))
+      graft.substrate.SpanDedup
+        .removeDuplicatedSpans(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH planted AS (SELECT doc_id, text ||
+         |CASE WHEN doc_id % 10 = 0 THEN ' $SpanPlant' ELSE '' END AS text FROM documents),
+         |arr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM planted),
+         |toks AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS pos FROM arr),
+         |gi AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk) - 12, 0))) AS i, tk FROM arr),
+         |grams AS (SELECT doc_id, i - 1 AS start, array_to_string(tk[i : i + 12], ' ') AS gram FROM gi),
+         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+         |cov AS (SELECT DISTINCT g.doc_id, g.start + o AS pos FROM grams g JOIN dup USING (gram)
+         |CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS o)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t WHERE NOT EXISTS
+         |(SELECT 1 FROM cov WHERE cov.doc_id = t.doc_id AND cov.pos = t.pos)),
+         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |string_agg(tok, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_tokens,
+         |CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |COALESCE(reb.text_clean, '') AS text_clean
+         |FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id ORDER BY 1"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
@@ -726,7 +781,7 @@ object TextTier {
 
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
-    dupSpanStats, ngramNovelty, vocabStats,
+    dupSpanStats, dedupSpanRemoval, ngramNovelty, vocabStats,
     lmQualityScore, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

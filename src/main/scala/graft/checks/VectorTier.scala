@@ -516,6 +516,55 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The SHARDED retention decision (VERDICT r5 #7 / r6 #8): the per-shard
+    * sign-LSH pairs (nearDupPairsSharded — per-shard centering, the mixed-
+    * corpus remedy) feeding the SAME components → min-id-representative →
+    * retention summary pipeline as `dedup_retain`. This is the shape a
+    * multi-source curation run actually executes at 100 TB: dedup within
+    * each crawl/source shard (candidates never cross shards), then one
+    * global component pass over the union of per-shard pairs — the pair
+    * graph is shard-local by construction, so components stay shard-local
+    * too and the decision parallelizes per shard. Planted copies stay in
+    * their base's shard (offset 1e6 ≡ 0 mod 4), so every planted cluster
+    * must still collapse. Oracle: the per-shard width/offset/bucket CTEs
+    * (re-derived from the same corpus) + the recursive reachability
+    * closure + the same integer retention arithmetic.
+    */
+  val dedupRetainSharded = Check("dedup_retain_sharded",
+    (spark, dir) => {
+      val corpus = plantedAug(spark, dir, copies = 2)
+        .withColumn("shard", col("vec_id") % 4)
+      val pairs = graft.substrate.CosineSignLsh
+        .nearDupPairsSharded(corpus, "vec_id", "v", "shard", dim = 64,
+          threshold = 0.9)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comps = graft.substrate.Graph.components(pairs)
+      val nTotal = corpus.agg(count(lit(1)).as("n")).select(col("n"))
+      val nInClusters = comps.agg(count(lit(1)).as("c")).select(col("c"))
+      val nReps = comps.select("label").distinct()
+        .agg(count(lit(1)).as("r")).select(col("r"))
+      nTotal.crossJoin(nInClusters).crossJoin(nReps)
+        .select(col("n").as("n_docs"),
+          col("c").as("n_in_clusters"),
+          (col("c") - col("r")).as("n_removed"),
+          (col("n") - (col("c") - col("r"))).as("n_retained"))
+    },
+    Some(s"WITH RECURSIVE ${signLshShardedPairCtes(plantedAugSql(2))}, " +
+      """edges AS (SELECT a AS s, b AS d FROM pairs
+        |UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS n FROM edges),
+        |reach AS (SELECT n AS root, n AS node FROM nodes
+        |UNION SELECT r.root, e.d FROM reach r JOIN edges e ON e.s = r.node),
+        |labels AS (SELECT root, MIN(node) AS label FROM reach GROUP BY root),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aug),
+        |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+        |CAST(COUNT(DISTINCT label) AS BIGINT) AS r FROM labels)
+        |SELECT tot.n AS n_docs, cl.c AS n_in_clusters,
+        |cl.c - cl.r AS n_removed, tot.n - (cl.c - cl.r) AS n_retained
+        |FROM tot, cl"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540) —
     * the cluster-scoped branch of the embedding-dedup family, alongside
     * the LSH branch (`neardup_cosine_lsh` → `dedup_retain`): cluster the
@@ -739,6 +788,7 @@ object VectorTier {
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
-    dedupClusters, dedupRetain, dedupSemantic, dedupSemanticFlat,
-    dedupSemanticHier, dedupSemanticRouted, embeddingQuantizeInt8)
+    dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
+    dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
+    embeddingQuantizeInt8)
 }

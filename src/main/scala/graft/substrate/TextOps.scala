@@ -35,6 +35,15 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     GraftColumn.of(WordShingles(GraftColumn.expressionOf(tokens(text)), n))
 
+  /** ALL word n-grams in position order (element i = gram starting at
+    * token i; no dedup) — the span-level companion of [[wordShingles]],
+    * for operators that must map a duplicated gram back to the token
+    * positions it covers ([[SpanDedup]]).
+    */
+  def wordShinglesPos(text: Column, n: Int): Column =
+    GraftColumn.of(
+      graft.functions.WordShinglesPos(GraftColumn.expressionOf(tokens(text)), n))
+
   /** BPE-ish subtoken count: letter runs, digit runs, single non-space
     * symbols.
     */
