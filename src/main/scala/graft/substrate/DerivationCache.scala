@@ -17,12 +17,21 @@ import org.apache.spark.sql.DataFrame
   *
   * The knobs are pure functions of the (deterministic) input plan, so they
   * are memoized by the plan's canonicalized semantic hash + a tag naming
-  * the derivation and its parameters. Correctness is unaffected: a cache
-  * hit returns the value the action would have recomputed bit-for-bit, and
-  * a DIFFERENT corpus (other sf dir, other planted augmentation, a new
-  * ingest batch in a long-lived session) hashes to a different key and
-  * derives fresh. Bounded: a handful of Ints/Seq[Double] per distinct
-  * (corpus, derivation) pair.
+  * the derivation and its parameters. Correctness within a run is
+  * unaffected: a cache hit returns the value the action would have
+  * recomputed bit-for-bit, and a DIFFERENT corpus (other sf dir, other
+  * planted augmentation) hashes to a different key and derives fresh.
+  * Bounded: a handful of Ints/Seq[Double] per distinct (corpus,
+  * derivation) pair.
+  *
+  * Assumption, stated: file-source canonicalization hashes by ROOT PATHS
+  * (that is what makes cross-check sharing work — pinned in BrpLshSpec),
+  * so the cache treats a parquet path as an immutable snapshot for the
+  * JVM's lifetime — the bench/verify shape. A long-lived session that
+  * APPENDS files under the same path between derivations must
+  * [[DerivationCache.clear]] at the ingest boundary (the same boundary
+  * where a pinned-width index artifact re-derives its widths — see
+  * BrpLsh's append-vs-rebuild contract).
   */
 object DerivationCache {
 
@@ -37,7 +46,10 @@ object DerivationCache {
       (df.queryExecution.analyzed.semanticHash(), tag),
       _ => compute).asInstanceOf[T]
 
-  /** Test hook. */
-  private[graft] def clear(): Unit = cache.clear()
+  /** Drop every memoized derivation — call at an ingest boundary when new
+    * files land under an already-derived path (class doc), or from tests.
+    */
+  def clear(): Unit = cache.clear()
+
   private[graft] def size: Int = cache.size()
 }

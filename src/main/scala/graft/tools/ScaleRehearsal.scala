@@ -294,11 +294,93 @@ object ScaleRehearsal {
     samples += measured("semantic cell pairs (flat assign, occ=23)", "100x", nEmb100) {
       semanticPairs(IvfIndex.assign(emb100, centroidMod = 23))
     }
-    samples += measured("semantic cell pairs (hier assign, co=8 w=4)", "10x", nEmb10) {
-      semanticPairs(IvfIndex.assignHier(emb10, 23, 8, 4))
+    samples += measured("semantic cell pairs (auto assign, w=4)", "10x", nEmb10) {
+      semanticPairs(IvfIndex.assignAuto(emb10, 23))
     }
-    samples += measured("semantic cell pairs (hier assign, co=8 w=4)", "100x", nEmb100) {
-      semanticPairs(IvfIndex.assignHier(emb100, 23, 8, 4))
+    samples += measured("semantic cell pairs (auto assign, w=4)", "100x", nEmb100) {
+      semanticPairs(IvfIndex.assignAuto(emb100, 23))
+    }
+
+    // ---- IVF assignment WORK: flat vs auto vs routed (VERDICT r6 #4) ---
+    // The quantity under test is exact-DISTANCE-EVALUATION rows per
+    // vector — counted from the actual candidate-join cardinalities each
+    // path produces (count() of the pre-argmin join; the distance column
+    // is never evaluated by the count, so the measurement is cheap and
+    // exact). Claims: flat grows ~n per decade (|C| = n/23), auto grows
+    // ~√n (|coarse| + routed-fine candidates), routed stays FLAT
+    // (occupancy-bounded buckets; + the measured miss-set × |C| fallback).
+    // Routed additionally pays nTables hash dots per vector — map-side
+    // multiply-adds, not distance evals; noted in the prose.
+    def ivfEvalsFlat(e: DataFrame, n: Long, scale: String): Unit = {
+      val cents = e.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val s = measured("ivf assign evals FLAT", scale, n) {
+        e.crossJoin(broadcast(cents)).count()
+      }
+      samples += s.copy(op = s.op + f" (${s.pairs.toDouble / n}%.0f/vec)",
+        showRate = false)
+    }
+    def ivfEvalsAuto(e: DataFrame, n: Long, scale: String): Unit = {
+      val fine = e.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val nC = fine.count()
+      val f = IvfIndex.autoCoarseFactor(nC)
+      val coarse = e.filter(col("vec_id") % (23L * f) === 0)
+        .select(col("vec_id").as("co_id"), col("v").as("cov"))
+      val nCo = coarse.count()
+      val s = measured(s"ivf assign evals AUTO (f=$f)", scale, n) {
+        // assignAuto's three distance-eval joins, counted at assignHier's
+        // exact shapes: fine→coarse routing, per-vector coarse probe, and
+        // the routed-fine candidate rows after the top-4 probe explode
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("co_id").asc)
+        val routedFine = fine.crossJoin(broadcast(coarse))
+          .select(col("cent_id"),
+            VectorOps.sqDist(col("cv"), col("cov")).as("d2"), col("co_id"))
+          .groupBy("cent_id")
+          .agg(min_by(col("co_id"), struct(col("d2"), col("co_id"))).as("co_id"))
+        val probes = e.crossJoin(broadcast(coarse))
+          .select(col("vec_id"),
+            VectorOps.sqDist(col("v"), col("cov")).as("d2"), col("co_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select(col("vec_id"), col("co_id"))
+        val fineCand = probes.join(broadcast(routedFine), Seq("co_id")).count()
+        nC * nCo + n * nCo + fineCand
+      }
+      samples += s.copy(op = s.op + f" (${s.pairs.toDouble / n}%.0f/vec)",
+        showRate = false)
+    }
+    def ivfEvalsRouted(e: DataFrame, n: Long, scale: String): Unit = {
+      val cents = e.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id").as("cent_id"))
+      val nC = cents.count()
+      val s = measured("ivf assign evals ROUTED", scale, n) {
+        val dots = BrpLsh.projections(e, "vec_id", "v", 64,
+          IvfIndex.RoutedTables)
+        val lengths = BrpLsh.autoBucketLengths(dots, IvfIndex.RoutedTables,
+          IvfIndex.RoutedOccupancy)
+        val vb = BrpLsh.bucketKeysFromDots(dots, "vec_id", lengths)
+        val cb = vb.join(cents, vb("vec_id") === col("cent_id"))
+          .select(col("cent_id"), col("tbl"),
+            explode(sequence(col("bucket") - IvfIndex.RoutedProbe,
+              col("bucket") + IvfIndex.RoutedProbe)).as("bucket"))
+        val cand = vb.join(cb, Seq("tbl", "bucket"))
+          .select("vec_id", "cent_id").distinct().persist()
+        val nCand = cand.count()
+        val nMissed = e.join(cand.select("vec_id").distinct(),
+          Seq("vec_id"), "left_anti").count()
+        cand.unpersist()
+        nCand + nMissed * nC
+      }
+      samples += s.copy(op = s.op + f" (${s.pairs.toDouble / n}%.0f/vec)",
+        showRate = false)
+    }
+    Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+        (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
+      ivfEvalsFlat(e, n, sc)
+      ivfEvalsAuto(e, n, sc)
+      ivfEvalsRouted(e, n, sc)
     }
 
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
@@ -441,15 +523,31 @@ object ScaleRehearsal {
          |  constant cell occupancy keeps the within-cell pair term linear —
          |  the pair RATE must fall ~10× per decade across all three flat
          |  rows. The quadratic hides in FLAT assignment (n·|C| distance
-         |  evals, |C| = n/23): compare the flat and hier WALLS at 100× —
-         |  the two-level route (coarse codebook = |C|/8, 4 probes,
-         |  IvfIndex.assignHier) pays n·(|C|/8 + ~32) instead, the classic
-         |  IVF-on-centroids shape (coarseFactor ≈ √|C| at production
-         |  scale). Pair counts differ between the two only by probe-miss
-         |  reassignment among near-tied cells; SemanticDedupSpec pins that
-         |  planted near-dups still co-route (recall 0.90 at sf0.1) and
-         |  `dedup_semantic_hier`'s DuckDB oracle reproduces every routing
-         |  tie-break bit-for-bit.
+         |  evals, |C| = n/23): compare the flat and auto WALLS at 100× —
+         |  the registered default (IvfIndex.assignAuto) derives its coarse
+         |  budget f = √|C| from one centroid count and pays
+         |  n·(|C|/f + 4·f) ≈ O(n·√|C|) instead, the classic
+         |  IVF-on-centroids shape. Pair counts differ between the two only
+         |  by probe-miss reassignment among near-tied cells;
+         |  SemanticDedupSpec pins that planted near-dups still co-route
+         |  (recall 0.90 at sf0.1) and the dedup_semantic /
+         |  dedup_semantic_hier DuckDB oracles reproduce every routing
+         |  tie-break bit-for-bit, deriving the same f in SQL.
+         |- **§IVF assignment work** (`ivf assign evals` rows — VERDICT r6
+         |  #4): exact-distance-evaluation rows per vector, counted from
+         |  the real candidate-join cardinalities of the three assignment
+         |  paths. FLAT pays |C| = n/23 evals/vec — grows ~10× per decade
+         |  (the witness `dedup_semantic_flat` keeps this shape on the
+         |  books). AUTO (assignAuto, the registered default) pays
+         |  |coarse| + routed-fine candidates ≈ 2√|C| + centroid-routing
+         |  amortization — the /vec column must grow ~√10 ≈ 3.2× per
+         |  decade. ROUTED (assignRouted, `dedup_semantic_routed`) routes
+         |  through occupancy-targeted BRP buckets: candidates/vec are
+         |  bounded by nTables·(2·probe+1)·occupancy/centroidMod — the
+         |  /vec column must stay ~FLAT across all three decades (plus the
+         |  measured miss-set × |C| fallback, near-zero by occupancy
+         |  targeting, and nTables hash dots/vec of map-side multiply-add
+         |  routing work not counted as distance evals).
          |- **BRP multi-probe**: value-space buckets (floor(dot/L)) — with
          |  a FIXED L the occupied-bucket count follows the data spread, not
          |  n, so the candidate rate sits ~constant (quadratic limit, like

@@ -121,4 +121,29 @@ class BrpLshSpec extends SparkSpec {
       bucketLength = L, probe = 1).as[(Long, Long, Long)].collect()
     assert(top.toSeq == Seq((1L, 1L, 2L)))
   }
+
+  test("DerivationCache: independently-built identical plans share one derivation") {
+    // The bench-wall fix (VERDICT r6 #5) hinges on the memo hitting when a
+    // DIFFERENT check rebuilds the same corpus plan from scratch — i.e.
+    // canonicalized semantic hashes must match across separate
+    // spark.read/select chains, not just for the same DataFrame object.
+    graft.substrate.DerivationCache.clear()
+    def dots = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.substrate.VectorOps.toDoubleArr(col("embedding")).as("v"))
+      BrpLsh.projections(e, "vec_id", "v", 64, 4)
+    }
+    val l1 = BrpLsh.autoBucketLengths(dots, 4, 64)
+    val before = graft.substrate.DerivationCache.size
+    val l2 = BrpLsh.autoBucketLengths(dots, 4, 64) // fresh plan, same shape
+    assert(l1 == l2)
+    assert(graft.substrate.DerivationCache.size == before,
+      "identical rebuilt plan must HIT the cache, not add an entry")
+    // different parameters must MISS (tag carries them)
+    BrpLsh.autoBucketLengths(dots, 4, 32)
+    assert(graft.substrate.DerivationCache.size == before + 1)
+    graft.substrate.DerivationCache.clear()
+  }
 }
