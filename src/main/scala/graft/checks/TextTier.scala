@@ -559,6 +559,60 @@ object TextTier {
       .orderBy("doc_id")
   }
 
+  /** [[lmScore]] at the 100 TB TRAINING SHAPE its scaladoc prescribes
+    * (VERDICT r5 #8): the LM trains on a deterministic SAMPLE of the
+    * corpus (doc_id % mod == 0 — at scale, a reference slice), scores
+    * EVERY document, and unseen bigrams get the smoothed floor the
+    * add-one algebra already defines — (0+1)/(c1(w1)+V) for an unseen
+    * continuation, 1/V for an unseen head word (c1 = 0), V = the SAMPLE's
+    * vocabulary. Same linear shape; the LM table is now O(sample) and
+    * broadcastable at any corpus size. LmQualitySpec measures rank
+    * stability against the full self-scored LM.
+    */
+  private[graft] def lmScoreSampled(docsDf: DataFrame, mod: Int = 5): DataFrame = {
+    val d = docsDf.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val bi = d
+      .select(col("doc_id"), col("ts"), posexplode(col("ts")).as(Seq("i", "w1")))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("doc_id"), col("w1"),
+        element_at(col("ts"), col("i") + lit(2)).as("w2"))
+    val trainBi = bi.filter(col("doc_id") % mod === 0)
+    val c12 = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = d.filter(col("doc_id") % mod === 0)
+      .select(explode(col("ts")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bi.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (-avg(log(col("p")))).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val lmQualitySampled = Check("lm_quality_sampled",
+    (spark, dir) => lmScoreSampled(docs(spark, dir)),
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents),
+        |bi AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2 FROM toks t1
+        |JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+        |tbi AS (SELECT * FROM bi WHERE doc_id % 5 = 0),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks WHERE doc_id % 5 = 0)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |-AVG(ln((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))) AS nll
+        |FROM bi LEFT JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
+        |LEFT JOIN c1 ON c1.w1 = bi.w1, v
+        |GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val lmQualityScore = Check("lm_quality_score",
     (spark, dir) => lmScore(docs(spark, dir)),
     Some(
@@ -782,6 +836,6 @@ object TextTier {
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
     dupSpanStats, dedupSpanRemoval, ngramNovelty, vocabStats,
-    lmQualityScore, langId, textStats,
+    lmQualityScore, lmQualitySampled, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline)
 }

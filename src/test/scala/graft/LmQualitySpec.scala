@@ -36,4 +36,63 @@ class LmQualitySpec extends SparkSpec {
     assert(out(0L) < out(100L),
       s"corpus-typical text must score lower nll than gibberish: ${out(0L)} vs ${out(100L)}")
   }
+
+  test("sampled LM ranks track the full LM; unseen bigrams hit the smoothed floor") {
+    // Rank stability where there IS a rank to keep: a planted-quality
+    // corpus — doc i mixes a deterministic fluent chain with seeded
+    // gibberish in proportion i/N, so the full LM's nll ordering follows
+    // the planted noise level. The 20%-sample LM (the 100 TB
+    // train-on-a-slice shape) must reproduce that ordering. (The sf
+    // documents corpus is 31-token word salad whose full-LM ranking is
+    // itself sampling noise — rho vs it measures the noise floor, not
+    // the estimator, so the bar is pinned on the planted corpus.)
+    val chain = Vector("alpha", "bravo", "cedar", "delta", "ember",
+      "fjord", "grove", "haven", "inlet", "jetty")
+    val rng = new scala.util.Random(42)
+    val nDocs = 120; val len = 60
+    val planted = (0 until nDocs).map { i =>
+      val noise = i.toDouble / nDocs
+      val toks = (0 until len).map { p =>
+        if (rng.nextDouble() < noise) "g" + rng.nextInt(400) // gibberish tail
+        else chain(p % chain.length) // fluent cycle: bigrams fully predictable
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val d = planted.toDF("doc_id", "text")
+    val full = graft.checks.TextTier.lmScore(d)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    val sampled = graft.checks.TextTier.lmScoreSampled(d)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(full.keySet == sampled.keySet,
+      "both LMs must score exactly the >=2-token documents")
+    // Spearman rank correlation
+    def ranks(m: Map[Long, Double]): Map[Long, Double] =
+      m.toSeq.sortBy(_._2).zipWithIndex
+        .map { case ((id, _), r) => id -> r.toDouble }.toMap
+    val rf = ranks(full); val rs = ranks(sampled)
+    val n = rf.size.toDouble
+    val d2 = rf.keys.map(k => math.pow(rf(k) - rs(k), 2)).sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    info(f"sampled-vs-full Spearman rho = $rho%.3f over ${rf.size} docs")
+    assert(rho >= 0.8, s"sampled LM rank stability collapsed: rho = $rho")
+    // and the ordering is the planted one, not an artifact both share
+    val byNoise = planted.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> i.toDouble }.toMap
+    val dq = rs.keys.map(k => math.pow(rs(k) - byNoise(k), 2)).sum
+    val rhoQ = 1.0 - 6.0 * dq / (n * (n * n - 1.0))
+    info(f"sampled-vs-planted-noise Spearman rho = $rhoQ%.3f")
+    assert(rhoQ >= 0.8, s"sampled LM lost the planted quality signal: rho = $rhoQ")
+
+    // the floor path is really exercised: a doc full of words the sample
+    // never saw scores exactly ln(V) per bigram (p = 1/V)
+    val probe = (0L until 10L).map(i => (i * 5, "the cat sat on the mat")) ++
+      Seq((7L, "qzx wvv qzx wvv qzx"))
+    val out = graft.checks.TextTier
+      .lmScoreSampled(probe.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // sample vocab = {the, cat, sat, on, mat} (docs % 5 == 0), so doc 7's
+    // bigrams are all unseen-head: nll = ln(V) = ln(5)
+    assert(math.abs(out(7L) - math.log(5.0)) < 1e-12,
+      s"unseen-head floor must be exactly ln(V): ${out(7L)} vs ${math.log(5.0)}")
+  }
 }
