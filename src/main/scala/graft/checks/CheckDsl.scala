@@ -33,20 +33,33 @@ object CheckDsl {
 
   /** Read one driver-generated table. Filters/projections layered on top
     * push down to the vectorized parquet scan (verified via explain).
-    *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; we read it as a nanos-epoch LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong` — set here, not in the session
-    * builder, so the driver's own SparkSession works too) and convert with
-    * integer division (`div`, not `/` — nanos-epoch ≈ 1.7e18 exceeds the
-    * 2^53 double mantissa, float division would corrupt the low digits).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 refuses to read as a
+    * timestamp, so it arrives as a nanos-epoch LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong` and converts via integer
+    * division (`div`, not `/` — nanos-epoch ≈ 1.7e18 exceeds the 2^53
+    * double mantissa, float division would corrupt the low digits) — and
+    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ. Either way
+    * the normalized column is session-tz TimestampType carrying the same
+    * wall-clock instants DuckDB's `epoch_us(ts)` sees, so every downstream
+    * plan and oracle compares one representation. Works on static and
+    * streaming frames alike (pure projection on a known schema).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** hits/population → the uniform single-row result. Both inputs are
     * single-row single-column LONG aggregates; the cross join is trivially

@@ -76,8 +76,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .selectExpr("timestamp_micros(ts div 1000) AS ts")
+    val stream = graft.checks.CheckDsl.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString)).select("ts")
     val q = FreshnessMonitor
       .windowedFreshness(stream, windowLen = "1 day", watermark = "1 hour",
         slaMinutes = 120L)
