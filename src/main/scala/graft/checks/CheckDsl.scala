@@ -36,6 +36,13 @@ object CheckDsl {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin UTC alongside nanosAsLong: `normalizeEventTs`'s NTZ→Timestamp cast
+    // interprets the naive wall-clock in the session timezone, while the LONG
+    // branch and the DuckDB oracle's epoch_us(ts) are both tz-independent
+    // epoch micros. Under a non-UTC driver session the NTZ path would shift
+    // every ts by the zone offset; pinning here makes both branches agree
+    // regardless of which SparkSession calls us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }
@@ -46,11 +53,13 @@ object CheckDsl {
     * `spark.sql.legacy.parquet.nanosAsLong` and converts via integer
     * division (`div`, not `/` — nanos-epoch ≈ 1.7e18 exceeds the 2^53
     * double mantissa, float division would corrupt the low digits) — and
-    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ. Either way
-    * the normalized column is session-tz TimestampType carrying the same
-    * wall-clock instants DuckDB's `epoch_us(ts)` sees, so every downstream
-    * plan and oracle compares one representation. Works on static and
-    * streaming frames alike (pure projection on a known schema).
+    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ and casts to
+    * TimestampType. The NTZ cast interprets the naive wall-clock in the
+    * session timezone, so it matches DuckDB's tz-independent `epoch_us(ts)`
+    * ONLY under a UTC session — `table()` pins
+    * `spark.sql.session.timeZone=UTC` to guarantee that precondition for
+    * any caller's SparkSession. Works on static and streaming frames alike
+    * (pure projection on a known schema).
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {

@@ -26,10 +26,10 @@ object PipelineTier {
   /** Knuth-style multiplicative mix of a record id — the shared sampling
     * hash. Stays well inside Long (doc_id * 2.65e9 ≪ 2^63).
     */
-  private def mix(id: Column): Column =
+  private[checks] def mix(id: Column): Column =
     (id * lit(2654435761L) + lit(40503L)) % lit(2147483647L)
 
-  private val MixSql = "((doc_id * 2654435761 + 40503) % 2147483647)"
+  private[checks] val MixSql = "((doc_id * 2654435761 + 40503) % 2147483647)"
 
   /** Deterministic 10% stratified sample accounting, per source stratum.
     * Map-side only: the keep-decision is a per-row expression; one shuffle

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * exact-substring dedup; n = 13 is the classic span). Novel text is
   * untouched: a gram unique to one document covers nothing.
   *
-  * Scale shape (reference `3-quality.md` duplication-remediation intent):
+  * Scale shape (serving the training-corpus preparation the reference
+  * motivates at `factors/2-consumable.md:25` — training consumes the
+  * corpus repeatedly, so cleaning must be a linear batch pass):
   * position-tagged grams are one native-expression pass + posexplode
   * (functions.WordShinglesPos); duplicated grams are one gram-keyed
   * groupBy (the same shuffle the MinHash signature pass does); coverage

@@ -50,6 +50,17 @@ class CheckInvariantsSpec extends SparkSpec {
     assert(missing.isEmpty, s"unimplemented requirements: $missing")
   }
 
+  test("registry counts match the documented Counts constants (VERDICT r7 #7)") {
+    import graft.checks.Checks.Counts
+    assert(Checks.all.length == Counts.total,
+      s"Checks.all.length=${Checks.all.length} != Counts.total=${Counts.total} " +
+        "— update Checks.Counts AND the README/SURVEY quotes together")
+    val noOracle = Checks.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Counts.rowsOnlyNames,
+      s"rows-only set drifted: registry=$noOracle documented=${Counts.rowsOnlyNames}")
+    assert(Checks.all.count(_.oracle.nonEmpty) == Counts.oracled)
+  }
+
   test("registry hygiene: unique names, well-formed oracles") {
     val names = Checks.all.map(_.name)
     assert(names.distinct.size == names.size,
