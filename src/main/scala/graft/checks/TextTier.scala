@@ -824,11 +824,11 @@ object TextTier {
     *
     * Plants make stages 4-6 non-vacuous: doc_id % 100 == 0 gains a
     * first-token-dropped copy at +1,000,000 (must be removed at stage 4,
-    * min-id keeps the original — stage 4 also removes the corpus's
-    * NATURAL near-identical pairs, e.g. 12 non-planted docs at sf0.01);
+    * min-id keeps the original — stage 4 also removes any NATURAL
+    * near-identical pairs that land in the quarter);
     * doc_id % 13 == 0 gains [[ContamPlant]] (planted train docs must fall
-    * to the gate — the %13 stride puts carriers in both train and test at
-    * every SF); doc_id % 17 == 0 gains [[SpanDupPlant]] (all-train at
+    * to the gate — the surviving %52 carriers reach both train and test
+    * at every SF); doc_id % 17 == 0 gains [[SpanDupPlant]] (all-train at
     * every SF, so its duplicated grams reach stage 6 and must be
     * stripped there).
     * Output: one all-integer funnel row, every stage count hash-checked
@@ -854,7 +854,16 @@ object TextTier {
   private[graft] def corpusPrepStages(spark: SparkSession,
       dir: String): CorpusPrepStages = {
       val seqLen = 512L
-      val base = docs(spark, dir).select(col("doc_id"), col("source"),
+      // Witness discipline (same as dedup_minhash_banded): the funnel runs
+      // on the deterministic doc_id % 4 == 0 quarter so its bench cost
+      // stays proportional to what it proves — the portable-md5 minhash
+      // stage is 2-3x the production hash's cost, and each stage's
+      // throughput story is its standalone entry's. The plant properties
+      // survive quartering (checked in CorpusPipelineSpec): %100 copies
+      // are all %4; %13∩%4 carriers still reach train AND test at every
+      // SF; %17∩%4 carriers stay all-train.
+      val base = docs(spark, dir).filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("source"),
         concat(col("text"),
           when(col("doc_id") % 13 === 0, lit(" " + ContamPlant))
             .otherwise(lit("")),
@@ -878,9 +887,15 @@ object TextTier {
         .select("doc_id")
       val quality = qualityScored(aug).filter(col("quality") >= 0.2)
         .select("doc_id")
+      // Eager checkpoints at the stage boundaries: the funnel fans out
+      // into ~10 count branches (and the gate/span stages each consume
+      // their predecessor more than once) — without truncation every
+      // branch would re-run the whole upstream chain. Same self-managed
+      // cache pattern as dedup_minhash_lsh.
       val kept3 = keepers
         .join(english, Seq("doc_id"), "left_semi")
         .join(quality, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       // stage 4: near-dup retention (portable bands → components → min-id)
       val sh = kept3.select(col("doc_id"),
         explode(wordTrigrams(col("text"))).as("shingle"))
@@ -904,9 +919,11 @@ object TextTier {
         .join(testGrams, Seq("g"), "left_semi")
         .select("doc_id").distinct()
       val kept5 = trainDocs.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // stage 6: span removal within the surviving train corpus
       val cleaned = graft.substrate.SpanDedup
         .removeDuplicatedSpans(kept5.select("doc_id", "text"), "doc_id", "text")
+        .localCheckpoint(true)
       val nonEmpty = cleaned.filter(col("n_tokens") - col("n_removed") > 0)
         .select(col("doc_id"),
           (col("n_tokens") - col("n_removed")).as("n_toks"))
@@ -967,7 +984,8 @@ object TextTier {
         Seq(
           s"""base AS (SELECT doc_id, source, text ||
              |CASE WHEN doc_id % 13 = 0 THEN ' $ContamPlant' ELSE '' END ||
-             |CASE WHEN doc_id % 17 = 0 THEN ' $SpanDupPlant' ELSE '' END AS text FROM documents)"""
+             |CASE WHEN doc_id % 17 = 0 THEN ' $SpanDupPlant' ELSE '' END AS text
+             |FROM documents WHERE doc_id % 4 = 0)"""
             .stripMargin.replace("\n", " "),
           """aug AS (SELECT doc_id, source, text FROM base
             |UNION ALL SELECT doc_id + 1000000 AS doc_id, source,

@@ -27,9 +27,13 @@ class CorpusPipelineSpec extends SparkSpec {
     def mixMod(d: Long): Long = (d * 2654435761L + 40503L) % 2147483647L % 100
     val badSplit = (0L until 5000L by 17L).filterNot(d => mixMod(d) < 80)
     assert(badSplit.isEmpty, s"multiples of 17 outside train: $badSplit")
-    // while ContamPlant carriers (%13) must reach BOTH train and test
-    val residues = (0L until 500L by 13L).map(mixMod)
-    assert(residues.exists(_ < 80) && residues.exists(_ >= 90))
+    // while ContamPlant carriers on the %4 quarter corpus (so multiples
+    // of 52) must reach BOTH train and test at every SF size
+    for (n <- Seq(500L, 5000L)) {
+      val residues = (0L until n by 52L).map(mixMod)
+      assert(residues.exists(_ < 80) && residues.exists(_ >= 90),
+        s"%52 carriers miss a split at corpus size $n")
+    }
   }
 
   test("funnel is monotone and every stage is non-vacuous at sf0.001") {
