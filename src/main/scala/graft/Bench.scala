@@ -22,7 +22,10 @@ object Bench {
     // r5 serial_extra stragglers, promoted per BENCH_NOTES.md's policy
     // (VERDICT r5 #5): each now gets a quiet-JVM median-of-3 number
     "freshness_transitions_stream", "media_frame_stats",
-    "session_type_pairs", "cdc_upsert", "media_histogram")
+    "session_type_pairs", "cdc_upsert", "media_histogram",
+    // r8: the streaming MV refresh is stateful (blocking micro-batch
+    // loop) → serial-only, same treatment as freshness_transitions_stream
+    "mv_refresh_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -37,7 +40,8 @@ object Bench {
     * throughput suite; they still count in n_queries and a serial failure
     * still fails the run.
     */
-  private val StatefulSet = Set("freshness_transitions_stream")
+  private val StatefulSet =
+    Set("freshness_transitions_stream", "mv_refresh_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

@@ -180,5 +180,79 @@ object ChangeTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(cdcUpsert, tableDiff, mvIncrementalRefresh)
+  /** STREAMING face of [[mvIncrementalRefresh]]: the same changelog
+    * arrives as a real Structured Streaming micro-batch sequence
+    * (MemoryStream → foreachBatch), and the MV is maintained BATCH BY
+    * BATCH with `MaterializedView.refreshSumCount` — the composition a
+    * production freshness pipeline runs (reference `factors/3-current.md:
+    * 14-15`: materialized views + streaming as the sub-minute mechanisms).
+    * Batch-wise refresh composes because each batch's before-images match
+    * the state the previous refresh produced (seq-ordered consistent
+    * chains; batch 1 = the seq-1 waves, batch 2 = the seq-2 wave). State
+    * is eagerly checkpointed per batch so lineage stays O(1) in the batch
+    * count. The oracle is the same FULL recompute as the batch twin:
+    * hash match ⇒ stream-incremental ≡ batch-incremental ≡ full.
+    * Benched serial-only (Bench.StatefulSet — the blocking micro-batch
+    * loop would occupy a FAIR-pool worker for its whole span).
+    */
+  val mvRefreshStream = Check("mv_refresh_stream",
+    (spark, dir) => {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val b = base(ss, dir)
+      var mv = b.groupBy("status")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("price_i").cast("long").as("s"))
+        .select(col("status").as("g"), col("n"), col("s"))
+        .localCheckpoint(true)
+      // the same mutation waves as the batch twin, as two micro-batches
+      // in seq order (images stay consistent batch-over-batch)
+      type Chg =
+        (Long, Option[String], Option[Long], Option[String], Option[Long], Long)
+      def img(df: org.apache.spark.sql.DataFrame): Seq[Chg] =
+        df.select(col("k"), col("b_g"), col("b_v"), col("a_g"), col("a_v"),
+          col("seq")).as[(Long, Option[String], Option[Long], Option[String], Option[Long], Long)].collect().toSeq
+      val batch1 = img(b.filter(col("k") % 10 === 3).select(col("k"),
+          col("status").as("b_g"), col("price_i").as("b_v"),
+          lit("X").as("a_g"), (col("price_i") + 500).cast("long").as("a_v"),
+          lit(1L).as("seq"))
+        .unionByName(b.filter(col("k") % 10 === 7).select(col("k"),
+          col("status").as("b_g"), col("price_i").as("b_v"),
+          lit(null).cast("string").as("a_g"), lit(null).cast("long").as("a_v"),
+          lit(1L).as("seq")))
+        .unionByName(b.filter(col("k") % 1000 === 1).select(
+          (col("k") + 100000000L).as("k"),
+          lit(null).cast("string").as("b_g"), lit(null).cast("long").as("b_v"),
+          lit("N").as("a_g"), col("price_i").as("a_v"), lit(1L).as("seq"))))
+      val batch2 = img(b.filter(col("k") % 100 === 3).select(col("k"),
+        lit("X").as("b_g"), (col("price_i") + 500).cast("long").as("b_v"),
+        lit("Y").as("a_g"), (col("price_i") + 900).cast("long").as("a_v"),
+        lit(2L).as("seq")))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Option[String], Option[Long], Option[String], Option[Long], Long)]
+      val q = input.toDF()
+        .toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mv = graft.substrate.MaterializedView
+            .refreshSumCount(mv, batch, Seq("k"))
+            .localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(batch1, batch2).foreach { chgs =>
+          input.addData(chgs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      mv.select(col("g").as("status"), col("n"),
+          col("s").as("total_price_i"))
+        .orderBy("status")
+    },
+    mvIncrementalRefresh.oracle,
+    isScore = false)
+
+  val all: Seq[Check] =
+    Seq(cdcUpsert, tableDiff, mvIncrementalRefresh, mvRefreshStream)
 }

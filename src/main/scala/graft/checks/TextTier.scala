@@ -1130,10 +1130,50 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** BM25 RANKED retrieval — the scoring layer on the index companion
+    * (substrate.InvertedIndex.rankBm25): top-10 documents for the 3
+    * highest-df terms, scored with the Lucene-default idf form over the
+    * tf-bearing index + a doc-length norms table. Both engines sum the
+    * same 3 per-term contributions per doc; ties in score are exact
+    * (identical tf/len ⇒ identical doubles) and break by doc_id, so the
+    * integer rank/doc columns hash-match while the score column rides the
+    * float comparison (adjacent-score margins measured ≥ 3.6e-5 across
+    * all three SFs vs ~1e-15 cross-engine float noise — same discipline
+    * as neardup_cosine_allpairs). Completes the check-#10 witness:
+    * existence (build), boolean retrieval (lookup), RANKED retrieval
+    * (this).
+    */
+  val invertedIndexRank = Check("inverted_index_rank",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val idx = graft.substrate.InvertedIndex.buildWithTf(d, "doc_id", "text")
+      val lens = d.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      val queryTerms = idx.orderBy(col("df").desc, col("token").asc)
+        .limit(3).select("token")
+      graft.substrate.InvertedIndex.rankBm25(idx, lens, queryTerms)
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |idx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |lens AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
+        |qt AS (SELECT token, df FROM idx ORDER BY df DESC, token LIMIT 3),
+        |scored AS (SELECT t.doc_id,
+        |SUM(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * (t.tf * 2.2) /
+        |(t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+        |FROM tf t JOIN qt q USING (token) JOIN lens l ON l.doc_id = t.doc_id
+        |CROSS JOIN stats s GROUP BY t.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
     dupSpanStats, dedupSpanRemoval, ngramNovelty, vocabStats,
     lmQualityScore, lmQualitySampled, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline,
-    invertedIndexBuild, invertedIndexLookup)
+    invertedIndexBuild, invertedIndexLookup, invertedIndexRank)
 }

@@ -33,6 +33,52 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("long").as("df"),
         sort_array(collect_list("doc_id")).as("postings"))
 
+  /** TF-bearing index variant: (token, df, postings = doc_id-sorted array
+    * of (doc_id, tf)) — the structure ranked retrieval reads. Same single
+    * groupBy(token) shuffle as [[build]] after a (doc, token) partial agg.
+    */
+  def buildWithTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  /** BM25 ranked retrieval (Robertson/Sparck-Jones, the Lucene-default
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf form) over a [[buildWithTf]] index
+    * plus a doc-length norms table — the two stored artifacts a search
+    * layer keeps beside the corpus. The plan explodes ONLY the query
+    * terms' posting lists (index pruned by the broadcast term join), joins
+    * norms by doc_id, and top-k's with a deterministic (score desc,
+    * doc_id) tie-break. Output: (rank, doc_id, score).
+    */
+  def rankBm25(index: DataFrame, docLens: DataFrame, terms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val t = terms.toDF("token").distinct()
+    val stats = docLens.agg(count(lit(1)).cast("long").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val posting = index.join(broadcast(t), Seq("token"))
+      .select(col("df"), explode(col("postings")).as("p"))
+      .select(col("df"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val scored = posting
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "score")
+  }
+
   /** Conjunctive (AND) retrieval: doc_ids containing EVERY query term.
     * `terms` is a 1-column DataFrame of distinct tokens (broadcast — a
     * query's term set is always small). The plan touches only the index

@@ -49,6 +49,27 @@ class InvertedIndexSpec extends SparkSpec {
     assert(hits("red", "red", "fox") == Set(1L, 3L))
   }
 
+  test("rankBm25: tf raises score at equal length; rarer terms outweigh common") {
+    // 4 docs, equal length 4; "fox" df=4 (common), "owl" df=1 (rare)
+    val c = Seq(
+      (1L, "fox fox pad pad"), // tf(fox)=2
+      (2L, "fox pad pad pad"), // tf(fox)=1
+      (3L, "fox owl pad pad"), // tf(fox)=1 + rare owl
+      (4L, "fox pad mat mat")).toDF("doc_id", "text")
+    val idx = InvertedIndex.buildWithTf(c, "doc_id", "text")
+    val lens = c.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+    val ranked = InvertedIndex
+      .rankBm25(idx, lens, Seq("fox", "owl").toDF("token"), topK = 4)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toMap
+        .map(_.swap)
+    // doc 3 (rare term) wins; doc 1 (tf=2 on the common term) beats the
+    // single-occurrence docs 2 and 4; ranks are contiguous 1..4
+    assert(ranked(3L) == 1L, s"rare-term doc should rank first: $ranked")
+    assert(ranked(1L) == 2L, s"tf=2 doc should rank second: $ranked")
+    assert(Set(ranked(2L), ranked(4L)) == Set(3L, 4L))
+  }
+
   test("lookup answers from the index alone (no corpus re-scan in the plan)") {
     val idx = InvertedIndex.build(corpus, "doc_id", "text")
       .localCheckpoint(true) // sever lineage: the lookup can ONLY see the index
