@@ -104,6 +104,24 @@ object Assessor {
   def factorRollup(spark: SparkSession, dir: String, workload: Workload): DataFrame =
     rollupOf(scorecard(spark, dir, workload))
 
+  /** L1/L2/L3 capability level per factor — the maturity ladder the
+    * reference names (`definitions.md:45`: "capabilities per workload
+    * (L1/L2/L3)") but never defines. Engine-defined banding, documented
+    * here once (SURVEY §0 discipline, same as the Thresholds object):
+    * the factor's pass_rate against its workload thresholds maps to
+    * L3 ≥ 0.9 (production-AI-ready), L2 ≥ 0.6 (usable with gaps),
+    * else L1 (foundational). Derived from the rollup — one extra CASE
+    * over an already-computed scorecard.
+    */
+  def capabilityLevels(scorecard: DataFrame): DataFrame =
+    rollupOf(scorecard)
+      .select(col("factor"), col("factor_name"),
+        col("n_checks").cast("long").as("n_checks"), col("pass_rate"),
+        when(col("pass_rate") >= 0.9, "L3")
+          .when(col("pass_rate") >= 0.6, "L2")
+          .otherwise("L1").as("level"))
+      .orderBy("factor")
+
   /** Rollup from an ALREADY-COMPUTED scorecard — callers holding one (the
     * Assess CLI) must not pay for a second full assessment pass.
     */

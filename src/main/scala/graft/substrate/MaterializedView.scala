@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *   - `changes(keyCols..., b_g, b_v, a_g, a_v, seq)`: one row per change
   *     event, Debezium-style images. `(b_g, b_v)` = the row's group/value
   *     BEFORE the change (null ⇒ insert); `(a_g, a_v)` = AFTER (null ⇒
-  *     delete); `seq` orders multiple changes to one key.
+  *     delete); `seq` orders multiple changes to one key and must be
+  *     UNIQUE per key (a tie would make the first/last fold ambiguous —
+  *     every real changelog carries a total per-key order: LSN, offset,
+  *     commit timestamp).
   *
   * Multi-change chains per key fold to (first before-image, last
   * after-image) — the net contribution delta — which is correct for any

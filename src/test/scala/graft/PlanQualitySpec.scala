@@ -164,6 +164,40 @@ class PlanQualitySpec extends SparkSpec {
       !readSchema.contains("source"), s"unpruned scan: $readSchema")
   }
 
+  test("inverted-index lookup/rank: term set broadcasts, no product") {
+    import spark.implicits._
+    val docs = CheckDsl.table(spark, sf, "documents")
+    val idx = graft.substrate.InvertedIndex.build(docs, "doc_id", "text")
+    val lookup = graft.substrate.InvertedIndex
+      .lookupAll(idx, Seq("the", "a").toDF("token"))
+    val lp = planOf(lookup)
+    assert(lp.contains("BroadcastHashJoin"), s"term join not broadcast:\n$lp")
+    assert(!lp.contains("CartesianProduct"), s"product in lookup:\n$lp")
+    val tfIdx = graft.substrate.InvertedIndex.buildWithTf(docs, "doc_id", "text")
+    val lens = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+    val rp = planOf(graft.substrate.InvertedIndex
+      .rankBm25(tfIdx, lens, Seq("the", "a").toDF("token")))
+    assert(rp.contains("BroadcastHashJoin"), s"rank term join not broadcast:\n$rp")
+    assert(!rp.contains("CartesianProduct"), s"product in rank:\n$rp")
+  }
+
+  test("MV refresh: change folding shuffles on key, delta joins the MV without a product") {
+    import spark.implicits._
+    val mv = Seq(("a", 2L, 30L)).toDF("g", "n", "s")
+    val chg = Seq((1L, Some("a"), Some(10L), Some("a"), Some(15L), 1L))
+      .toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
+    val plan = planOf(
+      graft.substrate.MaterializedView.refreshSumCount(mv, chg, Seq("k")))
+    assert(!plan.contains("CartesianProduct"), s"product in MV refresh:\n$plan")
+    // the per-key fold must be a partitioned window, not a global sort
+    assert(plan.contains("Window"), s"no window fold in:\n$plan")
+    assert(!plan.contains("Window [")
+      || !plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("partitionBy=[]")),
+      s"global (unpartitioned) window in MV refresh:\n$plan")
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
