@@ -211,6 +211,12 @@ object ChangeTier {
       // in seq order (images stay consistent batch-over-batch)
       type Chg =
         (Long, Option[String], Option[Long], Option[String], Option[Long], Long)
+      // BOUNDED driver-side collect: the MemoryStream fixture boundary —
+      // a test source is necessarily driver-fed (same as
+      // freshness_transitions_stream's fixture; a production stream reads
+      // Kafka/files and never collects). Size = the mutation waves, ~21%
+      // of orders ≈ 31.5k image tuples at sf0.1, the largest verify
+      // corpus — fixture-scale, not corpus-scale growth beyond that.
       def img(df: org.apache.spark.sql.DataFrame): Seq[Chg] =
         df.select(col("k"), col("b_g"), col("b_v"), col("a_g"), col("a_v"),
           col("seq")).as[(Long, Option[String], Option[Long], Option[String], Option[Long], Long)].collect().toSeq
