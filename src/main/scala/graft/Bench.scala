@@ -25,7 +25,10 @@ object Bench {
     "session_type_pairs", "cdc_upsert", "media_histogram",
     // r8: the streaming MV refresh is stateful (blocking micro-batch
     // loop) → serial-only, same treatment as freshness_transitions_stream
-    "mv_refresh_stream")
+    "mv_refresh_stream",
+    // r8: the composed funnel is the suite's heaviest plan (~5 s quiet) —
+    // pinned per the serial_extra promotion policy (BENCH_NOTES r5)
+    "corpus_prep_pipeline")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -124,7 +127,14 @@ object Bench {
     StatefulSet.foreach(n => require(benched.contains(n),
       s"stateful bench query $n is not in the benched registry — renamed?"))
     val statefulBenched = benched.filter(StatefulSet.contains)
+    // Longest-processing-time-first launch order: the serial pass just
+    // measured quiet medians for the pinned set, so start the known-heavy
+    // queries first and let the small metadata checks fill the tail —
+    // classic LPT makespan reduction. Unmeasured queries keep registry
+    // order after the measured ones (their ~0.3 s floor doesn't matter).
+    val serialMedian = serialTop.toMap
     val bench = benched.filterNot(StatefulSet.contains)
+      .sortBy(n => -serialMedian.getOrElse(n, 0.0))
     // The suite runs CONCURRENTLY: most queries are small metadata plans
     // whose ~0.3s driver-side floor (analysis + planning + scheduling)
     // serializes on one thread while 31 cores idle; a modest pool overlaps

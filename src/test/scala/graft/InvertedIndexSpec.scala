@@ -70,6 +70,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(Set(ranked(2L), ranked(4L)) == Set(3L, 4L))
   }
 
+  test("randomized: lookupAll == brute-force containment filter (3 seeds)") {
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    for (seed <- Seq(11, 23, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 60L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val idx = InvertedIndex.build(df, "doc_id", "text")
+      val qs = Seq(Seq("ant"), Seq("bee", "cat"), Seq("dog", "elk", "fox"))
+      for (q <- qs) {
+        val got = InvertedIndex.lookupAll(idx, q.toDF("token"))
+          .as[Long].collect().toSet
+        val want = corpus.filter { case (_, t) =>
+          val toks = t.split(" ").toSet; q.forall(toks.contains)
+        }.map(_._1).toSet
+        assert(got == want, s"seed $seed terms $q: $got != $want")
+      }
+    }
+  }
+
   test("lookup answers from the index alone (no corpus re-scan in the plan)") {
     val idx = InvertedIndex.build(corpus, "doc_id", "text")
       .localCheckpoint(true) // sever lineage: the lookup can ONLY see the index
