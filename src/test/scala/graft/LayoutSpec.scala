@@ -67,4 +67,51 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("range-clustered layout skips row groups on a selective key scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_clust").toString
+    try {
+      // small row groups so one file holds MANY groups — skipping must
+      // happen inside files, not just across them
+      spark.conf.set("spark.hadoop.parquet.block.size", 16 * 1024)
+      val n = 200000L
+      val df = spark.range(n).select(col("id").as("k"),
+        (col("id") % 97).as("v"))
+      def rowsScanned(path: String): Long = {
+        val scan = spark.read.parquet(path)
+          .filter(col("k") >= 1000 && col("k") < 2000)
+        assert(scan.collect().length == 1000)
+        // rows OUTPUT BY THE SCAN node = rows surviving parquet
+        // row-group pruning, before Spark's data filter
+        scan.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.sum
+      }
+      Layout.writeClustered(df.toDF(), dir, "k", numFiles = 4)
+      val clustered = rowsScanned(dir)
+      // control: same data, same row-group size, key order destroyed —
+      // min/max stats cover the full range and nothing can be skipped
+      val dirShuf = s"$dir-shuffled"
+      df.orderBy(hash(col("k"))).coalesce(4)
+        .write.mode("overwrite").parquet(dirShuf)
+      val unclustered =
+        try rowsScanned(dirShuf)
+        finally {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(dirShuf)).deleteRecursively()
+        }
+      // the sorted layout's stats must prune the overwhelming majority of
+      // row groups; the shuffled control must be forced to read ~all rows
+      assert(clustered > 0 && clustered * 5 <= unclustered,
+        s"clustered scan read $clustered vs unclustered $unclustered of $n")
+      assert(unclustered > n / 2,
+        s"control layout unexpectedly skipped rows ($unclustered of $n)")
+    } finally {
+      spark.conf.unset("spark.hadoop.parquet.block.size")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
