@@ -1082,24 +1082,44 @@ object TextTier {
     // corpora, and the end-to-end wall is the number a curation run quotes
     isScore = false)
 
+  /** Small df threshold / segment width so the SEGMENTED posting layout
+    * (VERDICT r8 #1) is genuinely ACTIVE on the real corpus at every
+    * verify/bench SF: at sf0.01 dfs span 25..402, so high-df tokens split
+    * into doc_id/200 segments while the rare tail keeps single rows; at
+    * sf0.1 every token (df ≥ 250) segments. Production uses the
+    * InvertedIndex defaults (2^16-entry rows).
+    */
+  private val IdxDfThreshold = 100L
+  private val IdxSegWidth = 200L
+
   /** Inverted-index BUILD — the data-level companion behind check #10
-    * (substrate.InvertedIndex; VERDICT r7 #5): token → (df, sorted
-    * posting list), postings dumped comma-joined so every posting list is
-    * hash-checked at full fidelity cross-engine. One explode + one
-    * groupBy(token) shuffle — vocab_stats' shuffle class, linear at
-    * 100 TB; stored bucketed-by-token it serves sub-scan term lookups.
+    * (substrate.InvertedIndex; VERDICT r7 #5): token → (segment, df,
+    * sorted posting list), postings dumped comma-joined so every posting
+    * list is hash-checked at full fidelity cross-engine — INCLUDING the
+    * segment boundaries: the oracle re-derives the df-threshold/doc-range
+    * segmentation in SQL, so a hash match pins the skew-safe layout
+    * itself, not just the membership. One explode + a df pass + one
+    * groupBy(token, segment) shuffle — vocab_stats' shuffle class, linear
+    * at 100 TB; stored bucketed-by-token it serves sub-scan term lookups
+    * with every row bounded by max(dfThreshold, segmentWidth) entries
+    * regardless of token skew.
     */
   val invertedIndexBuild = Check("inverted_index_build",
     (spark, dir) => graft.substrate.InvertedIndex
-      .build(docs(spark, dir), "doc_id", "text")
-      .select(col("token"), col("df"),
+      .build(docs(spark, dir), "doc_id", "text",
+        dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      .select(col("token"), col("segment"), col("df"),
         concat_ws(",", col("postings").cast("array<string>")).as("postings"))
-      .orderBy("token"),
+      .orderBy("token", "segment"),
     Some(
-      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
-        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+        |dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token),
+        |seg AS (SELECT t.token,
+        |CAST(CASE WHEN d.df > $IdxDfThreshold THEN t.doc_id // $IdxSegWidth ELSE -1 END AS BIGINT) AS segment,
+        |d.df, t.doc_id FROM toks t JOIN dfs d USING (token))
+        |SELECT token, segment, df,
         |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |FROM toks GROUP BY token ORDER BY token"""
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY token, segment"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
@@ -1115,8 +1135,12 @@ object TextTier {
   val invertedIndexLookup = Check("inverted_index_lookup",
     (spark, dir) => {
       val idx = graft.substrate.InvertedIndex
-        .build(docs(spark, dir), "doc_id", "text")
-      val queryTerms = idx.orderBy(col("df").desc, col("token").asc)
+        .build(docs(spark, dir), "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      // (token, df) is distinct BEFORE the top-3: a segmented token holds
+      // several index rows, all carrying the same total df
+      val queryTerms = idx.select("token", "df").distinct()
+        .orderBy(col("df").desc, col("token").asc)
         .limit(3).select("token")
       graft.substrate.InvertedIndex.lookupAll(idx, queryTerms)
         .orderBy("doc_id")
@@ -1146,10 +1170,12 @@ object TextTier {
   val invertedIndexRank = Check("inverted_index_rank",
     (spark, dir) => {
       val d = docs(spark, dir)
-      val idx = graft.substrate.InvertedIndex.buildWithTf(d, "doc_id", "text")
+      val idx = graft.substrate.InvertedIndex.buildWithTf(d, "doc_id", "text",
+        dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
       val lens = d.select(col("doc_id").cast("long").as("doc_id"),
         size(tokens(col("text"))).cast("long").as("dl"))
-      val queryTerms = idx.orderBy(col("df").desc, col("token").asc)
+      val queryTerms = idx.select("token", "df").distinct()
+        .orderBy(col("df").desc, col("token").asc)
         .limit(3).select("token")
       graft.substrate.InvertedIndex.rankBm25(idx, lens, queryTerms)
     },
@@ -1170,10 +1196,82 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** PHRASE retrieval (VERDICT r8 what's-missing #2,
+    * `factors/requirements.yaml:46-48`): the query phrase is the corpus's
+    * most frequent ADJACENT bigram (deterministic count/word tie-break,
+    * derived declaratively — no collect), answered from the POSITIONAL
+    * segmented index by anchor intersection (token_i at anchor+i for both
+    * slots). Conjunctive AND over-matches this query on the shuffled
+    * synthetic corpus (both words anywhere vs adjacent in order —
+    * InvertedIndexSpec pins the strict-subset gap on planted phrases);
+    * the oracle checks the adjacency semantics from raw positions, so a
+    * hash match proves the positional index loses nothing.
+    */
+  val invertedIndexPhrase = Check("inverted_index_phrase",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val idx = graft.substrate.InvertedIndex
+        .buildPositional(d, "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      val tp = d.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val top = tp.withColumn("nxt", lead("token", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("token").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(1)
+      val terms = top.select(col("w1").as("token"), lit(0L).as("offset"))
+        .unionByName(top.select(col("w2").as("token"), lit(1L).as("offset")))
+      graft.substrate.InvertedIndex.lookupPhrase(idx, terms)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tp AS (SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) - 1 AS pos
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)),
+        |big AS (SELECT a.token AS w1, b.token AS w2, COUNT(*) AS cnt
+        |FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+        |top AS (SELECT w1, w2 FROM big ORDER BY cnt DESC, w1, w2 LIMIT 1)
+        |SELECT DISTINCT t1.doc_id FROM tp t1
+        |JOIN top ON t1.token = top.w1
+        |JOIN tp t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1 AND t2.token = top.w2
+        |ORDER BY t1.doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** Incremental index maintenance (VERDICT r8 #6): the last decile of
+    * doc_ids arrives as a DELTA against an index built from the rest —
+    * the nightly-ingest shape already proven for MinHash signatures
+    * (`dedup_incremental`). mergeDelta re-aggregates ONLY the delta's
+    * tokens (stored rows flattened + delta union + re-segmentation, so a
+    * token crossing the df threshold re-layouts); untouched rows pass
+    * through by anti-join. The ORACLE is the FULL segmented rebuild over
+    * the whole corpus, so the hash match IS the merge ≡ rebuild
+    * equivalence, segment boundaries included, cross-engine.
+    */
+  val invertedIndexIncremental = Check("inverted_index_incremental",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val base = d.filter(col("doc_id") % 10 =!= 9)
+      val delta = d.filter(col("doc_id") % 10 === 9)
+      val stored = graft.substrate.InvertedIndex
+        .build(base, "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      graft.substrate.InvertedIndex
+        .mergeDelta(stored, delta, "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+        .select(col("token"), col("segment"), col("df"),
+          concat_ws(",", col("postings").cast("array<string>")).as("postings"))
+        .orderBy("token", "segment")
+    },
+    invertedIndexBuild.oracle,
+    isScore = false)
+
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
     dupSpanStats, dedupSpanRemoval, ngramNovelty, vocabStats,
     lmQualityScore, lmQualitySampled, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline,
-    invertedIndexBuild, invertedIndexLookup, invertedIndexRank)
+    invertedIndexBuild, invertedIndexLookup, invertedIndexRank,
+    invertedIndexPhrase, invertedIndexIncremental)
 }

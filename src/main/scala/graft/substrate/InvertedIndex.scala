@@ -10,41 +10,142 @@ import org.apache.spark.sql.functions._
   * flag, this builds the companion table the flag asserts exists, the way
   * BrpLsh/IvfIndex witness the vector-index requirements (#15/#19).
   *
-  * Scale shape: `build` is one tokenize/explode pass + one groupBy(token)
-  * shuffle — the same shuffle class as vocab_stats; trivially parallel at
-  * 100 TB. The built index is meant to be STORED partitioned/bucketed by
-  * token, so a term lookup reads only the matching token rows (predicate
-  * pushdown on the bucket key), never the corpus — sub-scan access is the
-  * entire point of the companion table. Stopword-grade tokens make long
-  * posting lists (the classic skew hazard); `df` is materialized per row
-  * precisely so a caller can route high-df terms to a segmented layout
-  * (split postings by doc_id range) without rebuilding.
+  * Scale shape: every build is one tokenize/explode pass + one
+  * groupBy(token) df pass + one groupBy(token, segment) postings shuffle —
+  * vocab_stats' shuffle class, trivially parallel at 100 TB. The built
+  * index is meant to be STORED partitioned/bucketed by token, so a term
+  * lookup reads only the matching token rows (predicate pushdown on the
+  * bucket key), never the corpus — sub-scan access is the entire point of
+  * the companion table.
+  *
+  * SEGMENTED postings (the classic stopword-skew remedy, VERDICT r8 #1):
+  * a stopword-grade token at corpus scale would put O(n_docs) doc_ids
+  * into ONE `collect_list` cell — a single-task memory blowup against the
+  * 2 GB value ceiling. So tokens whose df exceeds `dfThreshold` have
+  * their postings SPLIT by doc_id range: one row per
+  * `segment = doc_id div segmentWidth`, each holding at most
+  * `segmentWidth` entries; low-df tokens keep one row (`segment = -1`).
+  * Per-row postings are therefore bounded by max(dfThreshold,
+  * segmentWidth) REGARDLESS of token skew (pinned by InvertedIndexSpec's
+  * every-doc stopword fixture). Because segments partition the doc_id
+  * space, a doc appears in exactly one row per token — [[lookupAll]],
+  * [[lookupPhrase]] and [[rankBm25]] aggregate by doc_id and therefore
+  * read segmented and unsegmented layouts identically (the df column
+  * carries the token TOTAL on every segment row, so idf needs no
+  * cross-segment re-aggregation). The final groupBy(token, segment) is
+  * also what keeps the BUILD shuffle skew-safe: a hot token's postings
+  * hash to many (token, segment) reducer keys instead of one.
   */
 object InvertedIndex {
 
-  /** Build the index: (token, df, postings) with postings = the SORTED
-    * distinct doc_ids containing the token and df = their count.
+  /** Default per-row postings bound: 2^16 doc_ids ≈ 512 KB per cell —
+    * comfortably inside task memory and far under the 2 GB value limit
+    * even with (doc_id, tf, positions) struct entries.
     */
-  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .distinct()
-      .groupBy("token")
-      .agg(count(lit(1)).cast("long").as("df"),
-        sort_array(collect_list("doc_id")).as("postings"))
+  val DefaultDfThreshold: Long = 1L << 16
+  val DefaultSegmentWidth: Long = 1L << 16
 
-  /** TF-bearing index variant: (token, df, postings = doc_id-sorted array
-    * of (doc_id, tf)) — the structure ranked retrieval reads. Same single
-    * groupBy(token) shuffle as [[build]] after a (doc, token) partial agg.
-    */
-  def buildWithTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
-      .groupBy("token")
-      .agg(count(lit(1)).cast("long").as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-          .as("postings"))
+      explode(TextOps.tokens(col(textCol))).as("token"))
+
+  /** Segment assignment: `doc_id div W` above the df threshold, -1 (one
+    * row) below. Integer `div`, not floor(double /): exact for the whole
+    * long range.
+    */
+  private def segmentCol(dfThreshold: Long, segmentWidth: Long) =
+    when(col("df") > dfThreshold,
+      expr(s"doc_id div $segmentWidth")).otherwise(lit(-1L)).cast("long")
+
+  /** Core: per-token df over a (doc_id, token [, payload...]) table, then
+    * the (token, segment) postings aggregation. `payload` builds the
+    * per-posting struct column to collect; plain builds collect the bare
+    * doc_id.
+    */
+  private def segmentize(tok: DataFrame, dfThreshold: Long,
+      segmentWidth: Long, payload: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val dfTab = tok.groupBy("token")
+      .agg(count(lit(1)).cast("long").as("df"))
+    tok.join(dfTab, Seq("token"))
+      .withColumn("segment", segmentCol(dfThreshold, segmentWidth))
+      .groupBy("token", "segment", "df")
+      .agg(sort_array(collect_list(payload.getOrElse(col("doc_id"))))
+        .as("postings"))
+      .select("token", "segment", "df", "postings")
+  }
+
+  /** Build the index: (token, segment, df, postings) with postings = the
+    * SORTED distinct doc_ids of the segment and df = the token's TOTAL
+    * doc count (replicated on every segment row).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame =
+    segmentize(tokenized(docs, idCol, textCol).distinct(),
+      dfThreshold, segmentWidth, None)
+
+  /** TF-bearing index variant: postings = doc_id-sorted array of
+    * (doc_id, tf) — the structure ranked retrieval reads. Same shuffle
+    * class as [[build]] after a (doc, token) partial agg.
+    */
+  def buildWithTf(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val tf = tokenized(docs, idCol, textCol)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    segmentize(tf, dfThreshold, segmentWidth,
+      Some(struct(col("doc_id"), col("tf"))))
+  }
+
+  /** POSITIONAL index: postings = doc_id-sorted array of (doc_id, tf,
+    * positions) with positions = the sorted 0-based token offsets within
+    * the document — the structure phrase retrieval reads
+    * ([[lookupPhrase]]). Positions come from the same posexplode the
+    * span-dedup substrate uses (WordShinglesPos' position discipline).
+    */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val tp = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+    segmentize(tp, dfThreshold, segmentWidth,
+      Some(struct(col("doc_id"), col("tf"), col("positions"))))
+  }
+
+  /** Incremental maintenance (the delta-vs-stored-index pattern proven
+    * for MinHash in `dedup_incremental`): fold a delta corpus of NEW
+    * doc_ids into a stored [[build]] index WITHOUT rebuilding. Only
+    * tokens present in the delta are touched — their stored rows are
+    * flattened back to (token, doc_id), unioned with the delta postings
+    * and re-segmented (df re-derives, so a token crossing `dfThreshold`
+    * re-layouts correctly); every other index row passes through
+    * verbatim via an anti-join. Work is O(|delta| + postings of touched
+    * tokens), never O(corpus) — at 100 TB the stored side is a bucketed
+    * table and the touched-token join prunes to the delta's vocabulary.
+    * Result ≡ `build(base ∪ delta)` (mergeDelta's oracle equivalence,
+    * `inverted_index_incremental`), provided delta doc_ids are disjoint
+    * from the indexed corpus (new documents, the ingest contract).
+    */
+  def mergeDelta(index: DataFrame, deltaDocs: DataFrame, idCol: String,
+      textCol: String, dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val deltaTok = tokenized(deltaDocs, idCol, textCol).distinct()
+    val touched = deltaTok.select("token").distinct()
+    val untouched = index.join(touched, Seq("token"), "left_anti")
+    val touchedOld = index.join(touched, Seq("token"), "left_semi")
+      .select(col("token"), explode(col("postings")).as("doc_id"))
+    val rebuilt = segmentize(
+      touchedOld.unionByName(deltaTok.select("token", "doc_id")),
+      dfThreshold, segmentWidth, None)
+    untouched.select("token", "segment", "df", "postings")
+      .unionByName(rebuilt)
+  }
 
   /** BM25 ranked retrieval (Robertson/Sparck-Jones, the Lucene-default
     * `ln(1 + (N-df+0.5)/(df+0.5))` idf form) over a [[buildWithTf]] index
@@ -53,6 +154,11 @@ object InvertedIndex {
     * terms' posting lists (index pruned by the broadcast term join), joins
     * norms by doc_id, and top-k's with a deterministic (score desc,
     * doc_id) tie-break. Output: (rank, doc_id, score).
+    *
+    * The final orderBy+limit plans as TakeOrderedAndProject (a true
+    * top-k, no global sort); the row_number window then re-orders only
+    * the ≤ topK survivors to stamp ranks — the only deterministic way to
+    * number a limited set, and O(topK), not a second corpus sort.
     */
   def rankBm25(index: DataFrame, docLens: DataFrame, terms: DataFrame,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
@@ -85,6 +191,8 @@ object InvertedIndex {
     * rows matching the terms (an equi-join that prunes to the term
     * buckets on a stored index), explodes just those posting lists, and
     * intersects by counting: a doc hit by all |terms| lists qualifies.
+    * Segment-transparent: a doc appears in exactly one segment row per
+    * token, so the per-doc hit count is the matched-term count either way.
     */
   def lookupAll(index: DataFrame, terms: DataFrame): DataFrame = {
     val t = terms.toDF("token").distinct()
@@ -94,5 +202,32 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
       .join(broadcast(nTerms), col("hits") === col("n_terms"))
       .select("doc_id")
+  }
+
+  /** PHRASE retrieval over a [[buildPositional]] index: doc_ids where the
+    * phrase's tokens occur at CONSECUTIVE positions, in order. `terms` is
+    * a (token, offset) DataFrame — offset = the token's 0-based slot in
+    * the phrase (duplicate tokens at different slots are fine). The
+    * classic positional-intersection: every (doc, occurrence) pair votes
+    * for `anchor = position - offset`; an anchor backed by ALL phrase
+    * slots is a phrase start. Only the query terms' posting rows are
+    * read (broadcast term join — same pruning as [[lookupAll]]), so
+    * conjunctive over-matches (all words present, never adjacent) are
+    * eliminated without re-reading the corpus.
+    */
+  def lookupPhrase(index: DataFrame, terms: DataFrame): DataFrame = {
+    val t = terms.select(col("token"),
+      col("offset").cast("long").as("offset")).distinct()
+    val nSlots = t.agg(countDistinct("offset").as("n_slots"))
+    index.join(broadcast(t), Seq("token"))
+      .select(col("offset"), explode(col("postings")).as("p"))
+      .select(col("offset"), col("p.doc_id").as("doc_id"),
+        explode(col("p.positions")).as("pos"))
+      .select(col("doc_id"), (col("pos") - col("offset")).as("anchor"),
+        col("offset"))
+      .groupBy("doc_id", "anchor")
+      .agg(countDistinct("offset").as("hits"))
+      .join(broadcast(nSlots), col("hits") === col("n_slots"))
+      .select("doc_id").distinct()
   }
 }

@@ -33,6 +33,20 @@ import org.apache.spark.sql.functions._
   * refreshed count reaches 0 drop out, so refresh(mv, log) ≡ full
   * recompute over Cdc-applied state (pinned by the mv_incremental_refresh
   * oracle and MvSpec's randomized equivalence).
+  *
+  * AGGREGATE SCOPE (the contract callers must not over-assume): SUM and
+  * COUNT maintain incrementally because they are group homomorphisms —
+  * a delta's contribution is itself a SUM/COUNT and folds in with `+`.
+  * AVG derives algebraically from that same (s, n) state
+  * ([[refreshSumCountAvg]]) — no extra maintained state. MIN/MAX do NOT
+  * fit this scheme under deletes/updates-away: removing the current
+  * minimum requires knowing the runner-up, which the (before, after)
+  * images cannot carry — correct MIN/MAX maintenance needs either a
+  * per-group value sketch (heap / count-map of the top values) or a
+  * re-read of the group's base rows on eviction. Callers needing MIN/MAX
+  * freshness should re-aggregate the TOUCHED groups from base (cost
+  * O(touched groups' rows), still never the full base) rather than feed
+  * them through this fold.
   */
 object MaterializedView {
 
@@ -63,4 +77,16 @@ object MaterializedView {
           .cast("long").as("s"))
       .filter(col("n") > 0)
   }
+
+  /** AVG face (reference `factors/3-current.md:14` — the classic
+    * refreshable aggregates): avg = s / n derived from the SUM/COUNT
+    * state AFTER the fold, so AVG rides the exact incremental contract
+    * of [[refreshSumCount]] with zero additional maintained state. The
+    * n > 0 retention filter of the fold guarantees the division is
+    * never 0/0.
+    */
+  def refreshSumCountAvg(mv: DataFrame, changes: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    refreshSumCount(mv, changes, keyCols)
+      .withColumn("avg", col("s").cast("double") / col("n"))
 }

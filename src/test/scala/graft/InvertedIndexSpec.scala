@@ -99,4 +99,124 @@ class InvertedIndexSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(got == Set(2L, 3L))
   }
+
+  /** Stopword-heavy corpus (VERDICT r8 #1's pin): "the" appears in EVERY
+    * doc, "rare<k>" tokens in one each — the exact vocabulary skew that
+    * would put O(corpus) doc_ids into one collect_list cell unsegmented.
+    */
+  private def skewed(n: Int) = (1L to n.toLong).map { id =>
+    (id, s"the filler rare$id")
+  }.toDF("doc_id", "text")
+
+  test("segmentation bounds every posting row; reassembly == unsegmented build") {
+    val df = skewed(500)
+    val seg = InvertedIndex.build(df, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 64)
+    val rows = seg.select(col("token"), col("segment"), col("df"),
+      size(col("postings")).as("np")).as[(String, Long, Long, Int)].collect()
+    // the skew bound: no row exceeds max(dfThreshold, segmentWidth)
+    assert(rows.forall(_._4 <= 64), s"oversize row: ${rows.maxBy(_._4)}")
+    // "the" (df=500) segments into ceil-coverage of doc_ids 1..500 by 64;
+    // rare tokens (df=1 <= 50) keep one segment=-1 row
+    val theRows = rows.filter(_._1 == "the")
+    assert(theRows.length == 8 && theRows.forall(_._3 == 500L))
+    assert(theRows.map(_._2).sorted.toSeq == (0L to 7L),
+      s"unexpected segments: ${theRows.map(_._2).sorted.toSeq}")
+    assert(rows.filter(_._1.startsWith("rare")).forall(r =>
+      r._2 == -1L && r._3 == 1L && r._4 == 1))
+    // flattening segments in order reproduces the unsegmented postings
+    val flat = seg.groupBy("token")
+      .agg(first("df").as("df"),
+        flatten(array_sort(collect_list(struct(col("segment"),
+          col("postings"))))("postings")).as("postings"))
+    val plain = InvertedIndex.build(df, "doc_id", "text")
+      .select("token", "df", "postings")
+    assert(flat.select("token", "df", "postings")
+      .exceptAll(plain).isEmpty && plain.exceptAll(
+        flat.select("token", "df", "postings")).isEmpty)
+  }
+
+  test("lookupAll and rankBm25 read segmented and unsegmented layouts identically") {
+    val df = skewed(300)
+    val q = Seq("the", "rare7").toDF("token")
+    val plainHits = InvertedIndex
+      .lookupAll(InvertedIndex.build(df, "doc_id", "text"), q)
+      .as[Long].collect().toSet
+    val segHits = InvertedIndex
+      .lookupAll(InvertedIndex.build(df, "doc_id", "text",
+        dfThreshold = 20, segmentWidth = 32), q)
+      .as[Long].collect().toSet
+    assert(plainHits == Set(7L) && segHits == plainHits)
+    val lens = df.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+    def ranked(idx: org.apache.spark.sql.DataFrame) = InvertedIndex
+      .rankBm25(idx, lens, Seq("the", "rare7").toDF("token"), topK = 5)
+      .select("rank", "doc_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val a = ranked(InvertedIndex.buildWithTf(df, "doc_id", "text"))
+    val b = ranked(InvertedIndex.buildWithTf(df, "doc_id", "text",
+      dfThreshold = 20, segmentWidth = 32))
+    assert(a == b, s"segmented rank drifted: $a vs $b")
+    assert(a.head._2 == 7L) // the rare-term doc wins
+  }
+
+  test("lookupPhrase: adjacency in order; strict subset of conjunctive AND") {
+    val c = Seq(
+      (1L, "machine learning rocks"),        // phrase present
+      (2L, "learning about machine design"), // both words, never adjacent
+      (3L, "machine learning machine"),      // phrase + extra occurrence
+      (4L, "learning machine"),              // adjacent but REVERSED
+      (5L, "deep learning")).toDF("doc_id", "text")
+    val idx = InvertedIndex.buildPositional(c, "doc_id", "text",
+      dfThreshold = 2, segmentWidth = 2) // segmentation active on tiny data
+    val terms = Seq(("machine", 0L), ("learning", 1L)).toDF("token", "offset")
+    val phrase = InvertedIndex.lookupPhrase(idx, terms)
+      .as[Long].collect().toSet
+    val conj = InvertedIndex.lookupAll(
+      InvertedIndex.build(c, "doc_id", "text"),
+      Seq("machine", "learning").toDF("token")).as[Long].collect().toSet
+    assert(phrase == Set(1L, 3L), s"phrase hits: $phrase")
+    assert(conj == Set(1L, 2L, 3L, 4L), s"AND hits: $conj")
+    assert(phrase.subsetOf(conj) && phrase != conj,
+      "phrase must strictly refine conjunctive AND on this corpus")
+    // duplicated-token phrase: "machine machine" only matches repeats
+    val dup = InvertedIndex.lookupPhrase(idx,
+      Seq(("machine", 0L), ("machine", 1L)).toDF("token", "offset"))
+      .as[Long].collect().toSet
+    assert(dup == Set.empty[Long])
+    val dup2 = InvertedIndex.lookupPhrase(
+      InvertedIndex.buildPositional(
+        Seq((9L, "go go gadget")).toDF("doc_id", "text"), "doc_id", "text"),
+      Seq(("go", 0L), ("go", 1L)).toDF("token", "offset"))
+      .as[Long].collect().toSet
+    assert(dup2 == Set(9L))
+  }
+
+  test("mergeDelta == full rebuild, including a df-threshold crossing") {
+    // base: "tide" in 40 docs (below threshold 50 → single row);
+    // delta adds 20 more "tide" docs → df=60 crosses, must re-segment
+    val base = (1L to 40L).map(id => (id, s"tide unique$id"))
+      .toDF("doc_id", "text")
+    val delta = (41L to 60L).map(id => (id, s"tide fresh$id"))
+      .toDF("doc_id", "text")
+    val stored = InvertedIndex.build(base, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val merged = InvertedIndex.mergeDelta(stored, delta, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val full = InvertedIndex.build(base.unionByName(delta), "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), col("segment"), col("df"),
+        concat_ws(",", col("postings").cast("array<string>")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(canon(merged) == canon(full))
+    // the crossing is real: "tide" is single-row in the stored index and
+    // multi-segment after the merge
+    assert(stored.filter(col("token") === "tide").count() == 1)
+    assert(merged.filter(col("token") === "tide").count() > 1)
+    // untouched tokens' rows pass through by anti-join, not rebuild:
+    // delta vocabulary does not include unique<k>, so those rows survive
+    assert(canon(merged.filter(col("token").startsWith("unique"))) ==
+      canon(stored.filter(col("token").startsWith("unique"))))
+  }
 }

@@ -105,4 +105,19 @@ class MvSpec extends SparkSpec {
       assert(got == want, s"seed $seed: $got != $want")
     }
   }
+
+  test("AVG face: avg == refreshed s/n exactly; groups track the fold") {
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+    val mv = mvOf(base)
+    val chg = Seq[(Long, Option[String], Option[Long], Option[String], Option[Long], Long)](
+      (1L, Some("a"), Some(10L), Some("a"), Some(17L), 1L), // a: 10 -> 17
+      (3L, Some("b"), Some(30L), None, None, 1L),           // b vanishes
+      (9L, None, None, Some("c"), Some(5L), 1L))            // new group c
+      .toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
+    val got = MaterializedView.refreshSumCountAvg(mv, chg, Seq("k"))
+      .select("g", "n", "s", "avg")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // avg is ONE double division over exactly-maintained longs — exact
+    assert(got == Set(("a", 2L, 37L, 18.5), ("c", 1L, 5L, 5.0)))
+  }
 }
