@@ -28,7 +28,18 @@ object Bench {
     "mv_refresh_stream",
     // r8: the composed funnel is the suite's heaviest plan (~5 s quiet) —
     // pinned per the serial_extra promotion policy (BENCH_NOTES r5)
-    "corpus_prep_pipeline")
+    "corpus_prep_pipeline",
+    // r9: the r8 serial_extra stragglers, promoted (VERDICT r8 #5) so
+    // every concurrent/serial ratio the 4x inflation gate quotes is
+    // measured against a quiet-JVM median, never a single post-suite
+    // straggler sample — serial_extra should now be empty or carry only
+    // genuinely NEW heavies awaiting next-round promotion
+    "dedup_retain_sharded", "neardup_cosine_sharded", "dedup_semantic",
+    "dedup_semantic_flat", "dedup_semantic_routed", "neardup_cosine_lsh",
+    // r9: the positional-intersection phrase entry surfaced in its debut
+    // run's serial_extra (2.2 s quiet) — pinned immediately so the new
+    // search tier's heaviest query carries a median from day one
+    "inverted_index_phrase")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

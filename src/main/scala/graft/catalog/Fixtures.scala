@@ -506,6 +506,16 @@ object Fixtures {
     st("collection" -> S, "built_at" -> T, "dim" -> I),
     Seq(Seq("embeddings", ts("2024-01-28T00:00:00Z"), 64)))
 
+  /** Registered search-index artifacts (#10) — the catalog face of the
+    * InvertedIndex companion (vector_indexes' precedent for #15):
+    * `documents` carries an index built AFTER its last_modified
+    * (2024-01-25), so the flag + fresh-artifact conjunction scores it;
+    * a flag with a missing or stale artifact row would no longer count.
+    */
+  val searchIndexes = Fixture("search_indexes",
+    st("collection" -> S, "built_at" -> T, "vocab" -> L),
+    Seq(Seq("documents", ts("2024-01-28T00:00:00Z"), 31L)))
+
   /** Second (deliberately mixed-dim) embedding collection for #20. */
   val extraVectors = Fixture("extra_vectors",
     st("vec_id" -> L, "embedding" -> ArrayType(FloatType)),
@@ -559,6 +569,6 @@ object Fixtures {
     labels, featureValues, featureParity, chunks, pipelines, pipelineRuns,
     lineageEdges, lineageSources, transformations, tags, accessEvents,
     auditLog, accessPaths, biasTests, populationDist, licenses, consent,
-    retention, anonConfig, schemaVersions, vectorIndexes, extraVectors,
-    onlineFeatures, langStopwords, dataProducts)
+    retention, anonConfig, schemaVersions, vectorIndexes, searchIndexes,
+    extraVectors, onlineFeatures, langStopwords, dataProducts)
 }

@@ -28,16 +28,25 @@ object Factor2 {
       "SELECT COUNT(*) FROM assets WHERE bytes > 1000000 AND len(layout_keys) > 0",
       "SELECT COUNT(*) FROM assets WHERE bytes > 1000000", Seq(assets))))
 
-  /** #10 search_optimization (yaml:46-48): population = text-bearing tables. */
+  /** #10 search_optimization (yaml:46-48): population = text-bearing
+    * tables; a hit needs the catalog flag AND a registered search-index
+    * artifact at least as fresh as the asset (the load-bearing witness —
+    * #15's vector_indexes precedent, VERDICT r8 #8): the flag alone no
+    * longer scores, the InvertedIndex companion's catalog row must exist.
+    */
   val searchOptimization = Check("search_optimization",
     (spark, _) => {
       val tb = assets.df(spark).filter(col("text_bearing"))
-      fractionDf(spark, "search_optimization",
-        cnt(tb.filter(col("search_index"))), cnt(tb))
+      val si = searchIndexes.df(spark)
+      val indexed = tb.filter(col("search_index")).join(broadcast(si),
+        tb("asset") === si("collection") &&
+          si("built_at") >= tb("last_modified"), "left_semi")
+      fractionDf(spark, "search_optimization", cnt(indexed), cnt(tb))
     },
     Some(fractionSql("search_optimization",
-      "SELECT COUNT(*) FROM assets WHERE text_bearing AND search_index",
-      "SELECT COUNT(*) FROM assets WHERE text_bearing", Seq(assets))))
+      "SELECT COUNT(*) FROM assets a WHERE a.text_bearing AND a.search_index AND EXISTS (SELECT 1 FROM search_indexes si WHERE si.collection = a.asset AND si.built_at >= a.last_modified)",
+      "SELECT COUNT(*) FROM assets WHERE text_bearing",
+      Seq(assets, searchIndexes))))
 
   /** #11 serving_latency_compliance (yaml:50-52): p99 per endpoint vs SLA.
     * p99 is EXACT and engine-portable: smallest latency whose cume_dist

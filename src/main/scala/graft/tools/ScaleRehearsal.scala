@@ -385,6 +385,77 @@ object ScaleRehearsal {
 
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
+    // ---- inverted index: posting-row skew vs n (VERDICT r8 #2) --------
+    // Replica corpora REUSE the text verbatim (unlike the dissimilar
+    // shingle replicas): every token's df scales with n — the stopword
+    // blowup is the phenomenon under test. UNSEG (dfThreshold=MaxValue,
+    // the pre-r9 layout) must show max-posting-row growing ~n per decade
+    // — the single-cell collect_list that would hit task memory and the
+    // 2 GB value ceiling at 100 TB; SEG (the r9 segmented layout at a
+    // width that cuts within-replica id blocks) must hold max-row ≤ W
+    // FLAT across all three decades at the same build shuffle class.
+    val docsRaw = docs.persist()
+    def docsScaled(copies: Int): DataFrame = (0 until copies).map { k =>
+      if (k == 0) docsRaw
+      else docsRaw.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionAll _)
+    val segTh = 1000L; val segW = 2048L
+    def idxMaxRow(d: DataFrame, dfTh: Long, w: Long): Long =
+      graft.substrate.InvertedIndex.build(d, "doc_id", "text",
+          dfThreshold = dfTh, segmentWidth = w)
+        .agg(max(size(col("postings")))).head().getInt(0).toLong
+    Seq((1, "1x"), (10, "10x"), (100, "100x")).foreach { case (c, sc) =>
+      val d = docsScaled(c).persist()
+      val n = d.count()
+      val su = measured("inverted build UNSEG", sc, n) {
+        idxMaxRow(d, Long.MaxValue, segW)
+      }
+      samples += su.copy(op = su.op + s" (max row=${su.pairs})",
+        showRate = false)
+      val ss = measured(s"inverted build SEG (th=$segTh, W=$segW)", sc, n) {
+        idxMaxRow(d, segTh, segW)
+      }
+      samples += ss.copy(op = ss.op + s" (max row=${ss.pairs})",
+        showRate = false)
+      if (c > 1) d.unpersist()
+    }
+
+    // ---- MV incremental refresh: wall vs |changes| (VERDICT r8 #2) ----
+    // The refresh plan's ONLY inputs are the mv aggregate (G group rows)
+    // and the changelog — the base table appears nowhere, so base-row
+    // independence is structural; what must be MEASURED is that the wall
+    // tracks |changes| ~linearly at fixed G (the two window passes + the
+    // touched-group shuffle), with only mild G sensitivity (the full
+    // join against the G-row mv). pairs = refreshed group count.
+    def mvRefreshRows(g: Long, nChanges: Long): Long = {
+      val mv = spark.range(g).select(
+        concat(lit("g"), col("id")).as("g"),
+        lit(10L).as("n"), (col("id") % 1000L).cast("long").as("s"))
+      val chg = spark.range(nChanges).select(
+        col("id").as("k"),
+        concat(lit("g"), col("id") % g).as("b_g"),
+        (col("id") % 7L).cast("long").as("b_v"),
+        concat(lit("g"), (col("id") + 1L) % g).as("a_g"),
+        (col("id") % 11L).cast("long").as("a_v"),
+        lit(1L).as("seq"))
+      graft.substrate.MaterializedView.refreshSumCount(mv, chg, Seq("k"))
+        .count()
+    }
+    samples += { val s = measured("mv refresh (G=100k)", "1x", 30000L) {
+      mvRefreshRows(100000L, 30000L) }
+      s.copy(op = s.op + s" (groups out=${s.pairs})", showRate = false) }
+    samples += { val s = measured("mv refresh (G=100k)", "10x", 300000L) {
+      mvRefreshRows(100000L, 300000L) }
+      s.copy(op = s.op + s" (groups out=${s.pairs})", showRate = false) }
+    samples += { val s = measured("mv refresh (G=100k)", "100x", 3000000L) {
+      mvRefreshRows(100000L, 3000000L) }
+      s.copy(op = s.op + s" (groups out=${s.pairs})", showRate = false) }
+    // G sensitivity at fixed |changes|: the mv-side join term only
+    samples += { val s = measured("mv refresh (G=1M, changes fixed)", "10x",
+      300000L) { mvRefreshRows(1000000L, 300000L) }
+      s.copy(op = s.op + s" (groups out=${s.pairs})", showRate = false) }
+
     // ---- distributed components: rounds vs log2(diameter) -------------
     // (VERDICT r3 #7) A CHAIN is the worst-case-diameter graph; edge
     // counts above Graph.LocalThreshold force the distributed pointer-
@@ -461,7 +532,7 @@ object ScaleRehearsal {
     // table rows are appended OUTSIDE stripMargin (their leading '|' would
     // otherwise be treated as a margin and stripped)
     val head =
-      s"""# SCALE — empirical rehearsal of the dedup/ANN tier
+      s"""# SCALE — empirical rehearsal of the dedup/ANN/search/MV tier
          |
          |`runMain graft.tools.ScaleRehearsal` on `$sfDir` (1×) and
          |deterministic 10×/100× replica corpora (mutually-dissimilar
@@ -562,6 +633,31 @@ object ScaleRehearsal {
          |  where ANY sub-linear candidate set caps recall — the curse of
          |  dimensionality, not an index defect; real corpora with neighbor
          |  structure run occupancy ~8-16 and keep both.
+         |- **Inverted index** (`inverted build` rows — VERDICT r8 #2): the
+         |  replica corpora reuse the text verbatim, so every token's df
+         |  grows with n — the stopword skew that matters at 100 TB. The
+         |  UNSEG rows (dfThreshold=MaxValue, the pre-r9 single-cell
+         |  layout) must show max-posting-row growing ~10× per decade —
+         |  the curve that ends in a task-OOM against the 2 GB value
+         |  ceiling; the SEG rows (the registered segmented layout,
+         |  postings split by doc_id range above the df threshold) must
+         |  hold max-row ≤ W FLAT across all three decades with the same
+         |  one-explode + groupBy(token, segment) shuffle class — the
+         |  segment key is also what splits a hot token across reducers
+         |  instead of crowding one. Lookup/BM25/phrase read both layouts
+         |  identically (InvertedIndexSpec), so the bound is free at query
+         |  time.
+         |- **MV incremental refresh** (`mv refresh` rows — VERDICT r8 #2):
+         |  the refresh plan's inputs are the G-row mv aggregate and the
+         |  changelog ONLY — the base table appears nowhere in the plan,
+         |  so base-ROW independence (the 100 TB claim: refresh cost
+         |  scales with the delta, never the re-scan) is structural, and
+         |  what the decades measure is the rest of the contract: wall
+         |  tracks |changes| ~linearly at fixed G (two window passes over
+         |  the change keys + one touched-group shuffle), and the G=1M row
+         |  pins the mv-side term (the full join against G group rows) as
+         |  mild — at production scale G (distinct groups) is orders below
+         |  base rows, which is why an MV exists at all.
          |- **Components chain**: worst-case diameter (a path), forced onto
          |  the distributed pointer-doubling path. Rounds must track
          |  log2(diameter) (~+3.3 per decade, across all three decades to

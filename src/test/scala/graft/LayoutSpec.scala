@@ -72,9 +72,15 @@ class LayoutSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_clust").toString
     try {
-      // small row groups so one file holds MANY groups — skipping must
-      // happen inside files, not just across them
-      spark.conf.set("spark.hadoop.parquet.block.size", 16 * 1024)
+      // Small row groups so one file holds MANY groups — skipping must
+      // happen inside files, not just across them. The key is set
+      // UNPREFIXED: SessionState.newHadoopConf copies SQLConf entries
+      // verbatim into the writer's Hadoop conf, so a
+      // "spark.hadoop."-prefixed runtime key never reaches parquet
+      // (ADVICE r8 — the old prefixed set was a no-op and the test was
+      // passing on page-level column-index pruning alone); the footer
+      // assertion below proves the groups are real.
+      spark.conf.set("parquet.block.size", (16 * 1024).toString)
       val n = 200000L
       val df = spark.range(n).select(col("id").as("k"),
         (col("id") % 97).as("v"))
@@ -90,6 +96,18 @@ class LayoutSpec extends SparkSpec {
         }.sum
       }
       Layout.writeClustered(df.toDF(), dir, "k", numFiles = 4)
+      // the written files must actually contain MULTIPLE row groups —
+      // otherwise the skip measured below is across-file/page-level only
+      // and the row-group claim is untested
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+          spark.sessionState.newHadoopConf()))
+      val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+      assert(nGroups > 1,
+        s"parquet.block.size not honored: ${part.getName} has $nGroups row group(s)")
       val clustered = rowsScanned(dir)
       // control: same data, same row-group size, key order destroyed —
       // min/max stats cover the full range and nothing can be skipped
@@ -109,7 +127,7 @@ class LayoutSpec extends SparkSpec {
       assert(unclustered > n / 2,
         s"control layout unexpectedly skipped rows ($unclustered of $n)")
     } finally {
-      spark.conf.unset("spark.hadoop.parquet.block.size")
+      spark.conf.unset("parquet.block.size")
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
     }

@@ -187,15 +187,24 @@ class PlanQualitySpec extends SparkSpec {
     val mv = Seq(("a", 2L, 30L)).toDF("g", "n", "s")
     val chg = Seq((1L, Some("a"), Some(10L), Some("a"), Some(15L), 1L))
       .toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
-    val plan = planOf(
-      graft.substrate.MaterializedView.refreshSumCount(mv, chg, Seq("k")))
+    val refreshed =
+      graft.substrate.MaterializedView.refreshSumCount(mv, chg, Seq("k"))
+    val plan = planOf(refreshed)
     assert(!plan.contains("CartesianProduct"), s"product in MV refresh:\n$plan")
-    // the per-key fold must be a partitioned window, not a global sort
-    assert(plan.contains("Window"), s"no window fold in:\n$plan")
-    assert(!plan.contains("Window [")
-      || !plan.linesIterator.exists(l =>
-        l.contains("Window") && l.contains("partitionBy=[]")),
-      s"global (unpartitioned) window in MV refresh:\n$plan")
+    // The per-key fold must be a partitioned window, not a global sort.
+    // Simple mode renders window nodes as
+    //   Window [... windowspecdefinition(k#N, seq#M ASC ...) ...], [k#N], ...
+    // with the partition columns INSIDE windowspecdefinition — an
+    // unpartitioned fold would render windowspecdefinition(seq#M ...)
+    // with no leading k. (The old guard matched 'Window [' /
+    // 'partitionBy=[]' against FORMATTED output, where neither string
+    // ever occurs — vacuously true, ADVICE r8.)
+    val simple = refreshed.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val windows = simple.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty, s"no window fold in:\n$simple")
+    assert(windows.forall(_.contains("windowspecdefinition(k#")),
+      s"global (unpartitioned) window in MV refresh:\n$windows")
   }
 
   test("per-row text pipeline stays in whole-stage codegen") {
