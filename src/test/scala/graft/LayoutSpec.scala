@@ -44,6 +44,52 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("stored token-bucketed inverted index prunes the scan to the query terms' buckets") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      // the storage discipline InvertedIndex's scaladoc prescribes: the
+      // segmented index persisted bucketed-by-token, so a term lookup
+      // with literal terms reads ONLY the matching buckets — sub-scan
+      // access at the FILE level, before any join
+      val docs = graft.checks.CheckDsl.table(spark, sf, "documents")
+      val idx = graft.substrate.InvertedIndex
+        .build(docs, "doc_id", "text", dfThreshold = 100, segmentWidth = 200)
+      graft.substrate.Layout.writeBucketed(idx, "b_inv_idx", "token", 8)
+      // a bare filter needs no output distribution, so the
+      // DisableUnnecessaryBucketedScan rule would turn the bucketed read
+      // off (it does not model the PRUNING benefit — an index-serving
+      // session pins this off for its lookup reads)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = spark.table("b_inv_idx")
+        .filter(col("token").isin("the", "data"))
+      q.collect() // finalize AQE before inspecting the scan
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan for the bucketed index")
+      val s = scans.head.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(s)
+        .getOrElse(fail(s"no bucket pruning in scan:\n$s"))
+      assert(sel.group(1).toInt < sel.group(2).toInt &&
+        sel.group(2).toInt == 8,
+        s"term literals did not prune buckets: ${sel.matched}")
+      // and the pruned read still answers the lookup correctly
+      val viaStored = graft.substrate.InvertedIndex
+        .lookupAll(q, Seq("the", "data").toDF("token"))
+        .as[Long].collect().toSet
+      val direct = graft.substrate.InvertedIndex
+        .lookupAll(idx, Seq("the", "data").toDF("token"))
+        .as[Long].collect().toSet
+      assert(viaStored == direct && viaStored.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_inv_idx")
+    }
+  }
+
   test("hive-partitioned layout prunes non-matching partitions at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {
