@@ -226,6 +226,61 @@ object ChangeTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** MIN/MAX face of the MV family — the NON-invertible aggregates the
+    * delta fold cannot maintain (MaterializedView's object scaladoc):
+    * refreshed by `refreshMinMax`'s touched-group re-aggregation against
+    * the POST-change snapshot (here the same latest-wins state
+    * table_diff's v2 constructs), untouched groups passing through from
+    * the stored view by anti-join. The oracle is the full MIN/MAX
+    * recompute over the applied changelog, so the hash match pins
+    * touched-group re-aggregation ≡ full refresh cross-engine; MvSpec
+    * covers the untouched-pass-through and group-vanish paths the
+    * fixture's all-groups-touched changelog cannot reach.
+    */
+  val mvIncrementalRefreshMinmax = Check("mv_incremental_refresh_minmax",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      val mv0 = b.groupBy("status")
+        .agg(min("price_i").cast("long").as("mn"),
+          max("price_i").cast("long").as("mx"))
+        .select(col("status").as("g"), col("mn"), col("mx"))
+      val (_, changes) = mvAndChanges(spark, dir)
+      // the POST-change snapshot the changelog was applied to — the
+      // mutation rules + insert wave, exactly table_diff's v2
+      val mutated = b.filter(col("k") % 10 =!= 7).select(
+        when(col("k") % 100 === 3, "Y")
+          .when(col("k") % 10 === 3, "X")
+          .otherwise(col("status")).as("g"),
+        when(col("k") % 100 === 3, col("price_i") + 900)
+          .when(col("k") % 10 === 3, col("price_i") + 500)
+          .otherwise(col("price_i")).cast("long").as("v"))
+      val added = b.filter(col("k") % 1000 === 1)
+        .select(lit("N").as("g"), col("price_i").cast("long").as("v"))
+      graft.substrate.MaterializedView
+        .refreshMinMax(mv0, mutated.unionByName(added), changes)
+        .select(col("g").as("status"), col("mn").as("min_price_i"),
+          col("mx").as("max_price_i"))
+        .orderBy("status")
+    },
+    Some(
+      s"""WITH $BaseSql,
+         |chg AS (
+         |SELECT k, 'X' AS status, price_i + 500 AS price_i, 'U' AS op, 1 AS seq
+         |FROM base WHERE k % 10 = 3
+         |UNION ALL SELECT k, status, price_i, 'D', 1 FROM base WHERE k % 10 = 7
+         |UNION ALL SELECT k, 'Y', price_i + 900, 'U', 2 FROM base WHERE k % 100 = 3
+         |UNION ALL SELECT k + 100000000, 'N', price_i, 'U', 1 FROM base WHERE k % 1000 = 1),
+         |unioned AS (SELECT k, status, price_i, 'I' AS op, -1 AS seq FROM base
+         |UNION ALL SELECT * FROM chg),
+         |latest AS (SELECT k, status, price_i, op FROM (
+         |SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |FROM unioned) WHERE rn = 1)
+         |SELECT status, CAST(MIN(price_i) AS BIGINT) AS min_price_i,
+         |CAST(MAX(price_i) AS BIGINT) AS max_price_i
+         |FROM latest WHERE op <> 'D' GROUP BY 1 ORDER BY status"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Fixed key-range cap on the STREAM fixture's mutation waves: bounds
     * the MemoryStream driver-side collect at ~cap/10 × 2 tuples at ANY
     * scale factor (sf-independent by construction; above the sf0.01
@@ -338,5 +393,5 @@ object ChangeTier {
 
   val all: Seq[Check] =
     Seq(cdcUpsert, tableDiff, mvIncrementalRefresh, mvIncrementalRefreshAvg,
-      mvRefreshStream)
+      mvIncrementalRefreshMinmax, mvRefreshStream)
 }

@@ -43,10 +43,10 @@ import org.apache.spark.sql.functions._
   * minimum requires knowing the runner-up, which the (before, after)
   * images cannot carry — correct MIN/MAX maintenance needs either a
   * per-group value sketch (heap / count-map of the top values) or a
-  * re-read of the group's base rows on eviction. Callers needing MIN/MAX
-  * freshness should re-aggregate the TOUCHED groups from base (cost
-  * O(touched groups' rows), still never the full base) rather than feed
-  * them through this fold.
+  * re-read of the group's base rows on eviction. [[refreshMinMax]] IS
+  * that alternative: it re-aggregates only the TOUCHED groups from the
+  * post-change base (cost O(touched groups' rows), still never the full
+  * base) — never feed MIN/MAX through the delta fold.
   */
 object MaterializedView {
 
@@ -89,4 +89,36 @@ object MaterializedView {
       keyCols: Seq[String]): DataFrame =
     refreshSumCount(mv, changes, keyCols)
       .withColumn("avg", col("s").cast("double") / col("n"))
+
+  /** MIN/MAX refresh via touched-group re-aggregation — the correct
+    * incremental shape for the non-invertible aggregates (object
+    * scaladoc): the delta fold CANNOT maintain them, so the groups the
+    * changelog touches (before-groups ∪ after-groups) are re-aggregated
+    * from `base`, the POST-change snapshot (the CDC sink the changelog
+    * was applied to — `Cdc.applyChangeLog`'s output), while untouched mv
+    * rows pass through by anti-join.
+    *
+    * Contract: `mv(g, mn, mx)`; `base(g, v)` = current truth;
+    * `changes` carries the standard `b_g`/`a_g` image columns (only the
+    * group images are read — values are re-derived from base). Groups
+    * whose rows all vanished drop out (the re-agg returns nothing for
+    * them). Work is O(touched groups' base rows) + O(|mv|): the touched
+    * set is distinct groups (small — broadcast), so the base side sees a
+    * broadcast semi join, and when base is STORED partitioned/bucketed
+    * by `g` that filter prunes the scan to the touched partitions —
+    * otherwise it is one filtered scan, still never a shuffle of base.
+    * refreshMinMax(mv, base', log) ≡ full MIN/MAX recompute over base'
+    * by construction for touched groups and by no-change for the rest
+    * (`mv_incremental_refresh_minmax` pins it cross-engine).
+    */
+  def refreshMinMax(mv: DataFrame, base: DataFrame,
+      changes: DataFrame): DataFrame = {
+    val touched = changes.select(col("b_g").as("g"))
+      .unionByName(changes.select(col("a_g").as("g")))
+      .filter(col("g").isNotNull).distinct()
+    val untouched = mv.join(touched, Seq("g"), "left_anti")
+    val reagg = base.join(broadcast(touched), Seq("g"), "left_semi")
+      .groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+    untouched.select("g", "mn", "mx").unionByName(reagg)
+  }
 }

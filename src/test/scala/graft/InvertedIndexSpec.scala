@@ -190,6 +190,12 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(("go", 0L), ("go", 1L)).toDF("token", "offset"))
       .as[Long].collect().toSet
     assert(dup2 == Set(9L))
+    // 3-slot phrase: all three words in order, consecutively — doc 3 has
+    // them in order but split, doc 1 exact
+    val tri = InvertedIndex.lookupPhrase(idx,
+      Seq(("machine", 0L), ("learning", 1L), ("rocks", 2L))
+        .toDF("token", "offset")).as[Long].collect().toSet
+    assert(tri == Set(1L), s"trigram hits: $tri")
   }
 
   test("mergeDelta == full rebuild, including a df-threshold crossing") {

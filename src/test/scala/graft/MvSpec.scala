@@ -120,4 +120,20 @@ class MvSpec extends SparkSpec {
     // avg is ONE double division over exactly-maintained longs — exact
     assert(got == Set(("a", 2L, 37L, 18.5), ("c", 1L, 5L, 5.0)))
   }
+
+  test("MIN/MAX face: touched groups re-aggregate from base, untouched pass through, vanished drop") {
+    val mv = Seq(("a", 1L, 9L), ("b", 5L, 8L), ("c", 2L, 2L))
+      .toDF("g", "mn", "mx")
+    // POST-change base: a's max row (9) was deleted — the eviction the
+    // delta fold can't price; b untouched; c's only row moved to d
+    val post = Seq(("a", 1L), ("a", 4L), ("b", 5L), ("b", 8L), ("d", 7L))
+      .toDF("g", "v")
+    val chg = Seq[(Long, Option[String], Option[Long], Option[String], Option[Long], Long)](
+      (1L, Some("a"), Some(9L), None, None, 1L),          // delete a/9
+      (2L, Some("c"), Some(2L), Some("d"), Some(7L), 1L)) // move c -> d
+      .toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
+    val got = MaterializedView.refreshMinMax(mv, post, chg)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 4L), ("b", 5L, 8L), ("d", 7L, 7L)))
+  }
 }
