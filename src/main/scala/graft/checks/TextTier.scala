@@ -1239,6 +1239,40 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** PROXIMITY retrieval (the query class between conjunctive AND and
+    * exact phrase — `factors/2-consumable.md:9`'s search layer in full):
+    * the 3 highest-df tokens within a slop-2 window (any order). The
+    * Spark plan answers from the positional segmented index with the
+    * block-banded window join (InvertedIndex.lookupNear — never a
+    * per-doc occurrence product); the oracle recomputes the
+    * exists-a-window semantics from raw positions with a BETWEEN
+    * self-join, so the hash match pins the banded plan ≡ the naive
+    * definition.
+    */
+  val invertedIndexNear = Check("inverted_index_near",
+    (spark, dir) => {
+      val idx = graft.substrate.InvertedIndex
+        .buildPositional(docs(spark, dir), "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      val queryTerms = idx.select("token", "df").distinct()
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(3).select("token")
+      graft.substrate.InvertedIndex.lookupNear(idx, queryTerms, slop = 2)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tp AS (SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) - 1 AS pos
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)),
+        |idx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tp GROUP BY token),
+        |qt AS (SELECT token FROM idx ORDER BY df DESC, token LIMIT 3),
+        |occ AS (SELECT t.doc_id, t.token, t.pos FROM tp t JOIN qt USING (token)),
+        |win AS (SELECT a.doc_id, a.pos AS apos, COUNT(DISTINCT o.token) AS hits
+        |FROM occ a JOIN occ o ON o.doc_id = a.doc_id AND o.pos BETWEEN a.pos AND a.pos + 2
+        |GROUP BY 1, 2)
+        |SELECT DISTINCT doc_id FROM win WHERE hits = 3 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Incremental index maintenance (VERDICT r8 #6): the last decile of
     * doc_ids arrives as a DELTA against an index built from the rest —
     * the nightly-ingest shape already proven for MinHash signatures
@@ -1273,5 +1307,5 @@ object TextTier {
     lmQualityScore, lmQualitySampled, langId, textStats,
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline,
     invertedIndexBuild, invertedIndexLookup, invertedIndexRank,
-    invertedIndexPhrase, invertedIndexIncremental)
+    invertedIndexPhrase, invertedIndexNear, invertedIndexIncremental)
 }

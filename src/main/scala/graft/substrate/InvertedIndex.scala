@@ -215,6 +215,43 @@ object InvertedIndex {
     * conjunctive over-matches (all words present, never adjacent) are
     * eliminated without re-reading the corpus.
     */
+  /** PROXIMITY retrieval over a [[buildPositional]] index: doc_ids where
+    * every query term occurs within SOME window of `slop` positions
+    * (unordered — the "all terms near each other" query between
+    * conjunctive AND and exact phrase). Semantics: a doc matches iff a
+    * choice of one occurrence per term spans max−min ≤ slop; equivalently
+    * iff some occurrence position `apos` (the window's left edge is
+    * always itself an occurrence) has every term present in
+    * [apos, apos+slop] — which is what the plan tests. The within-doc
+    * window join is BANDED by `pos div slop` blocks (an occurrence in
+    * the window lives in the anchor's block or the next one), so the
+    * join is an equi-join on (doc_id, block) whose per-key width is the
+    * local occurrence density — never the O(occ²)-per-doc product a
+    * plain doc_id join would build on stopword-dense documents. Only the
+    * query terms' posting rows are read (broadcast term join, same
+    * pruning as [[lookupAll]]/[[lookupPhrase]]).
+    */
+  def lookupNear(index: DataFrame, terms: DataFrame, slop: Int): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val t = terms.toDF("token").distinct()
+    val nTerms = t.agg(countDistinct("token").as("n_terms"))
+    val occ = index.join(broadcast(t), Seq("token"))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        explode(col("p.positions")).as("pos"))
+    val anchors = occ.select(col("doc_id"), col("pos").as("apos"),
+        explode(array(lit(0L), lit(1L))).as("boff"))
+      .select(col("doc_id"), col("apos"),
+        (expr(s"apos div $slop") + col("boff")).as("blk"))
+    val occB = occ.withColumn("blk", expr(s"pos div $slop"))
+    anchors.join(occB, Seq("doc_id", "blk"))
+      .filter(col("pos") >= col("apos") && col("pos") <= col("apos") + slop)
+      .groupBy("doc_id", "apos")
+      .agg(countDistinct("token").as("hits"))
+      .join(broadcast(nTerms), col("hits") === col("n_terms"))
+      .select("doc_id").distinct()
+  }
+
   def lookupPhrase(index: DataFrame, terms: DataFrame): DataFrame = {
     val t = terms.select(col("token"),
       col("offset").cast("long").as("offset")).distinct()

@@ -198,6 +198,30 @@ class InvertedIndexSpec extends SparkSpec {
     assert(tri == Set(1L), s"trigram hits: $tri")
   }
 
+  test("lookupNear: exists-a-window semantics, exact slop boundary, order-free") {
+    val c = Seq(
+      (1L, "alpha beta gamma"),             // span 2
+      (2L, "alpha x beta y gamma"),         // span 4
+      (3L, "gamma beta alpha"),             // reversed, span 2
+      (4L, "alpha beta zeta"),              // gamma missing
+      (5L, "alpha x x x beta x x x gamma")) // span 8
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.buildPositional(c, "doc_id", "text",
+      dfThreshold = 2, segmentWidth = 2) // segmentation active
+    def near(slop: Int) = InvertedIndex.lookupNear(idx,
+      Seq("alpha", "beta", "gamma").toDF("token"), slop)
+      .as[Long].collect().toSet
+    assert(near(2) == Set(1L, 3L), s"slop 2: ${near(2)}")
+    assert(near(3) == Set(1L, 3L), "span-4 doc must NOT match slop 3")
+    assert(near(4) == Set(1L, 2L, 3L), "span-4 doc matches at exactly slop 4")
+    assert(near(8) == Set(1L, 2L, 3L, 5L))
+    // proximity sits between exact phrase and conjunctive AND
+    val conj = InvertedIndex.lookupAll(
+      InvertedIndex.build(c, "doc_id", "text"),
+      Seq("alpha", "beta", "gamma").toDF("token")).as[Long].collect().toSet
+    assert(conj == Set(1L, 2L, 3L, 5L) && near(2).subsetOf(conj))
+  }
+
   test("mergeDelta == full rebuild, including a df-threshold crossing") {
     // base: "tide" in 40 docs (below threshold 50 → single row);
     // delta adds 20 more "tide" docs → df=60 crosses, must re-segment

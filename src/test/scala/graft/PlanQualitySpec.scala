@@ -182,6 +182,70 @@ class PlanQualitySpec extends SparkSpec {
     assert(!rp.contains("CartesianProduct"), s"product in rank:\n$rp")
   }
 
+  test("phrase lookup: terms broadcast, anchors aggregate without a product") {
+    import spark.implicits._
+    val docs = CheckDsl.table(spark, sf, "documents")
+    val idx = graft.substrate.InvertedIndex
+      .buildPositional(docs, "doc_id", "text",
+        dfThreshold = 100, segmentWidth = 200)
+    val plan = planOf(graft.substrate.InvertedIndex.lookupPhrase(idx,
+      Seq(("the", 0L), ("data", 1L)).toDF("token", "offset")))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase term join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in phrase:\n$plan")
+  }
+
+  test("lookupNear: block-banded window join is an equi-join, never a per-doc product") {
+    import spark.implicits._
+    val docs = CheckDsl.table(spark, sf, "documents")
+    val idx = graft.substrate.InvertedIndex
+      .buildPositional(docs, "doc_id", "text",
+        dfThreshold = 100, segmentWidth = 200)
+    val plan = planOf(graft.substrate.InvertedIndex.lookupNear(idx,
+      Seq("the", "data").toDF("token"), slop = 2))
+    assert(!plan.contains("CartesianProduct"), s"product in near:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"near term join not broadcast:\n$plan")
+    // the anchor-occurrence join must carry the block key, not bare doc_id
+    assert(plan.contains("blk"), s"window join not block-banded:\n$plan")
+  }
+
+  test("mergeDelta: untouched rows pass by anti-join; no product; one corpus-side agg chain") {
+    val docs = CheckDsl.table(spark, sf, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 9)
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val stored = graft.substrate.InvertedIndex
+      .build(base, "doc_id", "text", dfThreshold = 100, segmentWidth = 200)
+      .localCheckpoint(true) // the stored table: merge may NOT re-scan base
+    val plan = planOf(graft.substrate.InvertedIndex
+      .mergeDelta(stored, delta, "doc_id", "text",
+        dfThreshold = 100, segmentWidth = 200))
+    assert(!plan.contains("CartesianProduct"), s"product in merge:\n$plan")
+    // the pass-through path must be an anti join (untouched rows are
+    // never re-aggregated)
+    assert(plan.toLowerCase.contains("leftanti") ||
+      plan.toLowerCase.contains("left_anti") || plan.contains("LeftAnti"),
+      s"no anti-join pass-through in merge plan:\n$plan")
+  }
+
+  test("refreshMinMax: touched set broadcasts into base; untouched pass by anti-join") {
+    import spark.implicits._
+    val mv = Seq(("a", 1L, 9L)).toDF("g", "mn", "mx")
+    val post = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    val chg = Seq((1L, Some("a"), Some(9L), Option.empty[String],
+      Option.empty[Long], 1L)).toDF("k", "b_g", "b_v", "a_g", "a_v", "seq")
+    val plan = planOf(
+      graft.substrate.MaterializedView.refreshMinMax(mv, post, chg))
+    assert(!plan.contains("CartesianProduct"),
+      s"product in minmax refresh:\n$plan")
+    // base is re-read ONLY through a broadcast semi join on the touched
+    // groups — the shape partition pruning rides on a stored base
+    assert(plan.contains("BroadcastHashJoin"),
+      s"touched-group join not broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join into base:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti pass-through:\n$plan")
+  }
+
   test("MV refresh: change folding shuffles on key, delta joins the MV without a product") {
     import spark.implicits._
     val mv = Seq(("a", 2L, 30L)).toDF("g", "n", "s")
