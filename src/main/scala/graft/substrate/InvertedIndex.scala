@@ -62,6 +62,15 @@ object InvertedIndex {
     * the (token, segment) postings aggregation. `payload` builds the
     * per-posting struct column to collect; plain builds collect the bare
     * doc_id.
+    *
+    * The df join is keyed by token alone, so a stopword token routes all
+    * its (doc, token) rows through one join task BEFORE the skew-safe
+    * (token, segment) groupBy re-spreads them. Each such row is tiny
+    * (token + doc_id + payload scalars, no arrays yet), so the hot key is
+    * a sort-merge-spill straggler, not an OOM, and AQE's skew-join split
+    * (on by default) carves it at runtime; the 2 GB-cell hazard this
+    * class exists to remove lives only in the postings AGGREGATION, which
+    * is segment-keyed.
     */
   private def segmentize(tok: DataFrame, dfThreshold: Long,
       segmentWidth: Long, payload: Option[org.apache.spark.sql.Column])
@@ -106,17 +115,65 @@ object InvertedIndex {
     * ([[lookupPhrase]]). Positions come from the same posexplode the
     * span-dedup substrate uses (WordShinglesPos' position discipline).
     */
-  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
-      dfThreshold: Long = DefaultDfThreshold,
-      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
-    val tp = docs.select(col(idCol).cast("long").as("doc_id"),
+  /** Per-(doc, token) positional tuples: (doc_id, token, tf, positions)
+    * with positions = sorted 0-based offsets — the pre-aggregation both
+    * [[buildPositional]] and [[mergeDeltaPositional]] segmentize.
+    */
+  private def positionalTuples(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).cast("long").as("tf"),
         sort_array(collect_list(col("pos").cast("long"))).as("positions"))
-    segmentize(tp, dfThreshold, segmentWidth,
-      Some(struct(col("doc_id"), col("tf"), col("positions"))))
-  }
+
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame =
+    segmentize(positionalTuples(docs, idCol, textCol), dfThreshold,
+      segmentWidth, Some(struct(col("doc_id"), col("tf"), col("positions"))))
+
+  /** Process-local STORED-index handles: memoize the built index as an
+    * eager localCheckpoint keyed by (corpus plan, build params) — the
+    * in-session stand-in for the bucketed-by-token stored table a
+    * serving deployment reads. "Search ... results in milliseconds"
+    * (reference `factors/2-consumable.md:9`) is a stored-artifact claim:
+    * a query plan that re-tokenizes the corpus per query models nothing
+    * real, so retrieval entries (`inverted_index_lookup`/`_rank`/
+    * `_phrase`/`_near`) and the merge entries' base index read these.
+    * Same contract as BrpLsh's width memo: the value is deterministic
+    * (a cache hit returns exactly what a rebuild would), and an ingest
+    * boundary that appends under the same path must
+    * [[DerivationCache.clear]]. The artifact is O(vocab · segments)
+    * rows — bounded by the segmentation invariant, tiny next to the
+    * corpus — so the checkpoint is cheap to hold for a session.
+    */
+  def storedBuild(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame =
+    DerivationCache.memo(docs,
+      s"invidx-plain-$idCol-$textCol-$dfThreshold-$segmentWidth") {
+      build(docs, idCol, textCol, dfThreshold, segmentWidth)
+        .localCheckpoint(true)
+    }
+
+  def storedBuildWithTf(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame =
+    DerivationCache.memo(docs,
+      s"invidx-tf-$idCol-$textCol-$dfThreshold-$segmentWidth") {
+      buildWithTf(docs, idCol, textCol, dfThreshold, segmentWidth)
+        .localCheckpoint(true)
+    }
+
+  def storedBuildPositional(docs: DataFrame, idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame =
+    DerivationCache.memo(docs,
+      s"invidx-pos-$idCol-$textCol-$dfThreshold-$segmentWidth") {
+      buildPositional(docs, idCol, textCol, dfThreshold, segmentWidth)
+        .localCheckpoint(true)
+    }
 
   /** Incremental maintenance (the delta-vs-stored-index pattern proven
     * for MinHash in `dedup_incremental`): fold a delta corpus of NEW
@@ -143,6 +200,38 @@ object InvertedIndex {
     val rebuilt = segmentize(
       touchedOld.unionByName(deltaTok.select("token", "doc_id")),
       dfThreshold, segmentWidth, None)
+    untouched.select("token", "segment", "df", "postings")
+      .unionByName(rebuilt)
+  }
+
+  /** [[mergeDelta]] for the POSITIONAL index — keeps the phrase/proximity
+    * serving artifact ([[buildPositional]]) incrementally maintainable
+    * under the same ingest contract (delta doc_ids disjoint from the
+    * indexed corpus). Identical shape: only the delta's tokens are
+    * touched — their stored (doc_id, tf, positions) postings flatten
+    * back to tuples, union with the delta's positional tuples, and
+    * re-segmentize (df re-derives, so threshold crossings re-layout);
+    * untouched rows pass through by anti-join. Work is O(|delta| +
+    * postings of touched tokens); result ≡ buildPositional(base ∪ delta)
+    * (`inverted_index_incremental_pos`'s oracle equivalence, positions
+    * and tf included).
+    */
+  def mergeDeltaPositional(index: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val deltaTp = positionalTuples(deltaDocs, idCol, textCol)
+    val touched = deltaTp.select("token").distinct()
+    val untouched = index.join(touched, Seq("token"), "left_anti")
+    val touchedOld = index.join(touched, Seq("token"), "left_semi")
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
+    val rebuilt = segmentize(
+      touchedOld.unionByName(
+        deltaTp.select("token", "doc_id", "tf", "positions")),
+      dfThreshold, segmentWidth,
+      Some(struct(col("doc_id"), col("tf"), col("positions"))))
     untouched.select("token", "segment", "df", "postings")
       .unionByName(rebuilt)
   }

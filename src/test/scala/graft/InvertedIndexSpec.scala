@@ -249,4 +249,35 @@ class InvertedIndexSpec extends SparkSpec {
     assert(canon(merged.filter(col("token").startsWith("unique"))) ==
       canon(stored.filter(col("token").startsWith("unique"))))
   }
+
+  test("mergeDeltaPositional == full positional rebuild; phrase serving intact") {
+    // base: "ebb tide" docs (tide df=40, below threshold 50); delta adds
+    // 20 "tide tide rises" docs — df crosses, tf=2, fresh positions
+    val base = (1L to 40L).map(id => (id, s"ebb tide unique$id"))
+      .toDF("doc_id", "text")
+    val delta = (41L to 60L).map(id => (id, s"tide tide rises fresh$id"))
+      .toDF("doc_id", "text")
+    val stored = InvertedIndex.buildPositional(base, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val merged = InvertedIndex.mergeDeltaPositional(stored, delta,
+      "doc_id", "text", dfThreshold = 50, segmentWidth = 16)
+    val full = InvertedIndex.buildPositional(base.unionByName(delta),
+      "doc_id", "text", dfThreshold = 50, segmentWidth = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), col("segment"), col("df"),
+        expr("array_join(transform(postings, p -> concat(cast(p.doc_id as string), ':', " +
+          "cast(p.tf as string), ':', array_join(cast(p.positions as array<string>), '|'))), ',')").as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(canon(merged) == canon(full))
+    // tf and positions survive the merge: delta docs carry tide at 0|1
+    assert(canon(merged).exists { case (t, _, d, p) =>
+      t == "tide" && d == 60L && p.contains(":2:0|1") })
+    // the merged index still serves phrase retrieval: "ebb tide" matches
+    // exactly the base docs, "tide rises" exactly the delta docs
+    def phrase(w1: String, w2: String) = InvertedIndex.lookupPhrase(merged,
+      Seq((w1, 0L), (w2, 1L)).toDF("token", "offset"))
+      .as[Long].collect().toSet
+    assert(phrase("ebb", "tide") == (1L to 40L).toSet)
+    assert(phrase("tide", "rises") == (41L to 60L).toSet)
+  }
 }
