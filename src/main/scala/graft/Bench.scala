@@ -39,7 +39,11 @@ object Bench {
     // r9: the positional-intersection phrase entry surfaced in its debut
     // run's serial_extra (2.2 s quiet) — pinned immediately so the new
     // search tier's heaviest query carries a median from day one
-    "inverted_index_phrase")
+    "inverted_index_phrase",
+    // r9 late session: the two debut stragglers of the stored-index run
+    // (BENCH_NOTES "r9 late session"), pinned per the same
+    // promote-immediately policy so serial_extra ships empty
+    "ann_pq_topk", "inverted_index_incremental_pos")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

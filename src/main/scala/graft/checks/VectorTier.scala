@@ -785,10 +785,68 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Product-quantization ADC top-k (substrate.PqIndex — Jégou et al.
+    * 2011): the third retrieval geometry beside bucketed candidates
+    * (BrpLsh) and cell-probed search (IvfIndex) — compress every vector
+    * to an m-byte code (~64× on 64 dims vs embedding_quantize_int8's 4×)
+    * and SCAN the codes with per-query lookup tables instead of touching
+    * vectors. Codebook training is deterministic (k-smallest-id seeds +
+    * one Lloyd update on the %5 sample); the oracle re-derives seeds,
+    * the Lloyd means, the per-subspace code assignment, the ADC lookup
+    * sum, and the (adist, cid) ranking in SQL, so every approximation
+    * decision is reproduced cross-engine. Ranks are integer-typed;
+    * adjacent-adist margins on this corpus sit far above cross-engine
+    * float noise (same discipline as ann_brp_topk / inverted_index_rank;
+    * mean-summation order is the only divergence and it perturbs
+    * centroids at ~1e-16 relative).
+    */
+  val annPqTopk = Check("ann_pq_topk",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val cb = graft.substrate.PqIndex.codebookArrays(
+        graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val codes = graft.substrate.PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.substrate.PqIndex.topK(codes, q, "qid", "qv", cb, dim = 64,
+          topK = K)
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+         |FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+         |subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS sub),
+         |seedsv AS (SELECT s.sub, d.cid, d.v[s.sub*8+1 : s.sub*8+8] AS sv FROM seeds d, subs s),
+         |trainsv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS tv FROM e t, subs s WHERE t.vec_id % 5 = 0),
+         |asg AS (SELECT vec_id, sub, cid, tv FROM (SELECT t.vec_id, t.sub, d.cid, t.tv,
+         |row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY list_distance(t.tv, d.sv), d.cid) AS rn
+         |FROM trainsv t JOIN seedsv d USING (sub)) WHERE rn = 1),
+         |cmean AS (SELECT sub, cid, j, AVG(x) AS xm FROM (SELECT sub, cid,
+         |generate_subscripts(tv, 1) AS j, unnest(tv) AS x FROM asg) GROUP BY 1, 2, 3),
+         |cbt AS (SELECT sub, cid, list(xm ORDER BY j) AS cv FROM cmean GROUP BY 1, 2),
+         |cbf AS (SELECT s.sub, s.cid, COALESCE(c.cv, s.sv) AS cv
+         |FROM seedsv s LEFT JOIN cbt c ON c.sub = s.sub AND c.cid = s.cid),
+         |esv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS ev FROM e t, subs s),
+         |codes AS (SELECT vec_id, sub, cid FROM (SELECT v.vec_id, v.sub, c.cid,
+         |row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY list_distance(v.ev, c.cv), c.cid) AS rn
+         |FROM esv v JOIN cbf c USING (sub)) WHERE rn = 1),
+         |qsv AS (SELECT t.vec_id AS qid, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS quv
+         |FROM e t, subs s WHERE t.vec_id % $QuerySampleMod = 0),
+         |lut AS (SELECT q.qid, q.sub, c.cid, list_distance(q.quv, c.cv) AS d FROM qsv q JOIN cbf c USING (sub)),
+         |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
-    embeddingQuantizeInt8)
+    embeddingQuantizeInt8, annPqTopk)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.substrate.{BrpLsh, CosineSignLsh, IvfIndex, MinHashLsh, VectorOps}
+import graft.substrate.{BrpLsh, CosineSignLsh, IvfIndex, MinHashLsh, PqIndex, VectorOps}
 
 /** Empirical scale rehearsal for the dedup/ANN tier (VERDICT r2 #6): runs
   * the sub-quadratic candidate generators on 1× and 10× corpora — and a
@@ -383,6 +383,25 @@ object ScaleRehearsal {
       ivfEvalsRouted(e, n, sc)
     }
 
+    // ---- PQ encode: shuffle-free compression across three decades ----
+    // PqIndex.encode's at-scale claim: the codebook rides in as LITERAL
+    // centroid arrays, so encoding is a pure map-side projection — the
+    // wall must grow ~linearly with n while shuffle stays ~ZERO at every
+    // decade (what lets a 100 TB corpus re-encode without one exchange).
+    // Codebook trained ONCE on the 1× sample — the production shape:
+    // train on a slice, encode everything.
+    locally {
+      val pqCb = PqIndex.codebookArrays(
+        PqIndex.codebooks(emb1, "vec_id", "v", dim = 64))
+      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+          (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
+        val s = measured("pq encode codes (map-side only)", sc, n) {
+          PqIndex.encode(e, "vec_id", "v", pqCb, dim = 64).count()
+        }
+        samples += s.copy(showRate = false)
+      }
+    }
+
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
     // ---- inverted index: posting-row skew vs n (VERDICT r8 #2) --------
@@ -455,6 +474,90 @@ object ScaleRehearsal {
     samples += { val s = measured("mv refresh (G=1M, changes fixed)", "10x",
       300000L) { mvRefreshRows(1000000L, 300000L) }
       s.copy(op = s.op + s" (groups out=${s.pairs})", showRate = false) }
+
+    // ---- proximity lookupNear: banded block join vs occurrence product
+    // (the r9 lookupNear claim gets measured, like segmentation did).
+    // Scale DOC LENGTH, not corpus size: the hazard is the stopword-dense
+    // LONG document, where a bare doc_id self-join on term occurrences
+    // builds occ²-per-doc rows. lookupNear's block-banded join (blk =
+    // pos div slop; an anchor probes its own and the next block) emits
+    // rows tracking occ × local-window density instead. Decades repeat
+    // each doc's text k× (per-doc occurrences grow ~k): NAIVE join-output
+    // rows must grow ~k² per decade, BANDED ~k — the wall and shuffle
+    // columns follow the same split.
+    locally {
+      val slop = 2
+      val baseProx = docsRaw.limit(200)
+      def proxDocs(k: Int): DataFrame =
+        if (k == 1) baseProx
+        else baseProx.select(col("doc_id"),
+          expr(s"array_join(array_repeat(text, $k), ' ')").as("text"))
+      def occOf(d: DataFrame): DataFrame = {
+        val idx = graft.substrate.InvertedIndex
+          .buildPositional(d, "doc_id", "text")
+        val terms = idx.select("token", "df").distinct()
+          .orderBy(col("df").desc, col("token").asc).limit(3).select("token")
+        idx.join(broadcast(terms), Seq("token"))
+          .select(col("token"), explode(col("postings")).as("p"))
+          .select(col("token"), col("p.doc_id").as("doc_id"),
+            explode(col("p.positions")).as("pos"))
+      }
+      Seq((1, "1x"), (10, "10x"), (100, "100x")).foreach { case (k, sc) =>
+        val d = proxDocs(k).persist()
+        val occ = occOf(d).persist()
+        val nOcc = occ.count()
+        val sn = measured("near join NAIVE (occ self-join rows)", sc, nOcc) {
+          occ.select(col("doc_id"), col("pos").as("apos"))
+            .join(occ, Seq("doc_id")).count()
+        }
+        samples += sn.copy(showRate = false)
+        val sb = measured(s"near join BANDED (slop=$slop) rows", sc, nOcc) {
+          val anchors = occ.select(col("doc_id"), col("pos").as("apos"),
+              explode(array(lit(0L), lit(1L))).as("boff"))
+            .select(col("doc_id"), col("apos"),
+              (expr(s"apos div $slop") + col("boff")).as("blk"))
+          val occB = occ.withColumn("blk", expr(s"pos div $slop"))
+          anchors.join(occB, Seq("doc_id", "blk")).count()
+        }
+        samples += sb.copy(showRate = false)
+        occ.unpersist(); d.unpersist()
+      }
+    }
+
+    // ---- MV MIN/MAX refresh: touched-group re-agg, never the full base
+    // (refreshMinMax — the non-invertible aggregates CANNOT ride the
+    // delta fold, so the contract is different from `mv refresh` above:
+    // cost O(touched groups' base rows) + one filtered base scan, and
+    // NO shuffle of base — untouched mv rows pass through by anti-join,
+    // touched groups re-aggregate behind a broadcast semi join). The
+    // touched decades at fixed base must show shuffle tracking the
+    // touched set while the wall stays scan-bound; the 10×-base row at
+    // FIXED touched set must show shuffle ~flat (only touched rows ever
+    // shuffle) — the wall's scan growth is the cost a bucketed/
+    // partitioned-by-g base prunes away in production.
+    def mvMinMaxRows(baseRows: Long, g: Long, touched: Long): Long = {
+      val mvBase = spark.range(baseRows).select(
+        concat(lit("g"), col("id") % g).as("g"),
+        (col("id") % 1000L).cast("long").as("v"))
+      val mv = spark.range(g).select(
+        concat(lit("g"), col("id")).as("g"),
+        lit(0L).as("mn"), lit(999L).as("mx"))
+      val chg = spark.range(touched).select(
+        concat(lit("g"), col("id")).as("b_g"),
+        concat(lit("g"), col("id")).as("a_g"))
+      graft.substrate.MaterializedView.refreshMinMax(mv, mvBase, chg).count()
+    }
+    Seq((1000L, "1x"), (10000L, "10x"), (100000L, "100x")).foreach {
+      case (t, sc) =>
+        val s = measured("mv minmax refresh (B=3M, G=100k)", sc, t) {
+          mvMinMaxRows(3000000L, 100000L, t) }
+        samples += s.copy(op = s.op + s" (touched=$t)", showRate = false)
+    }
+    locally {
+      val s = measured("mv minmax refresh (B=30M, touched fixed)", "10x",
+        10000L) { mvMinMaxRows(30000000L, 100000L, 10000L) }
+      samples += s.copy(op = s.op + " (touched=10000)", showRate = false)
+    }
 
     // ---- distributed components: rounds vs log2(diameter) -------------
     // (VERDICT r3 #7) A CHAIN is the worst-case-diameter graph; edge
@@ -658,6 +761,26 @@ object ScaleRehearsal {
          |  pins the mv-side term (the full join against G group rows) as
          |  mild — at production scale G (distinct groups) is orders below
          |  base rows, which is why an MV exists at all.
+         |- **Proximity retrieval** (`near join` rows — the r9 lookupNear
+         |  banded-join claim, measured): decades scale DOC LENGTH (text
+         |  repeated k×, per-doc occurrences ~k) because the at-scale
+         |  hazard is the stopword-dense long document, not corpus count.
+         |  The NAIVE rows (bare doc_id self-join on term occurrences —
+         |  the oracle's BETWEEN recomputation shape) must grow ~k² per
+         |  decade; the BANDED rows (blk = pos div slop equi-join,
+         |  lookupNear's registered plan) must grow ~k — per-key join
+         |  width is the slop-window's local density, so the plan never
+         |  builds the per-doc occurrence product the naive shape pays.
+         |- **MV MIN/MAX refresh** (`mv minmax refresh` rows): the
+         |  non-invertible aggregates cannot ride the SUM/COUNT delta
+         |  fold (MaterializedView scaladoc), so refreshMinMax
+         |  re-aggregates only the TOUCHED groups behind a broadcast
+         |  semi join while untouched mv rows anti-join through. The
+         |  touched decades at fixed base show shuffle tracking the
+         |  touched set with a scan-bound wall; the 10×-base row at
+         |  fixed touched set must hold shuffle ~FLAT — base rows are
+         |  scanned (prunable by bucketing/partitioning on g in
+         |  production) but never shuffled.
          |- **Components chain**: worst-case diameter (a path), forced onto
          |  the distributed pointer-doubling path. Rounds must track
          |  log2(diameter) (~+3.3 per decade, across all three decades to
