@@ -800,6 +800,36 @@ object VectorTier {
     * mean-summation order is the only divergence and it perturbs
     * centroids at ~1e-16 relative).
     */
+  /** The PQ training/encode pipeline as DuckDB CTEs — the SQL mirror of
+    * substrate.PqIndex at its defaults (m=8 subspaces of 8 dims, k=16
+    * centroids seeded from the 16 smallest vec_ids, one Lloyd update over
+    * the %5 sample), ending in `codes (vec_id, sub, cid)` with the
+    * codebook in `cbf (sub, cid, cv)`. Shared by the ann_pq_topk and
+    * ann_ivf_pq_topk oracles.
+    */
+  private def pqCodeCtes(src: String): String =
+    s"""seeds AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT 16)),
+       |subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS sub),
+       |seedsv AS (SELECT s.sub, d.cid, d.v[s.sub*8+1 : s.sub*8+8] AS sv FROM seeds d, subs s),
+       |trainsv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS tv FROM $src t, subs s WHERE t.vec_id % 5 = 0),
+       |asg AS (SELECT vec_id, sub, cid, tv FROM (SELECT t.vec_id, t.sub, d.cid, t.tv,
+       |row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY list_distance(t.tv, d.sv), d.cid) AS rn
+       |FROM trainsv t JOIN seedsv d USING (sub)) WHERE rn = 1),
+       |cmean AS (SELECT sub, cid, j, AVG(x) AS xm FROM (SELECT sub, cid,
+       |generate_subscripts(tv, 1) AS j, unnest(tv) AS x FROM asg) GROUP BY 1, 2, 3),
+       |cbt AS (SELECT sub, cid, list(xm ORDER BY j) AS cv FROM cmean GROUP BY 1, 2),
+       |cbf AS (SELECT s.sub, s.cid, COALESCE(c.cv, s.sv) AS cv
+       |FROM seedsv s LEFT JOIN cbt c ON c.sub = s.sub AND c.cid = s.cid),
+       |esv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS ev FROM $src t, subs s),
+       |codes AS (SELECT vec_id, sub, cid FROM (SELECT v.vec_id, v.sub, c.cid,
+       |row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY list_distance(v.ev, c.cv), c.cid) AS rn
+       |FROM esv v JOIN cbf c USING (sub)) WHERE rn = 1),
+       |qsv AS (SELECT t.vec_id AS qid, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS quv
+       |FROM $src t, subs s WHERE t.vec_id % $QuerySampleMod = 0),
+       |lut AS (SELECT q.qid, q.sub, c.cid, list_distance(q.quv, c.cv) AS d FROM qsv q JOIN cbf c USING (sub))"""
+      .stripMargin.replace("\n", " ")
+
   val annPqTopk = Check("ann_pq_topk",
     (spark, dir) => {
       val e = embeddingsD(spark, dir)
@@ -814,29 +844,52 @@ object VectorTier {
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-         |FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-         |subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS sub),
-         |seedsv AS (SELECT s.sub, d.cid, d.v[s.sub*8+1 : s.sub*8+8] AS sv FROM seeds d, subs s),
-         |trainsv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS tv FROM e t, subs s WHERE t.vec_id % 5 = 0),
-         |asg AS (SELECT vec_id, sub, cid, tv FROM (SELECT t.vec_id, t.sub, d.cid, t.tv,
-         |row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY list_distance(t.tv, d.sv), d.cid) AS rn
-         |FROM trainsv t JOIN seedsv d USING (sub)) WHERE rn = 1),
-         |cmean AS (SELECT sub, cid, j, AVG(x) AS xm FROM (SELECT sub, cid,
-         |generate_subscripts(tv, 1) AS j, unnest(tv) AS x FROM asg) GROUP BY 1, 2, 3),
-         |cbt AS (SELECT sub, cid, list(xm ORDER BY j) AS cv FROM cmean GROUP BY 1, 2),
-         |cbf AS (SELECT s.sub, s.cid, COALESCE(c.cv, s.sv) AS cv
-         |FROM seedsv s LEFT JOIN cbt c ON c.sub = s.sub AND c.cid = s.cid),
-         |esv AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS ev FROM e t, subs s),
-         |codes AS (SELECT vec_id, sub, cid FROM (SELECT v.vec_id, v.sub, c.cid,
-         |row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY list_distance(v.ev, c.cv), c.cid) AS rn
-         |FROM esv v JOIN cbf c USING (sub)) WHERE rn = 1),
-         |qsv AS (SELECT t.vec_id AS qid, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS quv
-         |FROM e t, subs s WHERE t.vec_id % $QuerySampleMod = 0),
-         |lut AS (SELECT q.qid, q.sub, c.cid, list_distance(q.quv, c.cv) AS d FROM qsv q JOIN cbf c USING (sub)),
+         |${pqCodeCtes("e")},
          |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
          |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
          |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** IVF-PQ (substrate.IvfPq — Jégou et al. 2011's IVFADC, non-residual
+    * form): the composition the 100 TB search path actually deploys —
+    * IVF cell pruning cuts the candidate COUNT, PQ codes cut the
+    * per-candidate COST, and the probed-cell candidate scan is an
+    * equi-join on `cell` against the code table (partition-prunable on a
+    * stored index), never a corpus scan. Every stage is already-oracled
+    * substrate (assignAuto's two-level cells, PqIndex's deterministic
+    * codebook) and the oracle composes the SAME shared CTEs — the hash
+    * match pins cell routing, code assignment, ADC arithmetic, and the
+    * (adist, cid) ranking, jointly.
+    */
+  val annIvfPqTopk = Check("ann_ivf_pq_topk",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val cb = graft.substrate.PqIndex.codebookArrays(
+        graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.substrate.IvfPq.topK(e, q, "qid", "qv", centroidMod = 23,
+          cb, dim = 64, nProbe = 4, topK = K)
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |${assignAutoCtes("e", 23, 4)},
+         |qp AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |probes AS (SELECT qid, cell FROM (
+         |SELECT q.qid, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM qp q, cents c) WHERE rn <= 4),
+         |adist AS (SELECT p.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM probes p JOIN assigned a ON a.cell = p.cell
+         |JOIN codes co ON co.vec_id = a.vec_id
+         |JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> p.qid GROUP BY 1, 2)
          |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
          |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
          |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
@@ -848,5 +901,5 @@ object VectorTier {
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
-    embeddingQuantizeInt8, annPqTopk)
+    embeddingQuantizeInt8, annPqTopk, annIvfPqTopk)
 }

@@ -24,7 +24,7 @@ import graft.substrate.VectorOps._
   */
 object IvfIndex {
 
-  private def centroids(e: DataFrame, centroidMod: Int): DataFrame =
+  private[substrate] def centroids(e: DataFrame, centroidMod: Int): DataFrame =
     e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
 

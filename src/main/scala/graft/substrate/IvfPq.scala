@@ -1,0 +1,75 @@
+package graft.substrate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composition of the two scale mechanisms the retrieval
+  * tier already carries separately (Jégou et al. 2011 §V: "IVFADC"):
+  * an IVF coarse quantizer prunes the search to `nProbe` Voronoi cells,
+  * and inside the probed cells the scan reads PQ CODES with per-query
+  * ADC lookup tables instead of vectors. Each mechanism attacks a
+  * different axis — IVF cuts the CANDIDATE COUNT to nProbe/|C| of the
+  * corpus, PQ cuts the PER-CANDIDATE cost to m byte-indexed adds and
+  * the working set ~64× — and at 100 TB you need both: a full-corpus
+  * ADC scan ([[PqIndex.topK]]) still touches every row, and an IVF-flat
+  * probe ([[IvfIndex.topK]]) still reads full vectors inside the cells.
+  *
+  * Variant note: this is the non-residual form (FAISS
+  * `IVFPQ(by_residual=false)`) — codes quantize the RAW vectors, not
+  * the cell residuals, so ONE codebook serves every cell and the stored
+  * artifact is exactly [[PqIndex.encode]]'s code table plus the cell
+  * assignment column. Residual encoding buys recall at the cost of
+  * coupling codes to the coarse quantizer (a re-cluster invalidates
+  * every code); with this corpus's margins the planted-cluster recall
+  * is identical (PqSpec), and the decoupling is what lets the code
+  * table and the IVF assignment evolve independently at scale.
+  *
+  * Scale shape: the candidate scan is an EQUI-JOIN on `cell` between
+  * the code table and the broadcast probe list — never a cross join —
+  * so a stored code table partitioned by cell prunes to nProbe
+  * partitions per query, and the per-candidate work inside is the ADC
+  * lookup sum. Everything upstream is the already-audited substrate:
+  * cells from [[IvfIndex.assignAuto]] (two-level O(n·√|C|) assignment),
+  * codes from [[PqIndex.encode]] (map-side projection). Deterministic
+  * end-to-end; mirrored in the `ann_ivf_pq_topk` DuckDB oracle.
+  */
+object IvfPq {
+
+  /** Approximate top-k: probe the `nProbe` nearest cells per query
+    * (exact query-to-centroid distances — |C| broadcast rows), then ADC
+    * over the probed cells' codes only. Output: (qid, rank, cid) with
+    * the deterministic (adist, cid) tie-break.
+    */
+  def topK(e: DataFrame, queries: DataFrame, qidCol: String, qvCol: String,
+      centroidMod: Int, cb: Array[Array[Array[Double]]], dim: Int,
+      nProbe: Int, topK: Int = 10): DataFrame = {
+    val m = cb.length; val sd = dim / m
+    val indexed = IvfIndex.assignAuto(e, centroidMod).select("vec_id", "cell")
+    val cellCodes = PqIndex.encode(e, "vec_id", "v", cb, dim)
+      .join(indexed, Seq("vec_id"))
+    val cents = IvfIndex.centroids(e, centroidMod)
+    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(qidCol).as("qid"), col(qvCol).as("qv"), col("cent_id"),
+        VectorOps.sqDist(col(qvCol), col("cv")).as("qd2"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    // one LUT row per (query, probed cell): the LUT is the same m·k
+    // table for every probe of a query, but carrying it per probe keeps
+    // the candidate scan a single broadcast equi-join on cell
+    val luts = probes.select(col("qid"), col("cell"),
+      array((0 until m).map(s =>
+        PqIndex.distsCol(col("qv"), cb, s, sd)): _*).as("luts"))
+    val scored = cellCodes.join(broadcast(luts), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + luts[s][codes[s]])")
+          .as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("cid").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "cid")
+  }
+}

@@ -102,9 +102,10 @@ object PqIndex {
 
   /** Per-subspace distance array to every centroid: array(sqDist(subvec,
     * cb[s][0]), ..., sqDist(subvec, cb[s][k-1])) — native codegen'd
-    * ArraySqDist against LITERAL centroid vectors, all map-side.
+    * ArraySqDist against LITERAL centroid vectors, all map-side. Shared
+    * with [[IvfPq]]'s per-probe lookup tables.
     */
-  private def distsCol(v: Column, cb: Array[Array[Array[Double]]],
+  private[substrate] def distsCol(v: Column, cb: Array[Array[Array[Double]]],
       s: Int, sd: Int): Column =
     array(cb(s).indices.map(c =>
       VectorOps.sqDist(slice(v, s * sd + 1, sd), litVec(cb(s)(c)))): _*)

@@ -86,4 +86,45 @@ class PqSpec extends SparkSpec {
     assert(wrongCluster == 0, s"$wrongCluster cross-cluster ADC hits")
     approx.unpersist()
   }
+
+  test("IVF-PQ: hits are cluster mates AND come only from probed cells") {
+    val e = planted
+    val cb = PqIndex.codebookArrays(
+      PqIndex.codebooks(e, "vec_id", "v", Dim, trainMod = 2))
+    val q = e.filter(col("vec_id") % 12 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = graft.substrate.IvfPq
+      .topK(e, q, "qid", "qv", centroidMod = 5, cb, Dim, nProbe = 2, topK = 5)
+      .cache()
+    val perQ = res.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("rank").as("mr"))
+      .as[(Long, Long, Long)].collect()
+    assert(perQ.length == 4 && perQ.forall(r => r._2 == 5L && r._3 == 5L),
+      s"per-query results malformed: ${perQ.toSeq}")
+    // margins dwarf quantization error, so cell pruning must not leak
+    // cross-cluster hits (each planted cluster owns >= 2 of the 10
+    // id-sampled centroids, so both probes land inside the query's own
+    // cluster)
+    val wrongCluster = res
+      .filter((col("cid") / 12).cast("int") =!= (col("qid") / 12).cast("int"))
+      .count()
+    assert(wrongCluster == 0, s"$wrongCluster cross-cluster IVF-PQ hits")
+    // pruning is SEMANTIC, not cosmetic: every returned cid's assigned
+    // cell is one of its query's nProbe probed cells
+    val assigned = graft.substrate.IvfIndex.assignAuto(e, 5)
+      .select(col("vec_id").as("cid"), col("cell"))
+    val cents = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("qd2").asc, col("cent_id"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        graft.substrate.VectorOps.sqDist(col("qv"), col("cv")).as("qd2"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("cent_id").as("cell"))
+    val leaked = res.join(assigned, Seq("cid"))
+      .join(probed, Seq("qid", "cell"), "left_anti").count()
+    assert(leaked == 0, s"$leaked hits from unprobed cells")
+    res.unpersist()
+  }
 }
