@@ -1089,8 +1089,8 @@ object TextTier {
     * sf0.1 every token (df ≥ 250) segments. Production uses the
     * InvertedIndex defaults (2^16-entry rows).
     */
-  private val IdxDfThreshold = 100L
-  private val IdxSegWidth = 200L
+  private[checks] val IdxDfThreshold = 100L
+  private[checks] val IdxSegWidth = 200L
 
   /** The retrieval entries (`_lookup`/`_rank`/`_phrase`/`_near`) and the
     * merge entries' BASE index read the STORED index handles

@@ -184,7 +184,7 @@ object VectorTier {
     * ann_ivf_topk / retrieval_recall_ivf / dedup_semantic /
     * dedup_semantic_hier oracles.
     */
-  private def assignAutoCtes(src: String, centroidMod: Int,
+  private[checks] def assignAutoCtes(src: String, centroidMod: Int,
       nProbeCoarse: Int): String =
     s"""cents AS (SELECT vec_id AS cent_id, v AS cv FROM $src WHERE vec_id % $centroidMod = 0),
        |cf AS (SELECT ${graft.substrate.IvfIndex.autoCoarseFactorSql} AS f

@@ -274,6 +274,49 @@ object InvertedIndex {
       .select("rank", "doc_id", "score")
   }
 
+  /** [[rankBm25]] for a BATCH of queries — `queryTerms` is a (qid, token)
+    * DataFrame (each query's term set, broadcast: |Q|·|terms/query| rows,
+    * always small next to the index). Identical scoring arithmetic;
+    * aggregation and the top-N window partition by qid, so per-query work
+    * is the same posting-pruned join and queries share one plan instead
+    * of |Q| sequential rankBm25 jobs. The per-qid top-N runs as a
+    * rank-window (filter-after-row_number pushes the limit into the sort
+    * per partition key) — a per-qid TakeOrdered, not a global sort of
+    * all candidates. Output: (qid, rank, doc_id, score).
+    * `excludeSelf` drops doc_id == qid BEFORE ranking — the
+    * more-like-this convention where qids ARE doc_ids (matches the
+    * semantic retrievers' self-exclusion).
+    */
+  def rankBm25PerQuery(index: DataFrame, docLens: DataFrame,
+      queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10, excludeSelf: Boolean = false): DataFrame = {
+    val t = queryTerms.toDF("qid", "token").distinct()
+    val stats = docLens.agg(count(lit(1)).cast("long").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val posting0 = index.join(broadcast(t), Seq("token"))
+      .select(col("qid"), col("df"), explode(col("postings")).as("p"))
+      .select(col("qid"), col("df"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"))
+    val posting =
+      if (excludeSelf) posting0.filter(col("doc_id") =!= col("qid"))
+      else posting0
+    val scored = posting
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("qid", "doc_id").agg(sum("s").as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= topN)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
   /** Conjunctive (AND) retrieval: doc_ids containing EVERY query term.
     * `terms` is a 1-column DataFrame of distinct tokens (broadcast — a
     * query's term set is always small). The plan touches only the index
