@@ -663,9 +663,49 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Z-order clustering keys (substrate.Layout.zValue — the
+    * two-dimensional generalization of check #9's range-clustered layout,
+    * `factors/requirements.yaml:42-44` "clustering keys"): interleave the
+    * two predicate dimensions' bits so a z-RANGE is a bounded (x, y)
+    * rectangle, which is what makes parquet min/max stats prune on EITHER
+    * column of a two-sided scan predicate (LayoutSpec measures the
+    * selectivity-product pruning; this entry oracles the curve's
+    * arithmetic and its locality). Output: per top-4-bit z-bucket row
+    * counts and per-dimension extents — the extents ARE the locality
+    * claim (each bucket confines x and y to one 64-wide quarter-window;
+    * a row-count-only output would not distinguish z-order from any
+    * hash). The z computation is pure codegen'd shift/mask map-side
+    * arithmetic; the groupBy is the only shuffle.
+    */
+  val zorderClusterStats = Check("zorder_cluster_stats",
+    (spark, dir) => {
+      val l = table(spark, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(256L)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(256L)).cast("long").as("y"))
+      l.withColumn("zb",
+          shiftright(graft.substrate.Layout.zValue(col("x"), col("y"), 8), 12)
+            .cast("long"))
+        .groupBy("zb").agg(
+          count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zb")
+    },
+    Some {
+      val z = graft.substrate.Layout.zValueSql("x", "y", 8)
+      s"""WITH d AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |zz AS (SELECT x, y, ($z >> 12) AS zb FROM d)
+         |SELECT CAST(zb AS BIGINT) AS zb, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+         |CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+         |FROM zz GROUP BY zb ORDER BY zb"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
-    iqrOutliers, partSupplierRollup, eventsPivotDaily)
+    iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats)
 }

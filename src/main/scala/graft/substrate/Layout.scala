@@ -1,6 +1,7 @@
 package graft.substrate
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout control (reference `factors/requirements.yaml:42-44`
   * clustering keys; SURVEY.md §2.B "bucketing for co-located joins").
@@ -36,5 +37,53 @@ object Layout {
       numFiles: Int): Unit =
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bit-interleaved Morton (z-order) value of two non-negative ints,
+    * `bits` bits each: bit i of `x` lands at position 2i, bit i of `y`
+    * at 2i+1, so consecutive z-values trace the space-filling z-curve and
+    * any z-RANGE covers a bounded rectangle in (x, y). Pure integer
+    * shift/mask arithmetic — codegen'd map-side, and reproduced verbatim
+    * by the `zorder_cluster_stats` oracle ([[zValueSql]]).
+    *
+    * Inputs must already be bounded to `bits` bits (callers map raw keys
+    * through % (1 << bits) or a rank/ntile first — the standard z-order
+    * dictionary step); values outside would silently collide, so bound
+    * the DOMAIN, not the z.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** [[zValue]] as SQL over column expressions `x` and `y` — the same
+    * shift/mask terms OR-folded, engine-exact integer arithmetic.
+    */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** Z-ORDER clustered parquet write — [[writeClustered]] generalized to
+    * TWO predicate dimensions: range-partition and sort by the interleaved
+    * z-value, then drop it, so every file/row group covers a small
+    * RECTANGLE in (xCol, yCol) and carries tight min/max stats on BOTH
+    * columns. A single-key sort gives perfect pruning on the sort key and
+    * none on the second dimension; the z-curve trades a constant factor on
+    * each for row-group skipping on either (or both) — the standard
+    * lakehouse layout for two-dimensional scan predicates (OPTIMIZE
+    * ZORDER BY). LayoutSpec measures a two-sided rectangle scan pruning
+    * ~the selectivity PRODUCT under z vs one factor under a single-key
+    * sort. Both columns must already be bounded to `bits` bits
+    * ([[zValue]]'s domain contract — a modulo here would silently break
+    * rectangle locality for out-of-range keys instead of failing them).
+    */
+  def writeZClustered(df: DataFrame, path: String, xCol: String,
+      yCol: String, bits: Int, numFiles: Int): Unit =
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -178,4 +178,46 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("z-ordered layout prunes a two-sided rectangle scan ~selectivity-product; single-key sort prunes one factor") {
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val dirX = java.nio.file.Files.createTempDirectory("graft_x").toString
+    try {
+      spark.conf.set("parquet.block.size", (16 * 1024).toString)
+      // uniform 256×256 grid, ~3 points per cell
+      val n = 200000L
+      val df = spark.range(n).select(
+        (col("id") % 256).as("x"), ((col("id") / 256) % 256).as("y"),
+        col("id").as("payload"))
+      def rowsScanned(path: String): Long = {
+        val scan = spark.read.parquet(path)
+          .filter(col("x") >= 64 && col("x") < 80 &&
+            col("y") >= 64 && col("y") < 80)
+        // correct answer first: 16×16 cells × ~n/65536 points per cell
+        assert(scan.count() == n / 65536 * 256)
+        scan.collect()
+        scan.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.sum
+      }
+      Layout.writeZClustered(df, dirZ, "x", "y", bits = 8, numFiles = 4)
+      Layout.writeClustered(df, dirX, "x", numFiles = 4)
+      val zScan = rowsScanned(dirZ)
+      val xScan = rowsScanned(dirX)
+      // x-sorted: row groups are tight in x (prunes to ~16/256) but cover
+      // ALL of y — the second predicate prunes nothing. z-order: row
+      // groups cover small rectangles, so BOTH factors apply. Demand a
+      // ≥4× gap (ideal is ~16×) and that the x-sort did its one factor.
+      assert(zScan > 0 && zScan * 4 <= xScan,
+        s"z-order scanned $zScan vs single-key $xScan of $n")
+      assert(xScan * 4 <= n,
+        s"single-key control did not even prune its own dimension: $xScan")
+    } finally {
+      spark.conf.unset("parquet.block.size")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirZ)).deleteRecursively()
+      new Directory(new java.io.File(dirX)).deleteRecursively()
+    }
+  }
 }
