@@ -43,7 +43,12 @@ object Bench {
     // r9 late session: the two debut stragglers of the stored-index run
     // (BENCH_NOTES "r9 late session"), pinned per the same
     // promote-immediately policy so serial_extra ships empty
-    "ann_pq_topk", "inverted_index_incremental_pos")
+    "ann_pq_topk", "inverted_index_incremental_pos",
+    // r9 retrieval-stack debut heavies (~3.2 s each in their first run's
+    // serial_extra), pinned immediately: the hybrid fusion runs BOTH
+    // stored-index retrievers, IVF-PQ runs codebook training + cell
+    // assignment
+    "retrieval_hybrid_rrf", "ann_ivf_pq_topk")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

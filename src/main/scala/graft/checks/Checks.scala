@@ -285,6 +285,7 @@ object Checks {
     Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++ Factor5.all ++
       VectorTier.all ++ TextTier.all ++ OpsTier.all ++ PipelineTier.all ++
       ChangeTier.all ++ StreamTier.all ++ RetrievalTier.all ++
+      DriftTier.all ++
       Seq(mediaFeatureStats, mediaDecodeDims, mediaDecodePixels,
         mediaResizeDims, mediaFrameStats, mediaHistogram,
         assessmentScorecard, assessmentScorecardServing, factorRollup,
@@ -300,7 +301,7 @@ object Checks {
     * whose band algebra is witnessed by portable-md5 twins.
     */
   object Counts {
-    val total = 157
+    val total = 159
     val rowsOnlyNames = Set("dedup_minhash_lsh", "dedup_incremental_prod")
     val rowsOnly = rowsOnlyNames.size
     val oracled = total - rowsOnly

@@ -1,0 +1,73 @@
+package graft.substrate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * check an AI-data pipeline runs BEFORE retraining: "is the corpus I'm
+  * about to train on still distributed like the one the model was
+  * validated on?" (reference `factors/3-current.md`'s freshness/change
+  * factor is about VALUES being current; drift is the complementary
+  * population-level question, and the standard production monitor).
+  *
+  * Both monitors are one linear scan per snapshot folding into a tiny
+  * keyed state (vocab-sized / dim-sized) via map-side partial
+  * aggregation — at 100 TB the shuffle moves O(vocab·partitions)
+  * partial counts, never rows, and the final PSI/shift arithmetic runs
+  * on the aggregate table alone. Deterministic end-to-end (counts are
+  * integers; the smoothing and log arithmetic is mirrored in the
+  * oracle SQL).
+  */
+object Drift {
+
+  /** Per-category Population Stability Index contributions between a
+    * reference and a current snapshot of a categorical observation
+    * stream (one row per observation, category in `keyCol`).
+    * PSI = Σ_k (p_cur,k − p_ref,k) · ln(p_cur,k / p_ref,k) — the sum of
+    * the `contrib` column; per-category rows are returned so the top
+    * movers are inspectable (an aggregate-only PSI hides WHICH category
+    * moved). Probabilities are Laplace-smoothed over the UNION
+    * vocabulary (p = (n+1)/(total+|V|)) so a category present in only
+    * one snapshot contributes a finite term instead of ±∞ — the
+    * convention that keeps new-vocabulary drift measurable.
+    * Output: (key, n_ref, n_cur, p_ref, p_cur, contrib).
+    */
+  def categoricalPsi(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    val rc = ref.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_ref"))
+    val cc = cur.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_cur"))
+    val full = rc.join(cc, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      count(lit(1)).as("v"))
+    val pRef = (col("n_ref") + 1.0) / (col("t_ref") + col("v"))
+    val pCur = (col("n_cur") + 1.0) / (col("t_cur") + col("v"))
+    full.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        ((pCur - pRef) * log(pCur / pRef)).as("contrib"))
+  }
+
+  /** Per-dimension mean shift between two snapshots of an embedding
+    * column (array<double> in `vCol`) — the first-moment drift monitor
+    * for representation spaces (a systematic encoder change or corpus
+    * shift moves per-dimension means far beyond sampling noise).
+    * Output: (dim, mean_ref, mean_cur, abs_shift), one row per
+    * dimension. The explode feeds a (dim)-keyed average — partial
+    * map-side aggregation keeps the shuffle at O(dim·partitions).
+    */
+  def embeddingMeanShift(ref: DataFrame, cur: DataFrame,
+      vCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, out: String) =
+      df.select(posexplode(col(vCol)).as(Seq("dim", "x")))
+        .groupBy("dim").agg(avg("x").as(out))
+        .select(col("dim").cast("long").as("dim"), col(out))
+    dimMeans(ref, "mean_ref").join(dimMeans(cur, "mean_cur"), Seq("dim"))
+      .select(col("dim"), col("mean_ref"), col("mean_cur"),
+        abs(col("mean_cur") - col("mean_ref")).as("abs_shift"))
+  }
+}
