@@ -703,9 +703,49 @@ object OpsTier {
     },
     isScore = false)
 
+  /** Compaction planning (substrate.Layout.compactionPlan): the
+    * metadata-side half of the small-file problem every partitioned
+    * ingest creates — pack each partition's files, in key order, into
+    * target-sized bins (one output row = one compaction task). The
+    * fixture listing is the documents table's (source, lang) hive
+    * partitions sized by Σ n_chars; the target derives from the listing
+    * itself (2× the mean file size, integer arithmetic mirrored in SQL)
+    * so the plan is non-trivial at every SF. The oracle recomputes the
+    * running sums, the floor-div bin assignment, and the per-bin rollup,
+    * pinning order preservation and the never-split-a-file contract.
+    */
+  val compactionPlan = Check("compaction_plan",
+    (spark, dir) => {
+      val files = table(spark, dir, "documents")
+        .groupBy(col("source").as("part"), col("lang").as("file"))
+        .agg(sum("n_chars").cast("long").as("bytes"))
+      val stats = files.agg(sum("bytes").as("tb"),
+        count(lit(1)).as("nf"))
+      val listing = files.crossJoin(broadcast(stats))
+        .withColumn("target", expr("2 * (tb div nf)")).drop("tb", "nf")
+      graft.substrate.Layout.compactionPlan(listing, col("target"))
+        .orderBy("part", "bin")
+    },
+    Some(
+      """WITH files AS (SELECT source AS part, lang AS file,
+        |CAST(SUM(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2),
+        |t AS (SELECT 2 * (SUM(bytes) // COUNT(*)) AS target FROM files),
+        |pre AS (SELECT part, file, bytes,
+        |SUM(bytes) OVER (PARTITION BY part ORDER BY file
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes AS p FROM files),
+        |binned AS (SELECT part, file, bytes,
+        |CAST(floor(p::DOUBLE / (SELECT target FROM t)::DOUBLE) AS BIGINT) AS bin FROM pre)
+        |SELECT part, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |MIN(file) AS first_file, MAX(file) AS last_file
+        |FROM binned GROUP BY 1, 2 ORDER BY part, bin"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
-    iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats)
+    iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
+    compactionPlan)
 }

@@ -86,4 +86,33 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Small-file compaction plan (the lakehouse OPTIMIZE/bin-pack
+    * primitive): group each partition's files, in key order, into
+    * target-sized compaction bins — `bin = floor(preceding_bytes /
+    * target)`, the streaming first-fit that preserves file order (so a
+    * clustered layout stays clustered through compaction) and never
+    * splits a file. Oversized files occupy bins alone, as they must.
+    *
+    * Input `files` is a LISTING — (part, file, bytes), metadata scale
+    * (O(#files), ~10⁶ rows at 100 TB, not O(rows)) — and the window
+    * partitions by `part`, the same scoping real table formats compact
+    * under (cross-partition bins would merge partition boundaries away).
+    * `target` is a Column so callers can derive it from the listing
+    * itself declaratively. The running sums are exact in doubles up to
+    * 2^53 bytes (≈ 9 PB) per partition. Output: one row per planned
+    * compaction task — (part, bin, n_files, total_bytes, first_file,
+    * last_file).
+    */
+  def compactionPlan(files: DataFrame, target: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("file")
+    files
+      .withColumn("_pre", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("bin",
+        floor(col("_pre").cast("double") / target.cast("double")).cast("long"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+        min("file").as("first_file"), max("file").as("last_file"))
+  }
 }

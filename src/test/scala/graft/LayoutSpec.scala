@@ -220,4 +220,30 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(dirX)).deleteRecursively()
     }
   }
+
+  test("compactionPlan: order-preserving bins, never splits a file, oversized files sit alone") {
+    import spark.implicits._
+    val listing = Seq(
+      // part a: 5 small files, target 100 → pre-sums 0,40,80,120,160
+      ("a", "f1", 40L), ("a", "f2", 40L), ("a", "f3", 40L),
+      ("a", "f4", 40L), ("a", "f5", 40L),
+      // part b: an oversized file between small ones
+      ("b", "g1", 30L), ("b", "g2", 250L), ("b", "g3", 30L))
+      .toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(listing, lit(100L))
+      .orderBy("part", "bin")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    val a = plan.filter(_._1 == "a")
+    // bins 0 (pre 0,40,80), 1 (pre 120,160): contiguous, ordered
+    assert(a.map(r => (r._2, r._3, r._5, r._6)).toSeq ==
+      Seq((0L, 3L, "f1", "f3"), (1L, 2L, "f4", "f5")), s"${a.toSeq}")
+    val b = plan.filter(_._1 == "b")
+    // pre-sums 0, 30, 280 → bins 0 (g1,g2), 2 (g3): the oversized file
+    // closes its bin (next pre-sum jumps past a whole bin) and is never
+    // split; bin ids need not be dense, order still holds
+    assert(b.map(r => (r._2, r._3, r._5, r._6)).toSeq ==
+      Seq((0L, 2L, "g1", "g2"), (2L, 1L, "g3", "g3")), s"${b.toSeq}")
+    // conservation: every byte lands in exactly one bin
+    assert(plan.map(_._4).sum == 40L * 5 + 30 + 250 + 30)
+  }
 }
