@@ -271,6 +271,54 @@ class PlanQualitySpec extends SparkSpec {
       s"global (unpartitioned) window in MV refresh:\n$windows")
   }
 
+  test("IVF-PQ: candidate scan is a broadcast equi-join on cell, never a corpus product") {
+    import spark.implicits._
+    val e = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j).toDouble % 5)))
+      .toDF("vec_id", "v")
+    val cb = graft.substrate.PqIndex.codebookArrays(
+      graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 8,
+        m = 4, k = 4, trainMod = 2), m = 4, k = 4)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = graft.substrate.IvfPq.topK(e, q, "qid", "qv",
+      centroidMod = 7, cb, dim = 8, nProbe = 2, topK = 3)
+    val plan = planOf(res)
+    assert(!plan.contains("CartesianProduct"), s"product in IVF-PQ:\n$plan")
+    // the probed-cell candidate scan must be the hash equi-join on cell
+    // with the (bounded) probe+LUT side broadcast — the property that
+    // makes a stored code table partition-prunable
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast cell join:\n$plan")
+  }
+
+  test("hybrid RRF: batch BM25 and fusion windows partition by qid, never global") {
+    import spark.implicits._
+    val idx = graft.substrate.InvertedIndex.buildWithTf(
+      Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text"), "doc_id", "text")
+    val lens = Seq((1L, 2L), (2L, 2L)).toDF("doc_id", "dl")
+    val lex = graft.substrate.InvertedIndex.rankBm25PerQuery(idx, lens,
+      Seq((1L, "b"), (2L, "c")).toDF("qid", "token"), excludeSelf = true)
+    val sem = Seq((1L, 1L, 2L)).toDF("qid", "rank", "doc_id")
+    val fused = graft.substrate.Fusion.rrf(
+      Seq(lex.select("qid", "rank", "doc_id"), sem))
+    val plan = planOf(fused)
+    assert(!plan.contains("CartesianProduct"), s"product in fusion:\n$plan")
+    // every rank window (BM25 per-query top-N and the fused ordering)
+    // must partition by qid — a global window would serialize all
+    // queries through one task (the ADVICE-r8 simple-mode guard shape)
+    val simple = fused.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val specs = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(simple).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"no rank windows in:\n$simple")
+    assert(specs.forall(_ == "qid"),
+      s"global (unpartitioned) window in hybrid path: $specs")
+    // and the row_number() <= topK filter must reach the sort as a
+    // group-limit (partial+final), not rank-then-filter over all rows
+    assert(simple.contains("WindowGroupLimit"),
+      s"top-K not pushed into the window sort:\n$simple")
+  }
+
   test("per-row text pipeline stays in whole-stage codegen") {
     // AQE wraps the plan and omits codegen annotation until execution —
     // disable it for the inspection only
