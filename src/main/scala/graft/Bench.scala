@@ -48,7 +48,7 @@ object Bench {
     // serial_extra), pinned immediately: the hybrid fusion runs BOTH
     // stored-index retrievers, IVF-PQ runs codebook training + cell
     // assignment
-    "retrieval_hybrid_rrf", "ann_ivf_pq_topk")
+    "retrieval_hybrid_rrf", "ann_ivf_pq_topk", "retrieval_recall_pq")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -896,10 +896,57 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Recall@k of the PQ compressed scan vs the exact euclidean oracle —
+    * completes the recall symmetry across the retrieval geometries
+    * (#19's BRP, retrieval_recall_ivf, now PQ): the quantization loss is
+    * MEASURED, not assumed, and the recall fraction is deterministic
+    * arithmetic reproduced cross-engine (integer overlaps over the shared
+    * deterministic codebook, one division). What the number means: how
+    * much neighborhood structure survives the ~64× working-set cut —
+    * the recall/probe half of the PQ contract (the ann_pq_topk hash
+    * match pins WHICH neighbors; this pins HOW MANY are true).
+    */
+  val retrievalRecallPq = Check("retrieval_recall_pq",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val cb = graft.substrate.PqIndex.codebookArrays(
+        graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val codes = graft.substrate.PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val approx = graft.substrate.PqIndex
+        .topK(codes, q, "qid", "qv", cb, dim = 64, topK = K)
+        .select("qid", "cid")
+      val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nq = exact.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hits).select(col("n_queries"),
+        (col("hits").cast("double") / (col("n_queries") * K)).as("avg_recall"))
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM q, e c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2),
+         |pq AS (SELECT qid, cid FROM (SELECT qid, cand AS cid,
+         |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank
+         |FROM adist) WHERE rank <= $K)
+         |SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+         |CAST((SELECT COUNT(*) FROM exact JOIN pq USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS avg_recall"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
-    embeddingQuantizeInt8, annPqTopk, annIvfPqTopk)
+    embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq)
 }

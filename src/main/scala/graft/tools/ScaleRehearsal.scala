@@ -402,6 +402,39 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- IVF-PQ: probed-candidate scan per query vs corpus decade -----
+    // IvfPq.topK's at-scale claim: the candidate scan is an equi-join on
+    // `cell` between the code table and the broadcast probe list, so
+    // candidates PER QUERY ≈ nProbe × mean cell size — constant at fixed
+    // centroidMod (cells grow in COUNT with n, not size) — where the
+    // full-ADC scan (PqIndex.topK, the witness) pays n per query by
+    // construction. The /query column must stay ~FLAT across all three
+    // decades.
+    locally {
+      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+          (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
+        val q = e.filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val nQ = math.max(1L, q.count())
+        val s = measured("ivfpq probed candidates", sc, n) {
+          val indexed = IvfIndex.assignAuto(e, 23).select("vec_id", "cell")
+          val cents = e.filter(col("vec_id") % 23 === 0)
+            .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
+          val probes = q.crossJoin(broadcast(cents))
+            .select(col("qid"), col("cent_id"),
+              VectorOps.sqDist(col("qv"), col("cv")).as("qd2"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+            .select(col("qid"), col("cent_id").as("cell"))
+          probes.join(indexed, Seq("cell")).count()
+        }
+        samples += s.copy(op = s.op +
+          f" (|Q|=$nQ, ${s.pairs.toDouble / nQ}%.0f/query vs n=$n full-scan)",
+          showRate = false)
+      }
+    }
+
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
     // ---- inverted index: posting-row skew vs n (VERDICT r8 #2) --------
@@ -437,6 +470,26 @@ object ScaleRehearsal {
       }
       samples += ss.copy(op = ss.op + s" (max row=${ss.pairs})",
         showRate = false)
+      if (c > 1) d.unpersist()
+    }
+
+    // ---- drift PSI: vocab-sized state, shuffle flat vs corpus decade --
+    // Drift.categoricalPsi's at-scale claim: one linear scan per snapshot
+    // folding into O(vocab) keyed state via map-side partials — the
+    // shuffle column must stay ~FLAT (vocab is fixed as the corpus
+    // grows; only per-partition partial counts move) while the wall
+    // tracks the scan ~linearly. pairs = union-vocab rows out.
+    Seq((1, "1x"), (10, "10x"), (100, "100x")).foreach { case (c, sc) =>
+      val d = docsScaled(c).persist()
+      val n = d.count()
+      val s = measured("drift psi (token dist)", sc, n) {
+        def half(m: Int) = d.filter(col("doc_id") % 2 === m)
+          .select(explode(graft.substrate.TextOps.tokens(col("text")))
+            .as("token"))
+        graft.substrate.Drift.categoricalPsi(half(0), half(1), "token")
+          .count()
+      }
+      samples += s.copy(op = s.op + s" (vocab=${s.pairs})", showRate = false)
       if (c > 1) d.unpersist()
     }
 
@@ -736,6 +789,22 @@ object ScaleRehearsal {
          |  where ANY sub-linear candidate set caps recall — the curse of
          |  dimensionality, not an index defect; real corpora with neighbor
          |  structure run occupancy ~8-16 and keep both.
+         |- **IVF-PQ probed scan** (`ivfpq probed candidates` rows — the r9
+         |  IvfPq composition): candidates per query must stay ~FLAT
+         |  (≈ nProbe × mean cell size; cells grow in COUNT with n at
+         |  fixed centroidMod, not in size) across all three decades —
+         |  the full-ADC witness (PqIndex.topK) pays n per query by
+         |  construction, so the flat /query column IS the reason the
+         |  composition exists. Candidate-set cardinality is counted at
+         |  the exact probe-join shape IvfPq.topK scans (codes join adds
+         |  the m-byte payload, not rows).
+         |- **Drift PSI** (`drift psi` rows): population monitors must be
+         |  readable at every corpus size — one scan per snapshot folding
+         |  into O(vocab) keyed state via map-side partial aggregation.
+         |  The shuffle column must stay ~flat across the decades (only
+         |  per-partition partial counts move; vocab is fixed) while the
+         |  wall tracks the scan — the shape that lets a 100 TB pre-train
+         |  corpus be drift-gated nightly.
          |- **Inverted index** (`inverted build` rows — VERDICT r8 #2): the
          |  replica corpora reuse the text verbatim, so every token's df
          |  grows with n — the stopword skew that matters at 100 TB. The
