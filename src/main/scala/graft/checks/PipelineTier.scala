@@ -1106,12 +1106,80 @@ object PipelineTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Temperature (α) corpus mixing — the multilingual-pretraining
+    * rebalance (mT5's α-sampling, Xue et al. 2021): sample stratum l with
+    * probability ∝ n_l^α (α = 0.3), which upweights low-resource strata
+    * relative to their natural share. The per-stratum keep RATE that
+    * realizes those proportions with maximum data utilization is
+    * rate_l = (n_l / n_min)^(α−1) — the smallest stratum keeps 100%
+    * (α−1 < 0), larger strata are hash-downsampled. Strata here are the
+    * `lang` column (the canonical α-sampling axis; the en-heavy corpus
+    * gives a real skew to rebalance).
+    *
+    * Determinism discipline: the rate enters the per-row decision only
+    * through `floor(rate · 1e6)` — an integer threshold both engines
+    * derive from identical double arithmetic (the one exactly-integer
+    * case is the min stratum's pow(1.0, −0.7) = 1.0, exact in IEEE), so
+    * `sampled` is integer-equal cross-engine while `target_share` /
+    * `achieved_share` compare as doubles. Scale shape: one O(strata)
+    * aggregate broadcast back onto a single corpus scan — the decision
+    * is a per-row expression, same as [[corpusMix]], so reruns and
+    * appends keep every prior decision at any corpus size.
+    */
+  val corpusMixTemperature = Check("corpus_mix_temperature",
+    (spark, dir) => {
+      val pops = docs(spark, dir).groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("population"))
+      val z = pops.agg(
+        sum(pow(col("population").cast("double"), 0.3)).as("z"),
+        min(col("population")).cast("double").as("min_pop"))
+      val rates = pops.crossJoin(broadcast(z))
+        .select(col("lang"), col("population"),
+          (pow(col("population").cast("double"), 0.3) / col("z"))
+            .as("target_share"),
+          pow(col("population").cast("double") / col("min_pop"), -0.7)
+            .as("rate"))
+        .withColumn("thr", floor(col("rate") * lit(1000000L)).cast("long"))
+      val kept = docs(spark, dir)
+        .join(broadcast(rates.select("lang", "thr")), Seq("lang"))
+        .select(col("lang"),
+          (mix(col("doc_id")) % 1000000L < col("thr")).cast("long").as("k"))
+        .groupBy("lang").agg(sum("k").cast("long").as("sampled"))
+      val tot = kept.agg(sum("sampled").cast("double").as("tot"))
+      rates.join(kept, Seq("lang")).crossJoin(broadcast(tot))
+        .select(col("lang"), col("population"), col("target_share"),
+          col("rate"), col("sampled"),
+          (col("sampled").cast("double") / col("tot")).as("achieved_share"))
+        .orderBy("lang")
+    },
+    Some(
+      s"""WITH pops AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS population
+         |FROM documents GROUP BY 1),
+         |z AS (SELECT SUM(pow(CAST(population AS DOUBLE), 0.3)) AS z,
+         |CAST(MIN(population) AS DOUBLE) AS min_pop FROM pops),
+         |rates AS (SELECT lang, population,
+         |pow(CAST(population AS DOUBLE), 0.3) / z.z AS target_share,
+         |pow(CAST(population AS DOUBLE) / z.min_pop, -0.7) AS rate,
+         |CAST(floor(pow(CAST(population AS DOUBLE) / z.min_pop, -0.7)
+         |* 1000000) AS BIGINT) AS thr FROM pops, z),
+         |kept AS (SELECT d.lang, CAST(SUM(CASE WHEN
+         |$MixSql % 1000000 < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+         |FROM documents d JOIN rates r ON r.lang = d.lang GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(sampled) AS DOUBLE) AS tot FROM kept)
+         |SELECT r.lang, r.population, r.target_share, r.rate, k.sampled,
+         |k.sampled / t.tot AS achieved_share
+         |FROM rates r JOIN kept k ON k.lang = r.lang, tot t
+         |ORDER BY r.lang"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
     dedupIncrementalProd, dedupRetainQuality, sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramContamination,
     ngramDocFreq,
-    fuzzyMatchDist, runsOverlap, corpusMix, chunkSliding, userEventSequences,
+    fuzzyMatchDist, runsOverlap, corpusMix, corpusMixTemperature,
+    chunkSliding, userEventSequences,
     sessionTypePairs, funnelConversion, retentionCohorts, exactKSample)
 }

@@ -943,8 +943,52 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Filtered vector search (IvfIndex.topKFiltered): top-k restricted to
+    * a metadata predicate — here lang = 'en' via the documents join, the
+    * production shape where ANN results must satisfy a non-vector
+    * constraint. The index is the SAME full-corpus assignAuto artifact
+    * ann_ivf_topk scans (one index serves every filter); the keep-list
+    * lands on the probed cell scan as a semi join, before ranking. The
+    * oracle reuses the shared assignAutoCtes and adds one `allowed` CTE +
+    * join — so the hash match pins that filtering commutes with the
+    * probe: each query's result is exactly the probed-cell candidates
+    * restricted to the predicate, re-ranked. Queries whose probed cells
+    * hold fewer than k allowed candidates return fewer rows (the
+    * single-stage filtered-ANN recall caveat, mirrored engine and
+    * oracle; production boosts nProbe as selectivity drops).
+    */
+  val annIvfFiltered = Check("ann_ivf_filtered",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val allowed = table(spark, dir, "documents")
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      graft.substrate.IvfIndex
+        .topKFiltered(e, q, allowed, centroidMod = 23, k = K, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${assignAutoCtes("e", 23, 4)},
+         |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |probes AS (SELECT qid, qv, cell FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM q, cents c) WHERE rn <= 4),
+         |cand AS (SELECT p.qid, a.vec_id AS cid, list_distance(p.qv, a.v) AS d
+         |FROM probes p JOIN assigned a ON a.cell = p.cell
+         |JOIN allowed w ON w.doc_id = a.vec_id WHERE a.vec_id <> p.qid)
+         |SELECT qid, rank, cid FROM (SELECT qid, cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS BIGINT) AS rank
+         |FROM cand) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
-    retrievalRecallCompliance, annIvfTopk, retrievalRecallIvf,
+    retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
+    retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,

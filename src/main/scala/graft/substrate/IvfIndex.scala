@@ -227,9 +227,41 @@ object IvfIndex {
     * the flat witness.
     */
   def topK(e: DataFrame, queries: DataFrame, centroidMod: Int, k: Int,
-      nProbe: Int): DataFrame = {
-    val indexed = assignAuto(e, centroidMod)
-    val cents = centroids(e, centroidMod)
+      nProbe: Int): DataFrame =
+    scanProbed(assignAuto(e, centroidMod), centroids(e, centroidMod),
+      queries, k, nProbe)
+
+  /** [[topK]] under a metadata predicate — filtered vector search, the
+    * production ANN shape where results must satisfy a non-vector
+    * constraint (language, license, date range). The index is built on
+    * the FULL corpus (the stored artifact is predicate-agnostic — one
+    * index serves every filter); `allowed` (a vec_id keep-list, i.e. the
+    * predicate's semi-join side) lands on the CELL SCAN, after probe
+    * pruning and before ranking, as a semi join Spark broadcasts when
+    * the predicate is selective. At 100 TB the keep-list is a pushed-down
+    * predicate on metadata columns stored inline in the cell-partitioned
+    * code table — zero extra joins; the semi join here is the portable
+    * form of the same plan position.
+    *
+    * Recall caveat (inherent to single-stage filtered ANN, not a defect):
+    * under highly selective filters the probed cells may hold fewer than
+    * k allowed candidates — production boosts nProbe as selectivity
+    * drops. Deterministic here: same probe set as [[topK]], so a query's
+    * result is exactly topK's output restricted to `allowed`, re-ranked.
+    */
+  def topKFiltered(e: DataFrame, queries: DataFrame, allowed: DataFrame,
+      centroidMod: Int, k: Int, nProbe: Int): DataFrame =
+    scanProbed(
+      assignAuto(e, centroidMod)
+        .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+      centroids(e, centroidMod), queries, k, nProbe)
+
+  /** Shared probe + cell-scan tail of [[topK]] / [[topKFiltered]]:
+    * nProbe nearest centroids per query (broadcast centroid table), then
+    * exact distance inside the probed cells only.
+    */
+  private def scanProbed(indexed: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cent_id"),

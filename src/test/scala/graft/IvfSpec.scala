@@ -138,4 +138,32 @@ class IvfSpec extends SparkSpec {
     // coverage because near neighbours concentrate in the query's cells
     assert(recall > 0.25, s"recall@10 = $recall")
   }
+  test("topKFiltered: predicate restriction commutes with the probe scan") {
+    val e = embeddings.cache()
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val allowed = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val allowedSet = allowed.as[Long].collect().toSet
+    val filtered = IvfIndex
+      .topKFiltered(e, q, allowed, centroidMod = 23, k = 10, nProbe = 4)
+      .collect()
+    // every hit satisfies the predicate
+    assert(filtered.nonEmpty)
+    filtered.foreach(r => assert(allowedSet.contains(r.getAs[Long]("cid"))))
+    // restriction property: filtered top-k == (unfiltered probed
+    // candidates, exhaustively ranked) restricted to allowed, renumbered
+    val exhaustive = IvfIndex
+      .topK(e, q, centroidMod = 23, k = Int.MaxValue, nProbe = 4)
+      .collect().filter(r => allowedSet.contains(r.getAs[Long]("cid")))
+      .groupBy(_.getAs[Long]("qid")).toSeq
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(_.getAs[Long]("rank")).take(10).zipWithIndex
+          .map { case (r, i) => (qid, (i + 1).toLong, r.getAs[Long]("cid")) }
+      }.toSet
+    val got = filtered
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cid"))).toSet
+    assert(got == exhaustive)
+  }
 }

@@ -97,4 +97,30 @@ class PipelineTierSpec extends SparkSpec {
     assert(batchHist == streamOpHist,
       s"batch $batchHist != session_window $streamOpHist")
   }
+  test("corpus_mix_temperature: min stratum keeps all; rebalance toward alpha targets") {
+    val out = PipelineTier.corpusMixTemperature.run(spark, sf).collect()
+    val pops = out.map(r => r.getString(0) -> r.getAs[Long]("population")).toMap
+    val minLang = pops.minBy { case (l, n) => (n, l) }._1
+    // the smallest stratum's rate is exactly 1.0 -> every doc kept
+    val minRow = out.find(_.getString(0) == minLang).get
+    assert(minRow.getAs[Double]("rate") == 1.0)
+    assert(minRow.getAs[Long]("sampled") == minRow.getAs[Long]("population"))
+    // every stratum: sampled <= population, rate in (0, 1]
+    out.foreach { r =>
+      assert(r.getAs[Long]("sampled") <= r.getAs[Long]("population"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // the rebalance claim: achieved shares sit closer to the alpha
+    // targets than the natural (population) shares do, in L1 distance
+    val totPop = pops.values.sum.toDouble
+    val l1Natural = out.map(r => math.abs(
+      r.getAs[Long]("population") / totPop - r.getAs[Double]("target_share"))).sum
+    val l1Achieved = out.map(r => math.abs(
+      r.getAs[Double]("achieved_share") - r.getAs[Double]("target_share"))).sum
+    assert(l1Achieved < l1Natural,
+      s"achieved L1 $l1Achieved should beat natural L1 $l1Natural")
+    // achieved shares form a distribution
+    assert(math.abs(out.map(_.getAs[Double]("achieved_share")).sum - 1.0) < 1e-12)
+  }
 }
