@@ -167,7 +167,18 @@ object Bench {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 8))
+    // Pool width: how many queries run concurrently. The r4-r8 width of
+    // cpus/8 (4 at local[32]) left the suite POOL-limited, not
+    // CPU-limited — concurrent per-query walls sat within ~1.3-1.9x of
+    // their quiet serial medians (most plans can't use 8 cores each), so
+    // wall ≈ serial_sum/4 with cores idle. Same-box quiet A/B at r9:
+    // 4-wide 32.8 s / worst ratio 1.9x; 6-wide 24.4 s / worst 2.0x;
+    // 8-wide 30.6 s with ratios blowing past the 4x gate (4.5x) — 6 is
+    // the knee, adopted as the default (3·cpus/16). SPARK_GRAFT_POOL
+    // overrides for regime experiments (BENCH_NOTES r9).
+    val poolWidth = sys.env.get("SPARK_GRAFT_POOL").map(_.toInt)
+      .getOrElse(math.max(2, cpus.toInt * 3 / 16))
+    val pool = Executors.newFixedThreadPool(poolWidth)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val suiteT0 = System.nanoTime()
     val results =
