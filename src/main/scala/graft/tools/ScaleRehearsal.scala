@@ -798,6 +798,13 @@ object ScaleRehearsal {
          |  composition exists. Candidate-set cardinality is counted at
          |  the exact probe-join shape IvfPq.topK scans (codes join adds
          |  the m-byte payload, not rows).
+         |- **Filtered ANN** (`ann_ivf_filtered`, no separate rows by design):
+         |  its candidate scan IS the measured `ivf_topk` probe shape
+         |  intersected with a predicate semi join — the filter only SHRINKS
+         |  the per-query candidate set the `ivf_topk` / `ivfpq probed` decades
+         |  already bound above, and adds no join whose width grows with n
+         |  (the keep-list is broadcast when selective, and at scale becomes a
+         |  pushed-down metadata predicate on the cell-partitioned code table).
          |- **Drift PSI** (`drift psi` rows): population monitors must be
          |  readable at every corpus size — one scan per snapshot folding
          |  into O(vocab) keyed state via map-side partial aggregation.
