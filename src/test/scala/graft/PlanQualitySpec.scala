@@ -331,4 +331,30 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("[codegen id :"), s"no codegen span in:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+  test("filtered ANN: keep-list lands as a broadcast semi join on the cell scan") {
+    val res = Checks.byName("ann_ivf_filtered").run(spark, sf)
+    val plan = planOf(res)
+    assert(!plan.contains("CartesianProduct"), s"product in filtered ANN:\n$plan")
+    val simple = res.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the predicate must restrict the candidate scan via a semi join
+    // (broadcast when selective) — never by materializing a product or
+    // re-ranking after the fact
+    assert(simple.contains("LeftSemi"), s"no semi join in:\n$simple")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("corpus_mix_temperature: rate table broadcasts onto one pruned corpus scan") {
+    val res = Checks.byName("corpus_mix_temperature").run(spark, sf)
+    val plan = planOf(res)
+    assert(!plan.contains("CartesianProduct"), s"product in mix:\n$plan")
+    // the O(strata) rate table joins the corpus by lang as a broadcast —
+    // the per-row keep decision must not shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast rate join:\n$plan")
+    // the decision scan reads only the columns the decision needs
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(l => !l.contains("text")),
+      s"mix decision scans text: $readSchemas")
+  }
 }
