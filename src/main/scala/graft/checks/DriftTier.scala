@@ -76,5 +76,50 @@ object DriftTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
-  val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans)
+  /** Binned numeric-value PSI between the even and odd event_id halves
+    * of the events stream (Drift.numericPsi): decile edges from the
+    * deterministic event_id % 20 sample of the reference half (exact
+    * rank-selected elements, (v, event_id) tie-break), both halves
+    * histogrammed against those fixed edges, Laplace-smoothed PSI per
+    * bin. The oracle re-derives the sample, the rank-selected edges,
+    * the edges-below-v bin fold, and the smoothing arithmetic — counts
+    * are integers, so cross-engine float noise enters only the final
+    * probability expressions.
+    */
+  val numericDriftPsi = Check("numeric_drift_psi",
+    (spark, dir) => {
+      val ev = table(spark, dir, "events").select(col("event_id"), col("value"))
+      def half(m: Int) = ev.filter(col("event_id") % 2 === m)
+      graft.substrate.Drift.numericPsi(half(0), half(1), "value", "event_id")
+        .withColumnRenamed("key", "bin")
+        .orderBy("bin")
+    },
+    Some(
+      """WITH samp AS (SELECT value AS v, event_id AS tie FROM events
+        |WHERE event_id % 2 = 0 AND event_id % 20 = 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samp),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, tie) AS BIGINT) AS rn FROM samp),
+        |edges AS (SELECT v AS edge FROM r, n,
+        |(SELECT unnest(generate_series(1, 9)) AS k)
+        |WHERE rn = CAST(ceil(n * k / 10.0) AS BIGINT)),
+        |rb AS (SELECT (SELECT COUNT(*) FROM edges e WHERE ev.value > e.edge) AS bin
+        |FROM events ev WHERE ev.event_id % 2 = 0),
+        |cb AS (SELECT (SELECT COUNT(*) FROM edges e WHERE ev.value > e.edge) AS bin
+        |FROM events ev WHERE ev.event_id % 2 = 1),
+        |rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+        |cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+        |unioned AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |FROM rc FULL JOIN cc USING (bin)),
+        |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur, COUNT(*) AS v FROM unioned)
+        |SELECT bin, n_ref, n_cur,
+        |(n_ref + 1.0) / (t_ref + v) AS p_ref,
+        |(n_cur + 1.0) / (t_cur + v) AS p_cur,
+        |((n_cur + 1.0) / (t_cur + v) - (n_ref + 1.0) / (t_ref + v))
+        |* ln(((n_cur + 1.0) / (t_cur + v)) / ((n_ref + 1.0) / (t_ref + v))) AS contrib
+        |FROM unioned, tot ORDER BY bin"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
+    numericDriftPsi)
 }

@@ -52,6 +52,45 @@ object Drift {
         ((pCur - pRef) * log(pCur / pRef)).as("contrib"))
   }
 
+  /** Binned PSI for a NUMERIC observation stream — the third standard
+    * monitor beside [[categoricalPsi]] (categorical) and
+    * [[embeddingMeanShift]] (representation): decile edges are derived
+    * from a deterministic id-sample of the REFERENCE snapshot, both
+    * snapshots are histogrammed against those FIXED edges, and the bin
+    * ids feed [[categoricalPsi]] unchanged. Output: (key = bin id 0..
+    * nBins−1, n_ref, n_cur, p_ref, p_cur, contrib).
+    *
+    * Edge discipline: exact rank-selected ELEMENTS of the sample
+    * (value_percentiles' selection, deterministic (v, tie) order) — no
+    * interpolation, so both engines pick identical edge doubles. The
+    * global rank window runs over the O(sample) rows only (the
+    * lm_quality_sampled shape: quantile estimation from a fixed-size
+    * sample is the 100 TB practice — error O(1/√m) — a full-corpus
+    * exact-quantile pass would be the one-task global sort this tier
+    * bans). Binning is a map-side HOF fold over the broadcast ≤
+    * nBins−1 edge array (count of edges below v); the PSI state is
+    * O(nBins).
+    */
+  def numericPsi(ref: DataFrame, cur: DataFrame, vCol: String,
+      tieCol: String, sampleMod: Int = 20, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samp = ref.filter(col(tieCol) % sampleMod === 0)
+      .select(col(vCol).as("v"), col(tieCol).as("tie"))
+    val n = samp.agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.orderBy(col("v").asc, col("tie").asc)
+    val edges = samp.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("k", explode(sequence(lit(1), lit(nBins - 1))))
+      .filter(col("rn") === ceil(col("n") * col("k") / nBins).cast("long"))
+      .select(col("v").as("edge"))
+    val edgeArr = edges.agg(sort_array(collect_list(col("edge"))).as("edges"))
+    def binned(df: DataFrame) = df.select(col(vCol).as("v"))
+      .crossJoin(broadcast(edgeArr))
+      .select(expr("aggregate(edges, 0L, (acc, e) -> acc + IF(v > e, 1L, 0L))")
+        .as("bin"))
+    categoricalPsi(binned(ref), binned(cur), "bin")
+  }
+
   /** Per-dimension mean shift between two snapshots of an embedding
     * column (array<double> in `vCol`) — the first-moment drift monitor
     * for representation spaces (a systematic encoder change or corpus

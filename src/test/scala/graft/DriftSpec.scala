@@ -41,4 +41,25 @@ class DriftSpec extends SparkSpec {
       .orderBy("dim").as[(Long, Double, Double, Double)].collect()
     assert(out.toSeq == Seq((0L, 1.0, 2.0, 1.0), (1L, 2.0, 0.0, 2.0)))
   }
+  test("numericPsi: identical snapshots ~zero; a planted location shift concentrates mass in the top bin") {
+    import spark.implicits._
+    // deterministic values 0..199 with id ties for the edge selection
+    val ref = (0L until 200L).map(i => (i, (i % 100).toDouble)).toDF("id", "x")
+    val same = Drift.numericPsi(ref, ref, "x", "id", sampleMod = 2, nBins = 10)
+      .collect()
+    assert(same.nonEmpty)
+    same.foreach(r => assert(math.abs(r.getAs[Double]("contrib")) < 1e-12))
+    // bins stay in [0, nBins)
+    same.foreach { r =>
+      val b = r.getAs[Long]("key"); assert(b >= 0 && b < 10)
+    }
+    // location shift: every cur value beyond the reference range lands in
+    // the TOP bin (edges are fixed from ref), and the PSI is clearly > 0
+    val cur = ref.select(col("id"), (col("x") + 1000.0).as("x"))
+    val shifted = Drift.numericPsi(ref, cur, "x", "id", sampleMod = 2, nBins = 10)
+      .collect()
+    val top = shifted.maxBy(_.getAs[Long]("key"))
+    assert(top.getAs[Long]("key") == 9 && top.getAs[Long]("n_cur") == 200L)
+    assert(shifted.map(_.getAs[Double]("contrib")).sum > 1.0)
+  }
 }
