@@ -812,6 +812,11 @@ object ScaleRehearsal {
          |  per-partition partial counts move; vocab is fixed) while the
          |  wall tracks the scan — the shape that lets a 100 TB pre-train
          |  corpus be drift-gated nightly.
+         |  The binned NUMERIC variant (`numeric_drift_psi`) shares this shape
+         |  exactly — its only extra is the decile-edge derivation, a rank
+         |  window over the O(sample) id-sample of the reference (never the
+         |  corpus), after which binning is the same one-scan fold into
+         |  O(nBins) state.
          |- **Inverted index** (`inverted build` rows — VERDICT r8 #2): the
          |  replica corpora reuse the text verbatim, so every token's df
          |  grows with n — the stopword skew that matters at 100 TB. The
