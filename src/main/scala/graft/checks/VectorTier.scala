@@ -986,11 +986,76 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Two-stage PQ retrieval recall (PqIndex.topKReranked): ADC prefilter
+    * to depth-50 candidates, exact euclidean rerank of just those — the
+    * standard production recovery for quantization error (Jégou et al.
+    * §V.C). One row, BOTH recalls: the raw ADC top-10 recall and the
+    * reranked recall against the same exact oracle, so the entry states
+    * the claim it exists for — reranking recovers neighbors ADC ranked
+    * just outside the top 10 (recall_rerank ≥ recall_pq, pinned by
+    * PqSpec) — at |Q|·depth exact distances instead of |Q|·n.
+    */
+  val retrievalRecallPqRerank = Check("retrieval_recall_pq_rerank",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val cb = graft.substrate.PqIndex.codebookArrays(
+        graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val codes = graft.substrate.PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val pq = graft.substrate.PqIndex
+        .topK(codes, q, "qid", "qv", cb, dim = 64, topK = K)
+        .select("qid", "cid")
+      val rr = graft.substrate.PqIndex
+        .topKReranked(codes, e, q, "qid", "qv", cb, dim = 64,
+          depth = graft.substrate.PqIndex.DefaultRerankDepth, k = K)
+        .select("qid", "cid")
+      val hitsPq = exact.join(pq, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits_pq"))
+      val hitsRr = exact.join(rr, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits_rr"))
+      val nq = exact.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hitsPq).crossJoin(hitsRr)
+        .select(col("n_queries"),
+          (col("hits_pq").cast("double") / (col("n_queries") * K))
+            .as("recall_pq"),
+          (col("hits_rr").cast("double") / (col("n_queries") * K))
+            .as("recall_rerank"))
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM q, e c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cand AS cid,
+         |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM adist),
+         |pq AS (SELECT qid, cid FROM ranked WHERE rank <= $K),
+         |cand AS (SELECT qid, cid FROM ranked
+         |WHERE rank <= ${graft.substrate.PqIndex.DefaultRerankDepth}),
+         |rr AS (SELECT qid, cid FROM (SELECT c.qid, c.cid,
+         |row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, v.v), c.cid) AS rank
+         |FROM cand c JOIN e v ON v.vec_id = c.cid JOIN q ON q.qid = c.qid)
+         |WHERE rank <= $K)
+         |SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+         |CAST((SELECT COUNT(*) FROM exact JOIN pq USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_pq,
+         |CAST((SELECT COUNT(*) FROM exact JOIN rr USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_rerank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
     retrievalRecallIvf,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
-    embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq)
+    embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
+    retrievalRecallPqRerank)
 }

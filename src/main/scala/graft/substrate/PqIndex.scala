@@ -152,4 +152,35 @@ object PqIndex {
       .filter(col("rank") <= topK)
       .select("qid", "rank", "cid")
   }
+
+  val DefaultRerankDepth = 50
+
+  /** Two-stage retrieval: ADC prefilter to `depth` candidates per query
+    * ([[topK]]), then EXACT euclidean rerank of just those — the standard
+    * production recovery for PQ's quantization error (Jégou et al. §V.C:
+    * reranking with source vectors). The exact pass touches |Q|·depth
+    * vectors fetched by an equi-join on vec_id (point lookups on a
+    * stored vector table — bucket/partition-prunable), never the corpus:
+    * the scan stays the m-lookup ADC code pass, and the expensive full
+    * distance is paid only where it can change the answer.
+    * Deterministic (d2 asc, cid asc) final ranking. Output:
+    * (qid, rank, cid).
+    */
+  def topKReranked(codes: DataFrame, e: DataFrame, q: DataFrame,
+      qidCol: String, qvCol: String, cb: Array[Array[Array[Double]]],
+      dim: Int, depth: Int = DefaultRerankDepth, k: Int = 10): DataFrame = {
+    val cand = topK(codes, q, qidCol, qvCol, cb, dim, topK = depth)
+      .select("qid", "cid")
+    val exact = cand
+      .join(e.select(col("vec_id").as("cid"), col("v")), Seq("cid"))
+      .join(broadcast(q.select(col(qidCol).cast("long").as("qid"),
+        col(qvCol).as("qv"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.sqDist(col("qv"), col("v")).as("d2"))
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid")
+  }
 }

@@ -127,4 +127,13 @@ class PqSpec extends SparkSpec {
     assert(leaked == 0, s"$leaked hits from unprobed cells")
     res.unpersist()
   }
+  test("reranked recall recovers ADC misses: recall_rerank >= recall_pq on the corpus") {
+    val out = graft.checks.Checks.byName("retrieval_recall_pq_rerank")
+      .run(spark, sf).collect().head
+    val pq = out.getAs[Double]("recall_pq")
+    val rr = out.getAs[Double]("recall_rerank")
+    assert(out.getAs[Long]("n_queries") > 0)
+    assert(rr >= pq, s"rerank $rr worse than raw ADC $pq")
+    assert(rr > 0.0 && rr <= 1.0 && pq >= 0.0)
+  }
 }
