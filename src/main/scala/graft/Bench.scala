@@ -48,7 +48,10 @@ object Bench {
     // serial_extra), pinned immediately: the hybrid fusion runs BOTH
     // stored-index retrievers, IVF-PQ runs codebook training + cell
     // assignment
-    "retrieval_hybrid_rrf", "ann_ivf_pq_topk", "retrieval_recall_pq")
+    "retrieval_hybrid_rrf", "ann_ivf_pq_topk", "retrieval_recall_pq",
+    // r9: the two-stage rerank debuted at 2.3 s serial_extra — pinned on
+    // debut like every straggler before it
+    "retrieval_recall_pq_rerank")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

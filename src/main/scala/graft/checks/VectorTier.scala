@@ -185,11 +185,12 @@ object VectorTier {
     * dedup_semantic_hier oracles.
     */
   private[checks] def assignAutoCtes(src: String, centroidMod: Int,
-      nProbeCoarse: Int): String =
-    s"""cents AS (SELECT vec_id AS cent_id, v AS cv FROM $src WHERE vec_id % $centroidMod = 0),
+      nProbeCoarse: Int, centSrc: String = null): String = {
+    val cs = Option(centSrc).getOrElse(src)
+    s"""cents AS (SELECT vec_id AS cent_id, v AS cv FROM $cs WHERE vec_id % $centroidMod = 0),
        |cf AS (SELECT ${graft.substrate.IvfIndex.autoCoarseFactorSql} AS f
        |FROM (SELECT COUNT(*) AS nc FROM cents)),
-       |coarse AS (SELECT vec_id AS co_id, v AS cov FROM $src
+       |coarse AS (SELECT vec_id AS co_id, v AS cov FROM $cs
        |WHERE vec_id % ($centroidMod * (SELECT f FROM cf)) = 0),
        |routed AS (SELECT cent_id, cv, co_id FROM (
        |SELECT f.cent_id, f.cv, c.co_id,
@@ -204,6 +205,7 @@ object VectorTier {
        |row_number() OVER (PARTITION BY p.vec_id ORDER BY list_distance(p.v, r.cv), r.cent_id) AS rn
        |FROM probes_c p JOIN routed r ON r.co_id = p.co_id) WHERE rn = 1)"""
       .stripMargin.replace("\n", " ")
+  }
 
   /** IVF-flat approximate top-k (substrate.IvfIndex): deterministic
     * centroid sample, nProbe-cell search, collection assignment through
@@ -1050,6 +1052,37 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Frozen-codebook incremental vector-index ingest
+    * (IvfIndex.assignDeltaAuto) — the vector-index twin of MinHash's
+    * delta-vs-index dedup and the inverted index's mergeDelta: base =
+    * vec_id % 10 < 8 (the already-indexed corpus), delta = the rest (the
+    * ingest batch). The entry emits `stored base assignment ∪ delta
+    * assignment`; the oracle computes ONE full frozen-codebook
+    * assignment of ALL vectors against the BASE-derived two-level
+    * codebook (assignAutoCtes with centSrc = base) — so the hash match
+    * IS the ingest invariant: appending per-batch assignments under a
+    * frozen codebook equals re-assigning the whole corpus, while doing
+    * only O(|delta|·√|C|) work per batch.
+    */
+  val annIvfIncremental = Check("ann_ivf_incremental",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val base = e.filter(col("vec_id") % 10 < 8)
+      val delta = e.filter(col("vec_id") % 10 >= 8)
+      val stored = graft.substrate.IvfIndex.assignAuto(base, 23)
+        .select("vec_id", "cell")
+      val ingested = graft.substrate.IvfIndex
+        .assignDeltaAuto(delta, base, 23).select("vec_id", "cell")
+      stored.unionByName(ingested).orderBy("vec_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 10 < 8),
+         |${assignAutoCtes("e", 23, 4, centSrc = "b")}
+         |SELECT vec_id, cell FROM assigned ORDER BY vec_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
     retrievalRecallIvf,
@@ -1057,5 +1090,5 @@ object VectorTier {
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
-    retrievalRecallPqRerank)
+    retrievalRecallPqRerank, annIvfIncremental)
 }

@@ -128,9 +128,21 @@ object IvfIndex {
     * [[assign]]'s min_by).
     */
   def assignHier(e: DataFrame, centroidMod: Int, coarseFactor: Int,
-      nProbeCoarse: Int): DataFrame = {
-    val fine = centroids(e, centroidMod)
-    val coarse = e.filter(col("vec_id") % (centroidMod * coarseFactor) === 0)
+      nProbeCoarse: Int): DataFrame =
+    assignHierTo(e, e, centroidMod, coarseFactor, nProbeCoarse)
+
+  /** [[assignHier]] with the codebook derived from a SEPARATE source —
+    * the frozen-codebook form: fine/coarse centroids are sampled from
+    * `centSrc`, and only `targets` are routed and assigned. Shared tail
+    * of [[assignHier]] (centSrc = targets) and [[assignDeltaAuto]]
+    * (centSrc = the already-indexed base).
+    */
+  private def assignHierTo(targets: DataFrame, centSrc: DataFrame,
+      centroidMod: Int, coarseFactor: Int, nProbeCoarse: Int): DataFrame = {
+    val e = targets
+    val fine = centroids(centSrc, centroidMod)
+    val coarse = centSrc
+      .filter(col("vec_id") % (centroidMod * coarseFactor) === 0)
       .select(col("vec_id").as("co_id"), col("v").as("cov"))
     val routed = fine.crossJoin(broadcast(coarse))
       .select(col("cent_id"), col("cv"), col("co_id"),
@@ -152,6 +164,29 @@ object IvfIndex {
       .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cell"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** Incremental ingest under a FROZEN codebook — the vector-index twin
+    * of MinHash's delta-vs-index dedup and the inverted index's
+    * mergeDelta: new vectors are assigned against the centroids of the
+    * ALREADY-INDEXED base (both levels of the two-level route derive
+    * from `base`, never from the delta), so ingest work is
+    * O(|delta|·√|C|) and the stored assignment is append-only —
+    * `stored ∪ assignDeltaAuto(delta, base)` ≡ a full frozen-codebook
+    * assignment of base ∪ delta (the `ann_ivf_incremental` oracle pins
+    * exactly this equivalence cross-engine). The production contract:
+    * codebooks refresh on an explicit re-cluster (which re-lays-out the
+    * cell-partitioned table), NOT per ingest — re-deriving centroids
+    * from base ∪ delta on every batch would silently move cell
+    * boundaries under the stored codes.
+    */
+  def assignDeltaAuto(delta: DataFrame, base: DataFrame, centroidMod: Int,
+      nProbeCoarse: Int = 4): DataFrame = {
+    val nCents = DerivationCache.memo(base, s"ivf-ncents-$centroidMod") {
+      base.filter(col("vec_id") % centroidMod === 0).count()
+    }
+    assignHierTo(delta, base, centroidMod, autoCoarseFactor(nCents),
+      nProbeCoarse)
   }
 
   /** Routing defaults for [[assignRouted]], named so oracle CTEs

@@ -166,4 +166,33 @@ class IvfSpec extends SparkSpec {
         r.getAs[Long]("cid"))).toSet
     assert(got == exhaustive)
   }
+  test("assignDeltaAuto: frozen-codebook ingest routes to base cells; twins co-route") {
+    val e = embeddings.cache()
+    val base = e.filter(col("vec_id") % 10 < 8).cache()
+    val delta = e.filter(col("vec_id") % 10 >= 8)
+    // refactor guard: self-ingest is exactly assignAuto
+    val viaDelta = IvfIndex.assignDeltaAuto(base, base, 23)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val viaAuto = IvfIndex.assignAuto(base, 23)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(viaDelta == viaAuto)
+    // every ingested vector lands in a BASE centroid's cell
+    val baseCents = base.filter(col("vec_id") % 23 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val ingested = IvfIndex.assignDeltaAuto(delta, base, 23)
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    assert(ingested.nonEmpty)
+    ingested.foreach { case (_, cell) => assert(baseCents.contains(cell)) }
+    // an ingest batch of EXACT copies of base vectors co-routes: each
+    // copy lands in its original's cell (the property incremental
+    // semantic dedup needs from ingest)
+    val copies = base.limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+    val copyCells = IvfIndex.assignDeltaAuto(copies, base, 23)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    copyCells.foreach { case (vid, cell) =>
+      assert(cell == viaAuto(vid - 1000000L),
+        s"copy of ${vid - 1000000L} routed to $cell, original in ${viaAuto(vid - 1000000L)}")
+    }
+  }
 }
