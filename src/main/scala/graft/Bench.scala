@@ -51,7 +51,10 @@ object Bench {
     "retrieval_hybrid_rrf", "ann_ivf_pq_topk", "retrieval_recall_pq",
     // r9: the two-stage rerank debuted at 2.3 s serial_extra — pinned on
     // debut like every straggler before it
-    "retrieval_recall_pq_rerank")
+    "retrieval_recall_pq_rerank",
+    // r9: streaming index maintenance is stateful (blocking micro-batch
+    // loop) → serial-only, same treatment as mv_refresh_stream
+    "inverted_index_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -67,7 +70,8 @@ object Bench {
     * still fails the run.
     */
   private val StatefulSet =
-    Set("freshness_transitions_stream", "mv_refresh_stream")
+    Set("freshness_transitions_stream", "mv_refresh_stream",
+      "inverted_index_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

@@ -1368,6 +1368,72 @@ object TextTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Fixed doc_id cap on the STREAMED ingest slice: bounds the
+    * MemoryStream fixture's driver-side collect at ~cap/10 docs at ANY
+    * scale factor (above the sf0.01 keyspace so the smallest verify
+    * corpus streams its full delta decile; binding from sf0.1 up). The
+    * cap shifts the base/stream BOUNDARY only — the final corpus is
+    * always ALL documents, so the build oracle applies verbatim.
+    */
+  private val IdxStreamCap = 2000L
+
+  /** STREAMING face of `inverted_index_incremental`: the ingest decile
+    * arrives as a real Structured Streaming micro-batch sequence
+    * (MemoryStream → foreachBatch) and the stored index is maintained
+    * batch by batch with InvertedIndex.mergeDelta — the search-artifact
+    * freshness composition beside ChangeTier's mv_refresh_stream
+    * (reference `factors/3-current.md:14-15`: streaming as the
+    * sub-minute currency mechanism, requirements.yaml:46-48: the search
+    * index those updates must reach). Batch-wise merge composes because
+    * each batch's doc_ids are disjoint from everything already indexed
+    * (the mergeDelta ingest contract); the index is eagerly checkpointed
+    * per batch so lineage stays O(1) in the batch count. The oracle is
+    * the FULL corpus build — hash match ⇒ stream-incremental ≡
+    * batch-incremental ≡ rebuild, segment boundaries included. Benched
+    * serial-only (Bench.StatefulSet).
+    */
+  val invertedIndexStream = Check("inverted_index_stream",
+    (spark, dir) => {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val d = docs(ss, dir)
+      val streamed = col("doc_id") % 10 === 9 && col("doc_id") < IdxStreamCap
+      var idx = graft.substrate.InvertedIndex
+        .build(d.filter(!streamed), "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+        .localCheckpoint(true)
+      // bounded driver-side collect: the MemoryStream fixture boundary
+      // (a test source is driver-fed; production reads files/Kafka) —
+      // capped to doc_id < IdxStreamCap, so O(cap/10) docs at any sf
+      def wave(m: Int): Seq[(Long, String)] =
+        d.filter(streamed && col("doc_id") % 20 === (m * 10 + 9))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          idx = graft.substrate.InvertedIndex
+            .mergeDelta(idx, batch, "doc_id", "text",
+              dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+            .localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { docs =>
+          input.addData(docs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      idx.select(col("token"), col("segment"), col("df"),
+          concat_ws(",", col("postings").cast("array<string>")).as("postings"))
+        .orderBy("token", "segment")
+    },
+    invertedIndexBuild.oracle,
+    isScore = false)
+
   val all: Seq[Check] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhashPortable, neardupCosineAllpairs, piiScrub, urlDensity,
     dupSpanStats, dedupSpanRemoval, ngramNovelty, vocabStats,
@@ -1375,5 +1441,5 @@ object TextTier {
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline,
     invertedIndexBuild, invertedIndexLookup, invertedIndexRank,
     invertedIndexPhrase, invertedIndexNear, invertedIndexIncremental,
-    invertedIndexIncrementalPos)
+    invertedIndexIncrementalPos, invertedIndexStream)
 }
