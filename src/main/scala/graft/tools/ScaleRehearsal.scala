@@ -798,6 +798,15 @@ object ScaleRehearsal {
          |  composition exists. Candidate-set cardinality is counted at
          |  the exact probe-join shape IvfPq.topK scans (codes join adds
          |  the m-byte payload, not rows).
+         |- **PQ rerank / frozen-codebook ingest** (no separate rows by
+         |  design): `retrieval_recall_pq_rerank`'s second stage adds |Q|·depth
+         |  exact-distance point lookups on top of the measured ADC scan — a
+         |  constant per query, corpus-independent (the `pq encode` and `ivfpq
+         |  probed` decades bound the stages that DO grow); `ann_ivf_incremental`
+         |  runs the already-measured AUTO assignment work (`ivf assign evals
+         |  AUTO` rows) over the DELTA only — per-batch cost is the measured
+         |  per-vector work × |delta|, with the base untouched beyond its stored
+         |  centroid rows.
          |- **Filtered ANN** (`ann_ivf_filtered`, no separate rows by design):
          |  its candidate scan IS the measured `ivf_topk` probe shape
          |  intersected with a predicate semi join — the filter only SHRINKS

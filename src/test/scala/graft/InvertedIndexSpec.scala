@@ -280,4 +280,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(phrase("ebb", "tide") == (1L to 40L).toSet)
     assert(phrase("tide", "rises") == (41L to 60L).toSet)
   }
+  test("multi-batch mergeDelta fold == single rebuild (5 deterministic batches)") {
+    // the streaming-ingest composition (inverted_index_stream folds
+    // batch-wise): starting from an EMPTY-base build, fold 5 disjoint
+    // hash-assigned batches of the corpus in sequence and land exactly
+    // on the one-shot build — associativity of the merge over any batch
+    // decomposition, thresholds crossing or not
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def canon(idx: org.apache.spark.sql.DataFrame) =
+      idx.select(col("token"), col("segment"), col("df"),
+          concat_ws(",", col("postings").cast("array<string>")).as("p"))
+        .collect().map(_.toString).sorted.toSeq
+    val batches = (0 until 5).map(b =>
+      d.filter((col("doc_id") * 2654435761L + 40503L) % 5 === b))
+    assert(batches.forall(_.count() > 0))
+    var idx = InvertedIndex.build(batches.head, "doc_id", "text",
+      dfThreshold = 20, segmentWidth = 50).localCheckpoint(true)
+    batches.tail.foreach { b =>
+      idx = InvertedIndex.mergeDelta(idx, b, "doc_id", "text",
+        dfThreshold = 20, segmentWidth = 50).localCheckpoint(true)
+    }
+    val full = InvertedIndex.build(d, "doc_id", "text",
+      dfThreshold = 20, segmentWidth = 50)
+    assert(canon(idx) == canon(full))
+  }
 }
