@@ -51,7 +51,7 @@ object Bench {
     "retrieval_hybrid_rrf", "ann_ivf_pq_topk", "retrieval_recall_pq",
     // r9: the two-stage rerank debuted at 2.3 s serial_extra — pinned on
     // debut like every straggler before it
-    "retrieval_recall_pq_rerank",
+    "retrieval_recall_pq_rerank", "retrieval_recall_ivfpq_rerank",
     // r9: streaming index maintenance is stateful (blocking micro-batch
     // loop) → serial-only, same treatment as mv_refresh_stream
     "inverted_index_stream")

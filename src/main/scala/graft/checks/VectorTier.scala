@@ -1083,6 +1083,78 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The full production retrieval stack, recall-evaluated: IVF cell
+    * pruning → PQ code scan → exact refine (FAISS's IVFADC + refine /
+    * Jégou et al. §V.C applied to the probed scan). One row, both
+    * recalls: the probed-ADC top-10 (what ann_ivf_pq_topk serves) and
+    * the depth-50 refined top-10 against the same exact oracle — so the
+    * entry measures what the refine stage buys INSIDE the cell-pruned
+    * candidate pool (|Q|·depth extra exact distances; the probe bound
+    * still caps attainable recall — a true neighbor in an unprobed cell
+    * is unrecoverable by refining, which is why this number sits below
+    * retrieval_recall_pq_rerank's full-scan refine).
+    */
+  val retrievalRecallIvfPqRerank = Check("retrieval_recall_ivfpq_rerank",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val cb = graft.substrate.PqIndex.codebookArrays(
+        graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val cand = graft.substrate.IvfPq.topK(e, q, "qid", "qv",
+        centroidMod = 23, cb, dim = 64, nProbe = 4,
+        topK = graft.substrate.PqIndex.DefaultRerankDepth)
+      val raw = cand.filter(col("rank") <= K).select("qid", "cid")
+      val rr = graft.substrate.PqIndex
+        .rerankExact(cand.select("qid", "cid"), e, q, "qid", "qv", K)
+        .select("qid", "cid")
+      val hitsRaw = exact.join(raw, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits_raw"))
+      val hitsRr = exact.join(rr, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits_rr"))
+      val nq = exact.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(hitsRaw).crossJoin(hitsRr)
+        .select(col("n_queries"),
+          (col("hits_raw").cast("double") / (col("n_queries") * K))
+            .as("recall_ivfpq"),
+          (col("hits_rr").cast("double") / (col("n_queries") * K))
+            .as("recall_rerank"))
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |${assignAutoCtes("e", 23, 4)},
+         |qp AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM qp q, e c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |probes AS (SELECT qid, cell FROM (
+         |SELECT q.qid, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM qp q, cents c) WHERE rn <= 4),
+         |adist AS (SELECT p.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM probes p JOIN assigned a ON a.cell = p.cell
+         |JOIN codes co ON co.vec_id = a.vec_id
+         |JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> p.qid GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cand AS cid,
+         |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM adist),
+         |raw AS (SELECT qid, cid FROM ranked WHERE rank <= $K),
+         |cand AS (SELECT qid, cid FROM ranked
+         |WHERE rank <= ${graft.substrate.PqIndex.DefaultRerankDepth}),
+         |rr AS (SELECT qid, cid FROM (SELECT c.qid, c.cid,
+         |row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, v.v), c.cid) AS rank
+         |FROM cand c JOIN e v ON v.vec_id = c.cid JOIN qp q ON q.qid = c.qid)
+         |WHERE rank <= $K)
+         |SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+         |CAST((SELECT COUNT(*) FROM exact JOIN raw USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_ivfpq,
+         |CAST((SELECT COUNT(*) FROM exact JOIN rr USING (qid, cid)) AS DOUBLE)
+         |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_rerank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
     retrievalRecallIvf,
@@ -1090,5 +1162,5 @@ object VectorTier {
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
-    retrievalRecallPqRerank, annIvfIncremental)
+    retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank)
 }

@@ -168,9 +168,22 @@ object PqIndex {
     */
   def topKReranked(codes: DataFrame, e: DataFrame, q: DataFrame,
       qidCol: String, qvCol: String, cb: Array[Array[Array[Double]]],
-      dim: Int, depth: Int = DefaultRerankDepth, k: Int = 10): DataFrame = {
-    val cand = topK(codes, q, qidCol, qvCol, cb, dim, topK = depth)
-      .select("qid", "cid")
+      dim: Int, depth: Int = DefaultRerankDepth, k: Int = 10): DataFrame =
+    rerankExact(
+      topK(codes, q, qidCol, qvCol, cb, dim, topK = depth)
+        .select("qid", "cid"),
+      e, q, qidCol, qvCol, k)
+
+  /** Exact-euclidean rerank of a (qid, cid) candidate table — the
+    * shared refine stage of [[topKReranked]] (full-ADC prefilter) and
+    * the IVF-PQ composition's refine entry (probed-ADC prefilter,
+    * `retrieval_recall_ivfpq_rerank`): fetch each candidate's vector by
+    * an equi-join on vec_id (point lookups on a stored vector table),
+    * broadcast the queries, compute |cand| true distances, rank
+    * deterministically ((d2, cid) tie-break). Output: (qid, rank, cid).
+    */
+  def rerankExact(cand: DataFrame, e: DataFrame, q: DataFrame,
+      qidCol: String, qvCol: String, k: Int): DataFrame = {
     val exact = cand
       .join(e.select(col("vec_id").as("cid"), col("v")), Seq("cid"))
       .join(broadcast(q.select(col(qidCol).cast("long").as("qid"),

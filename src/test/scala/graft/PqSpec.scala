@@ -136,4 +136,13 @@ class PqSpec extends SparkSpec {
     assert(rr >= pq, s"rerank $rr worse than raw ADC $pq")
     assert(rr > 0.0 && rr <= 1.0 && pq >= 0.0)
   }
+  test("IVF-PQ refine: recall_rerank >= recall_ivfpq, both within the probe bound") {
+    val out = graft.checks.Checks.byName("retrieval_recall_ivfpq_rerank")
+      .run(spark, sf).collect().head
+    val raw = out.getAs[Double]("recall_ivfpq")
+    val rr = out.getAs[Double]("recall_rerank")
+    assert(out.getAs[Long]("n_queries") > 0)
+    assert(rr >= raw, s"refine $rr worse than probed ADC $raw")
+    assert(raw >= 0.0 && rr <= 1.0)
+  }
 }
