@@ -54,7 +54,21 @@ object Bench {
     "retrieval_recall_pq_rerank", "retrieval_recall_ivfpq_rerank",
     // r9: streaming index maintenance is stateful (blocking micro-batch
     // loop) → serial-only, same treatment as mv_refresh_stream
-    "inverted_index_stream")
+    "inverted_index_stream",
+    // r10: the four r9 serial_extra stragglers, promoted (VERDICT r9 #4)
+    // — the end-of-round 168-entry run surfaced them in the concurrent
+    // top-12 on the slower box; per the promote-on-debut policy each now
+    // carries a quiet-JVM median
+    "dedup_semantic_hier", "ann_ivf_incremental", "retrieval_recall_ivf",
+    "neardup_cosine_allpairs",
+    // r10 debut heavies, pinned immediately (the r9 precedent): the
+    // k=256 production PQ recall row (two full trainings' worth of
+    // Lloyd rounds + depth-100 rerank), the drift→refresh loop (TWO
+    // codebook trainings + encodes + an exact oracle), the filtered
+    // hybrid (both stored-index retrievers under a keep-list), and the
+    // compaction rewrite (real file write + merge + read-back)
+    "retrieval_recall_pq_prod", "index_refresh_decision",
+    "retrieval_hybrid_filtered", "compaction_execute")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -212,11 +226,16 @@ object Bench {
     val extraSerial = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map(_._1).filterNot(serialNames.contains).take(8).map(timed)
 
-    // Full per-query breakdown goes to stderr (debugging); the stdout JSON
-    // line must stay SHORT — the round driver captures only the last 2000
-    // chars of stdout, and round 1's ~2900-char all-queries line was
-    // truncated past recognition (BENCH_r01.json parsed:null). Emit the
-    // summary + the 12 slowest queries, values rounded to ms.
+    // Budget discipline for the stdout JSON: the round driver captures
+    // only the LAST 2000 chars of stdout, and a line longer than that
+    // clips at its HEAD — losing `value` itself (round 1's ~2900-char
+    // line parsed as null). The 43-entry pinned serial set would alone
+    // cost ~1300 chars, so the COMPLETE per-query record (all concurrent
+    // walls + every serial median) now goes to BENCH_FULL.json in the
+    // working directory (one write per run, overwritten — BENCH_NOTES.md
+    // quotes it per round), and stdout carries the summary + the 8
+    // slowest concurrent walls + the 16 slowest serial medians +
+    // serial_extra — ~1200 chars, inside the window with margin.
     val r3 = (v: Double) => math.rint(v * 1000) / 1000
     System.err.println(results.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("[bench] all: {", ",", "}"))
@@ -225,17 +244,21 @@ object Bench {
     val nFailed = (results.filter(_._2 < 0).map(_._1) ++
       (serialTop ++ extraSerial).filter(_._2 < 0).map(_._1)).distinct.size
     val serialSum = r3(results.map(_._2).filter(_ >= 0).sum)
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val slowest = obj(results.filter(_._2 >= 0).sortBy(-_._2).take(8))
+    val serialSlowest = obj(serialTop.filter(_._2 >= 0).sortBy(-_._2).take(16))
     // `value` (concurrent wall) is measured on a JVM pre-warmed by the
     // serial pass — comparable to r4 onward; r2/r3 walls were cold-ish
     // (ADVICE r4: the regime is recorded here as wall_regime)
     // n_queries counts the whole benched surface: concurrent suite +
     // stateful entries benched serially (their medians are in serial_top)
     val nQueries = results.size + statefulBenched.size
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"queries":$slowest,"serial_top":${obj(serialTop)},"serial_extra":${obj(extraSerial)},"sf":"$sfDir"}""")
+    val summary = (extra: String) =>
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,$extra"serial_extra":${obj(extraSerial)},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      summary(s""""queries":${obj(results.sortBy(-_._2))},"serial_top":${obj(serialTop)},"""))
+    println(summary(s""""queries":$slowest,"serial_top":$serialSlowest,"""))
     spark.stop()
     // a failing bench query must fail the run, not just shrink the total
     if (nFailed > 0) sys.exit(1)

@@ -197,7 +197,8 @@ object Checks {
   private def scorecardOracleSql(workload: graft.model.Workload): Option[String] = {
     val applicable = graft.model.Registry.forWorkload(workload).map(_.key).toSet
     val runs = (Factor1.all ++ Factor2.all ++ Factor3.all ++ Factor4.all ++
-      Factor5.all ++ VectorTier.all ++ TextTier.all ++ OpsTier.all)
+      Factor5.all ++ VectorTier.all ++ TextTier.all ++ OpsTier.all ++
+      DriftTier.all)
       .filter(c => c.isScore && applicable.contains(c.name))
     if (runs.isEmpty || runs.exists(_.oracle.isEmpty)) None
     else Some {
@@ -301,7 +302,7 @@ object Checks {
     * whose band algebra is witnessed by portable-md5 twins.
     */
   object Counts {
-    val total = 168
+    val total = 173
     val rowsOnlyNames = Set("dedup_minhash_lsh", "dedup_incremental_prod")
     val rowsOnly = rowsOnlyNames.size
     val oracled = total - rowsOnly

@@ -742,10 +742,75 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Compaction EXECUTED, not just planned (VERDICT r9 what's-missing
+    * #3 / next #3 — the OPTIMIZE loop's second half): a real small-file
+    * clustered artifact is written from lineitem (24 range-clustered
+    * files on l_orderkey), listed (driver-side FS metadata — the
+    * manifest read), planned into ~4-file bins (target = 4× mean file
+    * size, derived from the listing), and REWRITTEN by Layout.compact
+    * into one merged file per bin. The check's output is per-returnflag
+    * aggregates computed from the REWRITTEN files, and the oracle
+    * computes the same aggregates from the ORIGINAL lineitem parquet —
+    * so the hash match IS the read-equivalence proof
+    * (`requirements.yaml:42-44`'s clustering contract: compaction must
+    * not lose or duplicate a row). Clustering preservation (per-file key
+    * ranges stay disjoint; pruning survives) is the physical half the
+    * oracle cannot see — LayoutSpec measures it on the same pipeline.
+    * Plan/listing collects are metadata-scale (#files/#bins rows);
+    * aggregates are collected (4 rows) so the temp artifact can be
+    * deleted eagerly — no lazy read of a removed directory, no junk left
+    * behind.
+    */
+  val compactionExecute = Check("compaction_execute",
+    (spark, dir) => {
+      import graft.substrate.Layout
+      val li = table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+        .toString
+      try {
+        Layout.writeClustered(li, s"$tmp/in", "l_orderkey", numFiles = 24)
+        val listing = Layout.listFiles(spark, s"$tmp/in")
+        val stats = listing.agg(sum("bytes").as("tb"), count(lit(1)).as("nf"))
+        val planned = Layout.compactionPlan(
+          listing.crossJoin(broadcast(stats))
+            .withColumn("target", expr("4 * (tb div nf)")).drop("tb", "nf"),
+          col("target"))
+        Layout.compact(spark, s"$tmp/in", s"$tmp/out", planned, "l_orderkey")
+        val rows = spark.read.parquet(s"$tmp/out").drop("bin")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_price"))
+          .orderBy("l_returnflag")
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l_returnflag",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_qty",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("sum_price",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |SUM(l_quantity) AS sum_qty, SUM(l_extendedprice) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
-    compactionPlan)
+    compactionPlan, compactionExecute)
 }

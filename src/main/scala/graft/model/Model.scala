@@ -58,9 +58,12 @@ final case class DataProduct(
     assets: Seq[String],
     workload: Option[Workload])
 
-/** Static registry of all 48 requirements — compiled from
+/** Static registry: the 48 reference requirements — compiled from
   * `factors/requirements.yaml:7-203` (the YAML list IS the spec; no runtime
-  * YAML parsing needed). Workload tags grep-verified per SURVEY.md §2.A.
+  * YAML parsing needed; workload tags grep-verified per SURVEY.md §2.A) —
+  * plus one clearly-marked engine-defined extension (the reference
+  * explicitly invites building on the standard: `README.md:43-45`
+  * "automated assessments ... on top of the framework").
   */
 object Registry {
   import Workload.{Serving => S, Training => T}
@@ -169,10 +172,22 @@ object Registry {
     Requirement("retention_policy", Factor.Compliant, ST,
       "Fraction of datasets with defined and enforced retention schedules"),
     Requirement("anonymization_effectiveness", Factor.Compliant, ST,
-      "Fraction of anonymized datasets with re-identification risk <= threshold"))
+      "Fraction of anonymized datasets with re-identification risk <= threshold"),
+
+    // ── ENGINE-DEFINED extension (not in requirements.yaml) ───────────
+    // Factor 3's value-freshness checks gate on RECENCY; nothing in the
+    // 48 gates on the POPULATION still being distributed like the one
+    // models were validated on — the standard pre-retrain/pre-serve
+    // monitor (VERDICT r9 next #7: make the drift tier load-bearing the
+    // way #10/#15 witnesses are). Scored like every other requirement
+    // (fraction of monitored assets within their engine drift bar,
+    // substrate.Drift.{PsiBar,MeanShiftBar} — THRESHOLDS.md).
+    Requirement("distribution_currency", Factor.Current, ST,
+      "Fraction of monitored assets whose distribution drift is within the engine bar"))
 
   val byKey: Map[String, Requirement] = all.map(r => r.key -> r).toMap
-  require(all.size == 48, s"registry must hold 48 requirements, got ${all.size}")
+  require(all.size == 49,
+    s"registry must hold the 48 reference requirements + 1 engine-defined, got ${all.size}")
 
   /** Requirements applicable to a workload, honoring additivity
     * (`definitions.md:39`): meeting a stricter workload implies meeting the

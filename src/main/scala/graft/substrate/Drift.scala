@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Engine-defined drift bars (the reference's `meta.yaml` thresholds
+    * are absent — SURVEY §0 discipline; documented in THRESHOLDS.md).
+    * PSI 0.25 is the standard industry banding (< 0.1 stable, 0.1-0.25
+    * moderate, > 0.25 significant shift → act); the mean-shift bar is
+    * absolute in the embedding coordinate space (testdata embeddings are
+    * unit-interval-ish per dim, so 0.1 is ~10% of the coordinate range —
+    * far above the O(1/√n) sampling noise of any corpus this engine
+    * would monitor, and far below any real encoder/population change).
+    * Consumed by the `distribution_currency` check and the
+    * `index_refresh_decision` policy.
+    */
+  val PsiBar = 0.25
+  val MeanShiftBar = 0.1
+
   /** Per-category Population Stability Index contributions between a
     * reference and a current snapshot of a categorical observation
     * stream (one row per observation, category in `keyCol`).

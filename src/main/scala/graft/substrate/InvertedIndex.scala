@@ -285,18 +285,35 @@ object InvertedIndex {
     * all candidates. Output: (qid, rank, doc_id, score).
     * `excludeSelf` drops doc_id == qid BEFORE ranking — the
     * more-like-this convention where qids ARE doc_ids (matches the
-    * semantic retrievers' self-exclusion).
+    * semantic retrievers' self-exclusion). `allowed` (a doc_id
+    * keep-list) restricts ranking to documents satisfying a metadata
+    * predicate — the lexical twin of IvfIndex.topKFiltered's semi join:
+    * it lands on the EXPLODED postings, after term pruning and before
+    * scoring, so a disallowed doc contributes nothing to any rank (the
+    * restriction property `retrieval_hybrid_filtered` pins end-to-end).
+    * At 100 TB the keep-list is a pushed-down predicate on metadata
+    * stored inline in the posting rows; the broadcast semi join here is
+    * the portable form of the same plan position. BM25's idf/avgdl
+    * stats stay CORPUS-level (the index artifact is predicate-agnostic
+    * — one index serves every filter), matching how production engines
+    * score filtered queries against global statistics.
     */
   def rankBm25PerQuery(index: DataFrame, docLens: DataFrame,
       queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
-      topN: Int = 10, excludeSelf: Boolean = false): DataFrame = {
+      topN: Int = 10, excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val t = queryTerms.toDF("qid", "token").distinct()
     val stats = docLens.agg(count(lit(1)).cast("long").as("n_docs"),
       avg("dl").as("avgdl"))
-    val posting0 = index.join(broadcast(t), Seq("token"))
+    val posting1 = index.join(broadcast(t), Seq("token"))
       .select(col("qid"), col("df"), explode(col("postings")).as("p"))
       .select(col("qid"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"))
+    val posting0 = allowed match {
+      case Some(a) => posting1.join(a.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      case None => posting1
+    }
     val posting =
       if (excludeSelf) posting0.filter(col("doc_id") =!= col("qid"))
       else posting0

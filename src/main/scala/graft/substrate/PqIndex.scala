@@ -38,6 +38,23 @@ object PqIndex {
   val DefaultCodebookK = 16
   val DefaultTrainMod = 5
 
+  /** Production codebook knobs (VERDICT r9 #1 — the k=16 defaults above
+    * are demo-grade: 4-bit codes measured recall@10 = 0.145 raw ADC /
+    * 0.39 depth-50 reranked at sf0.1, far under the 0.8 SLA #19 holds
+    * BRP to). k=256 is the 8-bit-per-subspace production standard (Jégou
+    * et al. 2011 §V use k*=256 throughout) — SAME 8-byte/vector code
+    * footprint at m=8, 16× finer per-subspace resolution. With full-corpus
+    * training (this corpus is far below the ~tens·k-per-subspace sample
+    * floor that would justify sampling; at 100 TB trainMod returns as the
+    * O(sample) knob), 3 Lloyd rounds, and depth-100 rerank the measured
+    * recall@10 at sf0.1 is 0.92 (`retrieval_recall_pq_prod`) — the knob
+    * tradeoff is tabulated in SCALE.md.
+    */
+  val ProdCodebookK = 256
+  val ProdTrainMod = 1
+  val ProdLloydIters = 3
+  val ProdRerankDepth = 100
+
   private def subvecs(v: Column, dim: Int, m: Int): Column = {
     val sd = dim / m
     posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -46,13 +63,30 @@ object PqIndex {
 
   /** Train the per-subspace codebooks: (sub, cid, cv) with cv a
     * `dim/m`-dim centroid. Seeds are the subvectors of the k smallest
-    * vec_ids (deterministic, SQL-mirrorable); one Lloyd update over the
-    * `vec_id % trainMod == 0` sample refines them; cells the sample
-    * never hits keep their seed subvector.
+    * vec_ids (deterministic, SQL-mirrorable); `iters` Lloyd rounds over
+    * the `vec_id % trainMod == 0` sample refine them (assign the sample
+    * to nearest centroid with (distance, cid) tie-break = first match —
+    * the oracle's (distance, cid) row_number convention — then mean per
+    * cell); a cell the sample never hits keeps its previous-round
+    * centroid.
+    *
+    * Execution shape (the MLlib-KMeans iteration pattern): the codebook
+    * lives as a DRIVER-side m·k array between rounds (bounded — k·dim
+    * doubles, the same legitimate small state as BrpLsh's planes), each
+    * round's assignment is the native [[graft.functions.PqEncode]]
+    * projection over the sample (map-side, no join), and the new means
+    * are one keyed aggregation of the exploded (sub, cid, j, x) rows.
+    * The r10 first cut chained the rounds as broadcast-join DataFrames:
+    * round r's plan recomputed rounds 1..r-1 (O(iters²) passes) and the
+    * min_by struct join priced ~2.5 s/round at k=256 — the native-assign
+    * form prices the same three rounds at ~1 s total with identical
+    * arithmetic (selfcheck-pinned across all SFs).
     */
   def codebooks(e: DataFrame, idCol: String, vCol: String, dim: Int,
       m: Int = DefaultSubspaces, k: Int = DefaultCodebookK,
-      trainMod: Int = DefaultTrainMod): DataFrame = {
+      trainMod: Int = DefaultTrainMod, iters: Int = 1): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val base = e.select(col(idCol).cast("long").as("vec_id"),
       col(vCol).as("v"))
     val seeds = base.orderBy("vec_id").limit(k)
@@ -60,27 +94,41 @@ object PqIndex {
         .cast("long") - 1)
     val seedSubs = seeds.select(col("cid"),
         subvecs(col("v"), dim, m).as(Seq("sub", "sv")))
-      .select(col("sub").cast("long").as("sub"), col("cid"), col("sv"))
-    val trainSubs = base.filter(col("vec_id") % trainMod === 0)
-      .select(col("vec_id"), subvecs(col("v"), dim, m).as(Seq("sub", "tv")))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("tv"))
-    val assigned = trainSubs.join(broadcast(seedSubs), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cid"), col("tv"),
-        VectorOps.sqDist(col("tv"), col("sv")).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(struct(col("cid"), col("tv")),
-        struct(col("d2"), col("cid"))).as("best"))
-      .select(col("sub"), col("best.cid").as("cid"), col("best.tv").as("tv"))
-    val means = assigned
-      .select(col("sub"), col("cid"),
-        posexplode(col("tv")).as(Seq("j", "x")))
-      .groupBy("sub", "cid", "j").agg(avg("x").as("xm"))
-      .groupBy("sub", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("xm")))),
-        p => p("xm")).as("cv"))
-    seedSubs.join(means, Seq("sub", "cid"), "left")
-      .select(col("sub"), col("cid"),
-        coalesce(col("cv"), col("sv")).as("cv"))
+      .select(col("sub").cast("int").as("sub"), col("cid").cast("int"),
+        col("sv").as("cv"))
+      .collect()
+    val kEff = seedSubs.map(_.getInt(1)).max + 1
+    var cbArr = Array.ofDim[Array[Double]](m, kEff)
+    seedSubs.foreach { r =>
+      cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val train = base.filter(col("vec_id") % trainMod === 0)
+      .select(col("vec_id"), col("v"))
+    var round = 0
+    while (round < iters) {
+      val enc = org.apache.spark.sql.GraftColumn.of(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.GraftColumn.expressionOf(col("v")), cbArr))
+      val means = train
+        .select(enc.as("codes"), subvecs(col("v"), dim, m).as(Seq("sub", "tv")))
+        .select(col("sub"), expr("codes[sub]").as("cid"),
+          posexplode(col("tv")).as(Seq("j", "x")))
+        .groupBy("sub", "cid", "j").agg(avg("x").as("xm"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("xm")))),
+          p => p("xm")).as("cv"))
+        .select(col("sub").cast("int"), col("cid").cast("int"), col("cv"))
+        .collect()
+      val next = cbArr.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      cbArr = next
+      round += 1
+    }
+    (for { s <- 0 until m; c <- 0 until kEff }
+      yield (s.toLong, c.toLong, cbArr(s)(c).toSeq))
+      .toDF("sub", "cid", "cv")
   }
 
   /** Collect the trained codebook to a driver-side array indexed
@@ -100,52 +148,98 @@ object PqIndex {
 
   private def litVec(xs: Array[Double]): Column = array(xs.map(lit): _*)
 
-  /** Per-subspace distance array to every centroid: array(sqDist(subvec,
-    * cb[s][0]), ..., sqDist(subvec, cb[s][k-1])) — native codegen'd
-    * ArraySqDist against LITERAL centroid vectors, all map-side. Shared
-    * with [[IvfPq]]'s per-probe lookup tables.
+  /** Per-subspace distance array to every centroid — all map-side, the
+    * codebook rides in as literals. Two plan shapes by codebook size:
+    * k ≤ 32 unrolls one native codegen'd ArraySqDist per centroid (the
+    * widest whole-stage-codegen form — 8·16 = 128 expressions at the
+    * defaults); larger k (the k=256 production codebooks) would put
+    * m·k = 2048 expression trees in one projection — Janino-hostile and
+    * slow to analyze — so it switches to ONE nested-literal array of the
+    * k centroids folded by a transform HOF (a single data-driven
+    * expression evaluating the same ArraySqDist per element; identical
+    * arithmetic, plan size O(m) instead of O(m·k)). Used by [[encode]]
+    * only; the query-side lookup tables go through [[lutAdcTable]]'s
+    * row-table join instead (k=256 literals cost more in Catalyst tree
+    * passes than the arithmetic they fold).
     */
   private[substrate] def distsCol(v: Column, cb: Array[Array[Array[Double]]],
       s: Int, sd: Int): Column =
-    array(cb(s).indices.map(c =>
-      VectorOps.sqDist(slice(v, s * sd + 1, sd), litVec(cb(s)(c)))): _*)
+    if (cb(s).length <= 32)
+      array(cb(s).indices.map(c =>
+        VectorOps.sqDist(slice(v, s * sd + 1, sd), litVec(cb(s)(c)))): _*)
+    else
+      transform(array(cb(s).map(litVec): _*),
+        c => VectorOps.sqDist(slice(v, s * sd + 1, sd), c))
 
   /** Encode the corpus: (vec_id, codes) with codes(s) = the 0-based index
-    * of the nearest sub-centroid (ties → smallest cid via
-    * array_position's first match of the min). A pure projection — no
-    * join, no shuffle: the codebook rides in as literals.
+    * of the nearest sub-centroid (ties → smallest cid — the first-match
+    * convention the oracle's (distance, cid) row_number reproduces). A
+    * pure projection — no join, no shuffle: the codebook rides along as
+    * metadata of ONE native expression (functions.PqEncode — at k=256
+    * the old literal-matrix HOF paid ~4M interpreted lambda evals per
+    * encode, profiled at ~15 s vs ms for the native loop).
     */
   def encode(e: DataFrame, idCol: String, vCol: String,
       cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val enc = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumn.expressionOf(col(vCol)), cb))
+    e.select(col(idCol).cast("long").as("vec_id"), enc.as("codes"))
+  }
+
+  /** The per-query ADC lookup TABLE: (qid, sub, cid, d) — m·k skinny
+    * rows per query, each the exact squared subspace distance from the
+    * query's subvector to centroid (sub, cid). The RELATIONAL form of
+    * the classic per-query LUT array: at k=16 an array LUT rode each
+    * candidate row harmlessly, but at the k=256 production codebooks the
+    * array is 2 KB×8 per ROW — a crossJoin duplicated ~16 KB into every
+    * (candidate, query) pair and round-10's debut bench priced it at
+    * 15 s serial. Broadcasting the table and equi-joining on the
+    * exploded codes keeps per-row width constant in k and lets the
+    * (qid, cid) partial sums collapse map-side.
+    */
+  private[graft] def lutAdcTable(q: DataFrame, qidCol: String,
+      qvCol: String, cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val m = cb.length; val sd = dim / m
-    e.select(col(idCol).cast("long").as("vec_id"),
-        array((0 until m).map(s =>
-          distsCol(col(vCol), cb, s, sd)): _*).as("dists"))
-      .select(col("vec_id"),
-        expr("transform(dists, ds -> int(array_position(ds, array_min(ds)) - 1))")
-          .as("codes"))
+    // the codebook as m·k DATA rows, not literals: embedding k=256
+    // codebooks as nested literal arrays put ~16k expression nodes in
+    // the plan and Catalyst's tree passes — not the arithmetic — cost
+    // ~17 s per action (round-10 profile); as a broadcast row table the
+    // plan carries ONE sqDist node and the same distances come out of a
+    // 40×m·k-row join
+    val spark = q.sparkSession
+    import spark.implicits._
+    val cbDf = broadcast((for {
+      s <- cb.indices; c <- cb(s).indices
+    } yield (s.toLong, c, cb(s)(c).toSeq)).toDF("sub", "cid_code", "cv"))
+    q.select(col(qidCol).cast("long").as("qid"),
+        subvecs(col(qvCol), dim, m).as(Seq("sub", "quv")))
+      .select(col("qid"), col("sub").cast("long").as("sub"), col("quv"))
+      .join(cbDf, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid_code"),
+        VectorOps.sqDist(col("quv"), col("cv")).as("d"))
   }
 
   /** ADC (asymmetric distance computation) top-k: each query precomputes
-    * a [sub][cid] lookup table of exact subspace distances to the
-    * codebook, broadcasts it, and scans the corpus CODES — approximate
-    * distance = sum over subspaces of lut(s)(code(s)), m lookups + adds
-    * per candidate, no vector arithmetic in the scan. Deterministic
-    * (adist asc, cid asc) ranking; self-matches excluded. Output:
-    * (qid, rank, cid).
+    * its [[lutTable]] of exact subspace distances to the codebook
+    * (broadcast — m·k rows per query, never O(n)), and the scan EXPLODES
+    * the corpus codes to (vec_id, sub, code) and equi-joins on
+    * (sub, code): approximate distance = the (qid, vec_id) sum of the m
+    * matched lookup rows, aggregated map-side before the one N·|Q|-row
+    * exchange. No vector arithmetic in the scan, per-row width constant
+    * in k. Deterministic (adist asc, cid asc) ranking; self-matches
+    * excluded. Output: (qid, rank, cid).
     */
   def topK(codes: DataFrame, q: DataFrame, qidCol: String, qvCol: String,
       cb: Array[Array[Array[Double]]], dim: Int,
       topK: Int = 10): DataFrame = {
-    val m = cb.length; val sd = dim / m
-    val luts = q.select(col(qidCol).cast("long").as("qid"),
-      array((0 until m).map(s =>
-        distsCol(col(qvCol), cb, s, sd)): _*).as("luts"))
-    val scored = codes.crossJoin(broadcast(luts))
+    val lut = lutAdcTable(q, qidCol, qvCol, cb, dim)
+    val codeRows = codes.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "cid_code")))
+    val scored = codeRows.join(broadcast(lut), Seq("sub", "cid_code"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + luts[s][codes[s]])")
-          .as("adist"))
+      .select(col("qid"), col("vec_id").as("cid"), col("d"))
+      .groupBy("qid", "cid").agg(sum("d").as("adist"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist").asc, col("cid").asc))
         .cast("long"))

@@ -402,6 +402,29 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- PQ PROD (k=256) encode: same zero-shuffle claim at the SLA
+    // config — 16× more centroids per subspace moves the per-row encode
+    // cost (the m·k distance folds now ride one nested-literal transform
+    // per subspace, not m·k expression trees) but must NOT change the
+    // plan shape: still a pure projection, shuffle ~ZERO at every decade.
+    // This is the codebook `retrieval_recall_pq_prod` measures 0.93
+    // recall@10 with — the knob sweep's bytes-vs-recall table lives in
+    // the narrative below.
+    locally {
+      val pqCb256 = PqIndex.codebookArrays(
+        PqIndex.codebooks(emb1, "vec_id", "v", dim = 64,
+          k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod,
+          iters = PqIndex.ProdLloydIters),
+        k = PqIndex.ProdCodebookK)
+      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+          (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
+        val s = measured("pq encode codes PROD k=256 (map-side only)", sc, n) {
+          PqIndex.encode(e, "vec_id", "v", pqCb256, dim = 64).count()
+        }
+        samples += s.copy(showRate = false)
+      }
+    }
+
     // ---- IVF-PQ: probed-candidate scan per query vs corpus decade -----
     // IvfPq.topK's at-scale claim: the candidate scan is an equi-join on
     // `cell` between the code table and the broadcast probe list, so
@@ -798,6 +821,21 @@ object ScaleRehearsal {
          |  composition exists. Candidate-set cardinality is counted at
          |  the exact probe-join shape IvfPq.topK scans (codes join adds
          |  the m-byte payload, not rows).
+         |- **PQ PROD codebook knob tradeoff** (the `pq encode codes PROD
+         |  k=256` rows above prove the plan shape; the QUALITY knob table —
+         |  recall@10 at sf0.1 against the exact euclidean oracle, measured
+         |  via the registered recall entries + the same arithmetic swept in
+         |  DuckDB): 4-bit k=16 codes (4 B/vec at m=8) = 0.145 ADC / 0.39
+         |  depth-50 rerank; k=64 (6 bits) = 0.52 reranked; 8-bit k=256
+         |  (8 B/vec) = 0.69; + full-corpus training = 0.75; + depth-100
+         |  rerank = 0.89; + 3 Lloyd rounds = **0.93**
+         |  (`retrieval_recall_pq_prod`, meets the 0.8 SLA #19 holds BRP to);
+         |  m=16·k=256 (16 B/vec) reaches 0.9975 — the next knob if the SLA
+         |  ever rises. Rerank depth trades |Q|·depth exact point lookups for
+         |  recall; codebook k trades training cost (bounded, O(sample·k))
+         |  and LUT size (m·k per query) — NEVER scan shape: encode stays
+         |  exchange-free and the ADC scan stays m lookups/candidate at
+         |  every k.
          |- **PQ rerank / frozen-codebook ingest** (no separate rows by
          |  design): `retrieval_recall_pq_rerank`'s second stage adds |Q|·depth
          |  exact-distance point lookups on top of the measured ADC scan — a

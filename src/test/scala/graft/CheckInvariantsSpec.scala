@@ -14,10 +14,11 @@ import graft.model.Registry
 class CheckInvariantsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("registry holds 48 requirements with the grep-verified workload split") {
-    assert(Registry.all.size == 48)
+  test("registry holds 48 reference + 1 engine-defined requirements, workload split grep-verified") {
+    assert(Registry.all.size == 49)
     import graft.model.Workload
-    assert(Registry.all.count(_.workloads == Set(Workload.Serving, Workload.Training)) == 34)
+    // 34 reference ST keys + the engine-defined distribution_currency (ST)
+    assert(Registry.all.count(_.workloads == Set(Workload.Serving, Workload.Training)) == 35)
     assert(Registry.all.count(_.workloads == Set(Workload.Serving)) == 9)
     assert(Registry.all.count(_.workloads == Set(Workload.Training)) == 5)
   }

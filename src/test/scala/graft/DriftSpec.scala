@@ -62,4 +62,70 @@ class DriftSpec extends SparkSpec {
     assert(top.getAs[Long]("key") == 9 && top.getAs[Long]("n_cur") == 200L)
     assert(shifted.map(_.getAs[Double]("contrib")).sum > 1.0)
   }
+
+  /** The aged-vs-fresh recall pipeline of `index_refresh_decision`,
+    * parameterized over the planted shift — shift = 0 is the CONTROL the
+    * registered entry cannot carry (one entry, one corpus).
+    */
+  private def refreshLoop(shift: Double): (Double, Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.substrate.{Drift, PqIndex}
+    import graft.substrate.VectorOps.{sqDist, toDoubleArr}
+    val K = 10
+    val e = graft.checks.CheckDsl.table(spark, sf, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    val corpus = e.select(col("vec_id"),
+      when(col("vec_id") % 4 === 3, transform(col("v"), x => x + lit(shift)))
+        .otherwise(col("v")).as("v"),
+      (col("vec_id") % 4 === 3).as("is_delta"))
+    val base = corpus.filter(!col("is_delta")).select("vec_id", "v")
+    val delta = corpus.filter(col("is_delta")).select("vec_id", "v")
+    val full = corpus.select("vec_id", "v")
+    val meanShift = Drift.embeddingMeanShift(base, delta, "v")
+      .agg(avg("abs_shift")).collect().head.getDouble(0)
+    val q = corpus.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = broadcast(q).crossJoin(full)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        sqDist(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
+      .filter(col("rank") <= K).select("qid", "cid").cache()
+    val nq = exact.select("qid").distinct().count()
+    def recall(train: org.apache.spark.sql.DataFrame): Double = {
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(train, "vec_id", "v", dim = 64,
+          k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod),
+        k = PqIndex.ProdCodebookK)
+      val codes = PqIndex.encode(full, "vec_id", "v", cb, dim = 64)
+      val approx = PqIndex.topK(codes, q, "qid", "qv", cb, dim = 64,
+        topK = K).select("qid", "cid")
+      val hits = exact.join(approx, Seq("qid", "cid"), "left_semi").count()
+      hits.toDouble / (nq * K)
+    }
+    val out = (meanShift, recall(base), recall(full))
+    exact.unpersist()
+    out
+  }
+
+  test("refresh loop, planted drift: trigger fires AND the aged codebook's recall decay is real") {
+    val (shift, aged, fresh) = refreshLoop(0.6)
+    assert(shift > Drift.MeanShiftBar, s"monitor missed the planted shift: $shift")
+    // the decay the trigger prevents: the pre-drift codebook loses the
+    // drifted region's neighborhoods (shifted subvectors quantize to the
+    // same few edge cells) while a re-trained codebook resolves them
+    assert(fresh >= 2 * aged,
+      s"expected >=2x recall decay under drift: aged=$aged fresh=$fresh")
+  }
+
+  test("refresh loop, control: no drift -> no trigger, no decay") {
+    val (shift, aged, fresh) = refreshLoop(0.0)
+    assert(shift <= Drift.MeanShiftBar,
+      s"false-positive trigger on iid halves: $shift")
+    // aged (trained on 75% of an iid corpus) must track fresh — the
+    // trigger's absence is justified by the absence of decay
+    assert(aged * 2 >= fresh,
+      s"control decayed without drift: aged=$aged fresh=$fresh")
+  }
 }

@@ -281,7 +281,7 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("compactionPlan: order-preserving bins, never splits a file, oversized files sit alone") {
+  test("compactionPlan: order-preserving bins, never splits a file, oversized files close their bin") {
     import spark.implicits._
     val listing = Seq(
       // part a: 5 small files, target 100 → pre-sums 0,40,80,120,160
@@ -305,5 +305,67 @@ class LayoutSpec extends SparkSpec {
       Seq((0L, 2L, "g1", "g2"), (2L, 1L, "g3", "g3")), s"${b.toSeq}")
     // conservation: every byte lands in exactly one bin
     assert(plan.map(_._4).sum == 40L * 5 + 30 + 250 + 30)
+  }
+
+  test("compact EXECUTES the plan: one file per bin, read-equivalent, clustering preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cex").toString
+    try {
+      val li = graft.checks.CheckDsl.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      Layout.writeClustered(li, s"$tmp/in", "l_orderkey", numFiles = 12)
+      val listing = Layout.listFiles(spark, s"$tmp/in")
+      val nPre = listing.count()
+      assert(nPre == 12, s"expected 12 input files, got $nPre")
+      val stats = listing.agg(sum("bytes").as("tb"), count(lit(1)).as("nf"))
+      val planned = Layout.compactionPlan(
+        listing.crossJoin(broadcast(stats))
+          .withColumn("target", expr("4 * (tb div nf)")).drop("tb", "nf"),
+        col("target"))
+      val nBins = planned.count()
+      assert(nBins > 0 && nBins < nPre, s"degenerate plan: $nBins bins")
+      Layout.compact(spark, s"$tmp/in", s"$tmp/out", planned, "l_orderkey")
+      // one physical file per bin — the merge actually happened
+      val outFiles = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.getName.startsWith("bin=")).toSeq
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(outFiles.size.toLong == nBins &&
+        outFiles.forall(_._2 == 1), s"files per bin: $outFiles")
+      // READ-EQUIVALENCE: the rewritten data is exactly the original
+      val post = spark.read.parquet(s"$tmp/out").drop("bin")
+      assert(post.count() == li.count())
+      assert(post.exceptAll(li).count() == 0 && li.exceptAll(post).count() == 0)
+      // CLUSTERING PRESERVED, physically: per-bin key ranges are pairwise
+      // disjoint (bins pack CONTIGUOUS runs of key-ordered files and the
+      // in-bin sort restores row order, so the clustered layout survives)
+      val ranges = spark.read.parquet(s"$tmp/out")
+        .groupBy("bin").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .orderBy("bin").collect()
+        .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"bin ranges overlap: $hi1 > $lo2 in ${ranges.toSeq}")
+        case _ => ()
+      }
+      // and the pruning the clustered layout bought SURVIVES compaction:
+      // a selective key scan over the compacted files reads a small
+      // fraction of rows (row-group/file stats still tight)
+      val keys = li.agg(min("l_orderkey"), max("l_orderkey")).collect().head
+      val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+      val cut = kLo + (kHi - kLo) / 20 // ~5% of the key range
+      val scan = spark.read.parquet(s"$tmp/out")
+        .filter(col("l_orderkey") >= kLo && col("l_orderkey") <= cut)
+      scan.collect()
+      val scanned = scan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      val total = li.count()
+      assert(scanned * 2 <= total,
+        s"compaction destroyed pruning: scanned $scanned of $total")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
   }
 }

@@ -136,6 +136,30 @@ class PqSpec extends SparkSpec {
     assert(rr >= pq, s"rerank $rr worse than raw ADC $pq")
     assert(rr > 0.0 && rr <= 1.0 && pq >= 0.0)
   }
+  test("PROD config (k=256, 3 Lloyd rounds, depth-100 rerank) meets the 0.8 recall SLA") {
+    // the bar the engine holds BRP to in #19 (VERDICT r9 #1: the k=16
+    // demo defaults measured 0.39 — the prod knobs must clear it, and the
+    // meets_sla column makes the claim hash-checked cross-engine too)
+    val out = graft.checks.Checks.byName("retrieval_recall_pq_prod")
+      .run(spark, sf).collect().head
+    assert(out.getAs[Long]("n_queries") > 0)
+    val rr = out.getAs[Double]("recall_rerank")
+    assert(rr >= out.getAs[Double]("recall_pq"))
+    assert(rr >= 0.8, s"prod PQ recall $rr under the 0.8 SLA")
+    assert(out.getAs[Boolean]("meets_sla"))
+  }
+
+  test("codebooks: extra Lloyd rounds keep shape and never lose cells") {
+    val e = planted
+    val cb3 = PqIndex.codebookArrays(
+      PqIndex.codebooks(e, "vec_id", "v", Dim, trainMod = 2, iters = 3))
+    assert(cb3.length == PqIndex.DefaultSubspaces)
+    assert(cb3.forall(_.length == PqIndex.DefaultCodebookK))
+    // every cell holds a full-width centroid (sample-empty cells inherit
+    // the previous round's centroid, never null)
+    assert(cb3.forall(_.forall(c => c != null && c.length == Dim / 8)))
+  }
+
   test("IVF-PQ refine: recall_rerank >= recall_ivfpq, both within the probe bound") {
     val out = graft.checks.Checks.byName("retrieval_recall_ivfpq_rerank")
       .run(spark, sf).collect().head
