@@ -703,6 +703,45 @@ object OpsTier {
     },
     isScore = false)
 
+  /** The d=3 generalization of zorder_cluster_stats (VERDICT r9 #8 —
+    * Layout.zValueN): three bounded dims (part/supp/orderkey mod 64,
+    * 6 bits each = 18 z-bits), bucketed by the top 6 z-bits, per-bucket
+    * min/max of ALL THREE dims — the hash match pins that every z-bucket
+    * covers a bounded BOX in (x, y, z), the property that lets a
+    * three-predicate scan prune ~the three-factor selectivity product
+    * (LayoutSpec measures the physical pruning on real files; this entry
+    * pins the curve arithmetic cross-engine via zValueNSql).
+    */
+  val zorder3ClusterStats = Check("zorder3_cluster_stats",
+    (spark, dir) => {
+      val l = table(spark, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(64L)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(64L)).cast("long").as("y"),
+        pmod(col("l_orderkey"), lit(64L)).cast("long").as("z"))
+      l.withColumn("zb",
+          shiftright(graft.substrate.Layout.zValueN(
+            Seq(col("x"), col("y"), col("z")), 6), 12).cast("long"))
+        .groupBy("zb").agg(
+          count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("zb")
+    },
+    Some {
+      val zv = graft.substrate.Layout.zValueNSql(Seq("x", "y", "z"), 6)
+      s"""WITH d AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
+         |l_orderkey % 64 AS z FROM lineitem),
+         |zz AS (SELECT x, y, z, ($zv >> 12) AS zb FROM d)
+         |SELECT CAST(zb AS BIGINT) AS zb, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+         |CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+         |CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+         |FROM zz GROUP BY zb ORDER BY zb"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** Compaction planning (substrate.Layout.compactionPlan): the
     * metadata-side half of the small-file problem every partitioned
     * ingest creates — pack each partition's files, in key order, into
@@ -812,5 +851,5 @@ object OpsTier {
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
-    compactionPlan, compactionExecute)
+    zorder3ClusterStats, compactionPlan, compactionExecute)
 }

@@ -281,6 +281,57 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("3-D z-order: box scan prunes ~the three-factor product; d=2 path unchanged") {
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val dirX = java.nio.file.Files.createTempDirectory("graft_x3").toString
+    try {
+      // the interleave's documented bit layout, pinned on known values:
+      // d=2, x=5 (101), y=3 (011) → bits land x→{0,2,4}, y→{1,3,5} →
+      // 0b011011 = 27; d=3, (1,1,1) at 1 bit → 0b111 = 7
+      val zKnown = spark.range(1).select(
+        Layout.zValueN(Seq(lit(5L), lit(3L)), 3).as("z2"),
+        Layout.zValueN(Seq(lit(1L), lit(1L), lit(1L)), 1).as("z3"))
+        .collect().head
+      assert(zKnown.getLong(0) == 27L && zKnown.getLong(1) == 7L)
+
+      spark.conf.set("parquet.block.size", (16 * 1024).toString)
+      // uniform 64x64x64 grid, ~1 point per cell
+      val n = 262144L
+      val df = spark.range(n).select(
+        (col("id") % 64).as("x"), ((col("id") / 64) % 64).as("y"),
+        ((col("id") / 4096) % 64).as("z"), col("id").as("payload"))
+      def rowsScanned(path: String): Long = {
+        val scan = spark.read.parquet(path)
+          .filter(col("x") >= 16 && col("x") < 32 &&
+            col("y") >= 16 && col("y") < 32 &&
+            col("z") >= 16 && col("z") < 32)
+        assert(scan.count() == n / 64) // (1/4)^3 of the grid
+        scan.collect()
+        scan.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.sum
+      }
+      Layout.writeZClusteredN(df, dirZ, Seq("x", "y", "z"), bits = 6,
+        numFiles = 4)
+      Layout.writeClustered(df, dirX, "x", numFiles = 4)
+      val zScan = rowsScanned(dirZ)
+      val xScan = rowsScanned(dirX)
+      // x-sorted prunes its one factor (~1/4); the 3-D curve's row
+      // groups cover small boxes so all THREE predicates prune — demand
+      // a >=4x gap (ideal ~16x) and that the control did its one factor
+      assert(zScan > 0 && zScan * 4 <= xScan,
+        s"3-D z-order scanned $zScan vs single-key $xScan of $n")
+      assert(xScan * 2 <= n,
+        s"single-key control did not prune its own dimension: $xScan")
+    } finally {
+      spark.conf.unset("parquet.block.size")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirZ)).deleteRecursively()
+      new Directory(new java.io.File(dirX)).deleteRecursively()
+    }
+  }
+
   test("compactionPlan: order-preserving bins, never splits a file, oversized files close their bin") {
     import spark.implicits._
     val listing = Seq(
