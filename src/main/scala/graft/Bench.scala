@@ -68,7 +68,10 @@ object Bench {
     // hybrid (both stored-index retrievers under a keep-list), and the
     // compaction rewrite (real file write + merge + read-back)
     "retrieval_recall_pq_prod", "index_refresh_decision",
-    "retrieval_hybrid_filtered", "compaction_execute")
+    "retrieval_hybrid_filtered", "compaction_execute",
+    // r10 late: the streaming drift monitor is stateful (blocking
+    // micro-batch loop) → serial-only, the established treatment
+    "corpus_drift_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -85,7 +88,7 @@ object Bench {
     */
   private val StatefulSet =
     Set("freshness_transitions_stream", "mv_refresh_stream",
-      "inverted_index_stream")
+      "inverted_index_stream", "corpus_drift_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

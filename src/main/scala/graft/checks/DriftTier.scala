@@ -323,6 +323,88 @@ object DriftTier {
     },
     isScore = false)
 
+  /** Bounded driver-side MemoryStream fixture cap (the
+    * inverted_index_stream/IdxStreamCap discipline): only doc_id <
+    * DriftStreamCap rows are collected to feed the test source, so the
+    * fixture boundary is O(cap) at any sf — production reads files or
+    * Kafka and never collects.
+    */
+  private val DriftStreamCap = 400L
+
+  /** STREAMING drift monitoring (the `factors/3-current.md`
+    * infrastructure-enforced shape applied to the monitor itself): the
+    * reference snapshot is batch (even doc_ids); the CURRENT snapshot
+    * arrives as a stream (odd doc_ids under the fixture cap, two
+    * micro-batch waves) and each batch folds its token counts into the
+    * running O(vocab) count state by SUM — the associative-merge form
+    * `Drift.categoricalPsiFromCounts` exists for. The final PSI table is
+    * derived from the folded counts alone; the oracle recomputes the
+    * same PSI from the raw documents in SQL, so the hash match pins
+    * stream-folded counts ≡ batch counts ≡ the monitor's arithmetic,
+    * end-to-end. State is counts, not rows: a 100 TB stream folds into
+    * vocab-sized state per batch, and lineage stays O(1) in the batch
+    * count (eager localCheckpoint per fold, the mergeDelta discipline).
+    * Stateful (blocking micro-batch loop) → benched serial-only.
+    */
+  val corpusDriftStream = Check("corpus_drift_stream",
+    (spark, dir) => {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val d = table(ss, dir, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(tokens(col("text"))).as("token"))
+      val refCounts = toks(d.filter(col("doc_id") % 2 === 0))
+        .groupBy(col("token").as("key")).agg(count(lit(1)).as("n_ref"))
+      val streamed = col("doc_id") % 2 === 1 && col("doc_id") < DriftStreamCap
+      def wave(m: Int): Seq[String] =
+        d.filter(streamed && col("doc_id") % 4 === (2 * m + 1))
+          .select(col("text")).as[String].collect().toSeq
+      var curCounts = ss.emptyDataset[(String, Long)]
+        .toDF("key", "n_cur")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val q = input.toDF().toDF("text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bc = toks(batch)
+            .groupBy(col("token").as("key"))
+            .agg(count(lit(1)).as("n_cur"))
+          curCounts = curCounts.unionByName(bc)
+            .groupBy("key").agg(sum("n_cur").as("n_cur"))
+            .localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { texts =>
+          input.addData(texts); q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.substrate.Drift.categoricalPsiFromCounts(refCounts, curCounts)
+        .withColumnRenamed("key", "token")
+        .orderBy("token")
+    },
+    Some(
+      s"""WITH rtoks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |FROM documents WHERE doc_id % 2 = 0),
+         |ctoks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |FROM documents WHERE doc_id % 2 = 1 AND doc_id < $DriftStreamCap),
+         |rc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rtoks GROUP BY 1),
+         |cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_cur FROM ctoks GROUP BY 1),
+         |unioned AS (SELECT token, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |FROM rc FULL JOIN cc USING (token)),
+         |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur, COUNT(*) AS v FROM unioned)
+         |SELECT token, n_ref, n_cur,
+         |(n_ref + 1.0) / (t_ref + v) AS p_ref,
+         |(n_cur + 1.0) / (t_cur + v) AS p_cur,
+         |((n_cur + 1.0) / (t_cur + v) - (n_ref + 1.0) / (t_ref + v))
+         |* ln(((n_cur + 1.0) / (t_cur + v)) / ((n_ref + 1.0) / (t_ref + v))) AS contrib
+         |FROM unioned, tot ORDER BY token"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
-    numericDriftPsi, distributionCurrency, indexRefreshDecision)
+    numericDriftPsi, distributionCurrency, indexRefreshDecision,
+    corpusDriftStream)
 }

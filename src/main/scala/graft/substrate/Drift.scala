@@ -47,11 +47,21 @@ object Drift {
     * Output: (key, n_ref, n_cur, p_ref, p_cur, contrib).
     */
   def categoricalPsi(ref: DataFrame, cur: DataFrame,
-      keyCol: String): DataFrame = {
-    val rc = ref.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n_ref"))
-    val cc = cur.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n_cur"))
+      keyCol: String): DataFrame =
+    categoricalPsiFromCounts(
+      ref.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_ref")),
+      cur.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_cur")))
+
+  /** [[categoricalPsi]] from pre-aggregated COUNT tables — the mergeable
+    * form a production monitor actually maintains: per-category counts
+    * are associative state (a streaming fold or a per-partition rollup
+    * merges by SUM), so the monitor never rescans observations — it
+    * folds deltas into O(vocab) state and re-derives the PSI arithmetic
+    * from the counts alone (`corpus_drift_stream` pins stream-folded ≡
+    * batch counts cross-engine). `rc` is (key, n_ref), `cc` (key,
+    * n_cur).
+    */
+  def categoricalPsiFromCounts(rc: DataFrame, cc: DataFrame): DataFrame = {
     val full = rc.join(cc, Seq("key"), "full_outer")
       .select(col("key"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

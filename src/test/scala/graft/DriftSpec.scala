@@ -109,6 +109,27 @@ class DriftSpec extends SparkSpec {
     out
   }
 
+  test("categoricalPsiFromCounts: merged partial counts == one-shot observation PSI") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val cur = Seq("a", "b", "b", "b", "d").toDF("k")
+    val oneShot = Drift.categoricalPsi(ref, cur, "k")
+      .orderBy("key").collect().map(_.toSeq)
+    // the same cur observations split into two "micro-batches", counted
+    // per batch and merged by SUM — the associative state a streaming
+    // fold maintains
+    val b1 = Seq("a", "b").toDF("k").groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n_cur"))
+    val b2 = Seq("b", "b", "d").toDF("k").groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n_cur"))
+    val merged = b1.unionByName(b2).groupBy("key")
+      .agg(sum("n_cur").as("n_cur"))
+    val rc = ref.groupBy(col("k").as("key")).agg(count(lit(1)).as("n_ref"))
+    val folded = Drift.categoricalPsiFromCounts(rc, merged)
+      .orderBy("key").collect().map(_.toSeq)
+    assert(folded.toSeq == oneShot.toSeq)
+  }
+
   test("refresh loop, planted drift: trigger fires AND the aged codebook's recall decay is real") {
     val (shift, aged, fresh) = refreshLoop(0.6)
     assert(shift > Drift.MeanShiftBar, s"monitor missed the planted shift: $shift")
