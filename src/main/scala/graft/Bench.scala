@@ -224,8 +224,7 @@ object Bench {
     // their serial walls carry post-suite JVM state — comparable only to
     // themselves, so they're emitted under their OWN key (serial_extra),
     // never mixed into serial_top's quiet-JVM numbers (ADVICE r4). Capped
-    // at 8: the stdout JSON must stay well inside the driver's 2000-char
-    // capture window with the 16-entry pinned set alongside.
+    // at 8 (stdout budget; the complete record goes to BENCH_FULL.json).
     val extraSerial = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map(_._1).filterNot(serialNames.contains).take(8).map(timed)
 

@@ -221,7 +221,7 @@ object Checks {
 
   /** EP1 assessment endpoints, oracle-checked via the composed scorecard
     * SQL above — for BOTH workloads the reference defines
-    * (`definitions.md:35-39`). Training composes 39 oracled checks;
+    * (`definitions.md:35-39`). Training composes 40 oracled checks (39 reference + distribution_currency);
     * Serving composes its applicable set too now that #19
     * (retrieval_recall_compliance, serving-only) carries the deterministic
     * BRP oracle (VERDICT r3 #4/#6). BOTH scorecards (and the rollups) stay
@@ -302,7 +302,7 @@ object Checks {
     * whose band algebra is witnessed by portable-md5 twins.
     */
   object Counts {
-    val total = 175
+    val total = 176
     val rowsOnlyNames = Set("dedup_minhash_lsh", "dedup_incremental_prod")
     val rowsOnly = rowsOnlyNames.size
     val oracled = total - rowsOnly

@@ -1263,9 +1263,74 @@ object VectorTier {
     },
     isScore = false)
 
+  /** The recall-vs-probe-budget SWEEP over one stored IVF index
+    * (`requirements.yaml:82-84` scores "recall at required latency" —
+    * which is a KNOB, not a constant: nProbe trades scanned candidates
+    * for recall, and the ops runbook needs the measured curve to pick
+    * it). One entry, four rows (nProbe ∈ {2,4,8,16}), all probing the
+    * SAME assignAuto artifact (session-memoized — the index is built
+    * once; only the probe list widens, exactly how a deployed index
+    * serves different latency tiers). On this isotropic corpus the curve
+    * is the cell-pruning ceiling rising with probes (the documented
+    * curse-of-dimensionality bound — real neighbor-structured corpora
+    * start higher and saturate sooner); the oracle re-derives every
+    * probed ranking from raw parquet, so the hash match pins the whole
+    * curve cross-engine.
+    */
+  val retrievalRecallIvfProbes = Check("retrieval_recall_ivf_probes",
+    (spark, dir) => {
+      val e = embeddingsD(spark, dir)
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = exactEuclideanTopK(spark, dir, K)
+      val nq = exact.select("qid").distinct().agg(count(lit(1)).as("n_queries"))
+      Seq(2, 4, 8, 16).map { np =>
+        val approx = graft.substrate.IvfIndex
+          .topK(e, q, centroidMod = 23, k = K, nProbe = np)
+          .select("qid", "cid")
+        val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        nq.crossJoin(hits).select(lit(np.toLong).as("n_probe"),
+          col("n_queries"),
+          (col("hits").cast("double") / (col("n_queries") * K))
+            .as("avg_recall"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    },
+    Some {
+      val probeRanks = Seq(2, 4, 8, 16).map { np =>
+        s"""r$np AS (SELECT qid, cid FROM (SELECT qid, cid,
+           |row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
+           |FROM candp WHERE rn <= $np) WHERE rank <= $K)"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val rows = Seq(2, 4, 8, 16).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS n_probe,
+           |(SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+           |CAST((SELECT COUNT(*) FROM exact JOIN r$np USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS avg_recall"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QuerySampleMod = 0),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM q, e c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |${assignAutoCtes("e", 23, 4)},
+         |probes AS (SELECT qid, qv, cell, rn FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM q, cents c) WHERE rn <= 16),
+         |candp AS (SELECT p.qid, p.rn, a.vec_id AS cid, list_distance(p.qv, a.v) AS d
+         |FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.vec_id <> p.qid),
+         |$probeRanks
+         |SELECT * FROM ($rows) ORDER BY n_probe"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
-    retrievalRecallIvf,
+    retrievalRecallIvf, retrievalRecallIvfProbes,
     neardupCosineLsh, neardupCosineTopk, neardupCosineSharded,
     dedupClusters, dedupRetain, dedupRetainSharded, dedupSemantic,
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,

@@ -195,4 +195,19 @@ class IvfSpec extends SparkSpec {
         s"copy of ${vid - 1000000L} routed to $cell, original in ${viaAuto(vid - 1000000L)}")
     }
   }
+
+  test("probe-budget sweep: recall is monotone in nProbe (the knob curve is real)") {
+    // widening the probe set only ADDS candidates, so recall@k cannot
+    // fall — the property that makes nProbe a safe latency/recall dial
+    val rows = graft.checks.Checks.byName("retrieval_recall_ivf_probes")
+      .run(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_probe") -> r.getAs[Double]("avg_recall"))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    rows.sliding(2).foreach {
+      case Array((_, r1), (np, r2)) =>
+        assert(r2 >= r1, s"recall fell at nProbe=$np: $r1 -> $r2")
+      case _ => ()
+    }
+  }
 }
