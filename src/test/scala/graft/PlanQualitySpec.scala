@@ -357,4 +357,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(readSchemas.forall(l => !l.contains("text")),
       s"mix decision scans text: $readSchemas")
   }
+
+  test("ADC scan (k=256 prod): LUT table broadcasts onto the exploded codes, no product") {
+    import spark.implicits._
+    val e = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j).toDouble % 11)))
+      .toDF("vec_id", "v")
+    val cb = graft.substrate.PqIndex.codebookArrays(
+      graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 8,
+        m = 4, k = 256, trainMod = 1, iters = 2), m = 4, k = 256)
+    val codes = graft.substrate.PqIndex.encode(e, "vec_id", "v", cb, dim = 8)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = graft.substrate.PqIndex.topK(codes, q, "qid", "qv", cb,
+      dim = 8, topK = 3)
+    val plan = planOf(res)
+    // the m·k-per-query LUT is the BOUNDED side — it must broadcast onto
+    // the exploded code scan as a hash equi-join (the shape that keeps
+    // per-candidate cost m lookups and row width constant in k); a
+    // product or a shuffled join here is the r10 debut regression
+    assert(!plan.contains("CartesianProduct"), s"product in ADC scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"LUT not broadcast:\n$plan")
+    // ...and the final ranking stays per-query, never a global window
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("Window"))
+        .forall(_.contains("qid")), s"global window in ADC rank:\n$plan")
+  }
+
+  test("filtered hybrid: the keep-list semi-joins BOTH retrievers, no product") {
+    val res = graft.checks.Checks.byName("retrieval_hybrid_filtered")
+      .run(spark, sf)
+    val plan = planOf(res)
+    assert(!plan.contains("CartesianProduct"),
+      s"product in filtered hybrid:\n$plan")
+    // two LeftSemi positions: the BM25 postings restriction and the
+    // probed-cell ANN restriction — the property the oracle pins
+    // semantically, gated here physically
+    val semis = plan.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected >=2 semi joins (lex + sem), got $semis:\n$plan")
+  }
 }
