@@ -71,7 +71,11 @@ object Bench {
     "retrieval_hybrid_filtered", "compaction_execute",
     // r10 late: the streaming drift monitor is stateful (blocking
     // micro-batch loop) → serial-only, the established treatment
-    "corpus_drift_stream")
+    "corpus_drift_stream",
+    // r10 late: the probe sweep runs FOUR probed scans + the exact
+    // oracle (its sibling retrieval_recall_ivf is pinned) — pinned on
+    // debut so it never surfaces as a serial_extra straggler
+    "retrieval_recall_ivf_probes")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -231,8 +235,8 @@ object Bench {
     // Budget discipline for the stdout JSON: the round driver captures
     // only the LAST 2000 chars of stdout, and a line longer than that
     // clips at its HEAD — losing `value` itself (round 1's ~2900-char
-    // line parsed as null). The 43-entry pinned serial set would alone
-    // cost ~1300 chars, so the COMPLETE per-query record (all concurrent
+    // line parsed as null). The ~50-entry pinned serial set would alone
+    // cost ~1500 chars, so the COMPLETE per-query record (all concurrent
     // walls + every serial median) now goes to BENCH_FULL.json in the
     // working directory (one write per run, overwritten — BENCH_NOTES.md
     // quotes it per round), and stdout carries the summary + the 8

@@ -205,6 +205,16 @@ object Layout {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // ONE partition per call — the scope of `inPath` itself. compactionPlan
+    // emits per-part bin ids that each start at 0, so a multi-part plan
+    // would collide on bin=N output paths and the single-directory file
+    // match below would cross partition boundaries; a multi-partition
+    // compactor drives one compact() per partition directory, exactly how
+    // table-format OPTIMIZE schedules per-partition rewrite tasks. Fail
+    // loudly rather than silently overwrite (code-review r10).
+    val parts = plan.select("part").distinct().collect().map(_.getString(0))
+    require(parts.length <= 1,
+      s"compact() is per-partition (one inPath): plan spans ${parts.length} parts — call once per partition directory")
     // (bin, first_file, last_file) rows; files of a bin are the listing
     // names in [first_file, last_file] — contiguous by construction of
     // the plan's file-order running sum

@@ -47,7 +47,7 @@ object PqIndex {
     * training (this corpus is far below the ~tens·k-per-subspace sample
     * floor that would justify sampling; at 100 TB trainMod returns as the
     * O(sample) knob), 3 Lloyd rounds, and depth-100 rerank the measured
-    * recall@10 at sf0.1 is 0.92 (`retrieval_recall_pq_prod`) — the knob
+    * recall@10 at sf0.1 is 0.93 (`retrieval_recall_pq_prod`) — the knob
     * tradeoff is tabulated in SCALE.md.
     */
   val ProdCodebookK = 256
@@ -146,31 +146,6 @@ object PqIndex {
     out
   }
 
-  private def litVec(xs: Array[Double]): Column = array(xs.map(lit): _*)
-
-  /** Per-subspace distance array to every centroid — all map-side, the
-    * codebook rides in as literals. Two plan shapes by codebook size:
-    * k ≤ 32 unrolls one native codegen'd ArraySqDist per centroid (the
-    * widest whole-stage-codegen form — 8·16 = 128 expressions at the
-    * defaults); larger k (the k=256 production codebooks) would put
-    * m·k = 2048 expression trees in one projection — Janino-hostile and
-    * slow to analyze — so it switches to ONE nested-literal array of the
-    * k centroids folded by a transform HOF (a single data-driven
-    * expression evaluating the same ArraySqDist per element; identical
-    * arithmetic, plan size O(m) instead of O(m·k)). Used by [[encode]]
-    * only; the query-side lookup tables go through [[lutAdcTable]]'s
-    * row-table join instead (k=256 literals cost more in Catalyst tree
-    * passes than the arithmetic they fold).
-    */
-  private[substrate] def distsCol(v: Column, cb: Array[Array[Array[Double]]],
-      s: Int, sd: Int): Column =
-    if (cb(s).length <= 32)
-      array(cb(s).indices.map(c =>
-        VectorOps.sqDist(slice(v, s * sd + 1, sd), litVec(cb(s)(c)))): _*)
-    else
-      transform(array(cb(s).map(litVec): _*),
-        c => VectorOps.sqDist(slice(v, s * sd + 1, sd), c))
-
   /** Encode the corpus: (vec_id, codes) with codes(s) = the 0-based index
     * of the nearest sub-centroid (ties → smallest cid — the first-match
     * convention the oracle's (distance, cid) row_number reproduces). A
@@ -221,7 +196,7 @@ object PqIndex {
   }
 
   /** ADC (asymmetric distance computation) top-k: each query precomputes
-    * its [[lutTable]] of exact subspace distances to the codebook
+    * its [[lutAdcTable]] of exact subspace distances to the codebook
     * (broadcast — m·k rows per query, never O(n)), and the scan EXPLODES
     * the corpus codes to (vec_id, sub, code) and equi-joins on
     * (sub, code): approximate distance = the (qid, vec_id) sum of the m

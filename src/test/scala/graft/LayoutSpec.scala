@@ -358,6 +358,20 @@ class LayoutSpec extends SparkSpec {
     assert(plan.map(_._4).sum == 40L * 5 + 30 + 250 + 30)
   }
 
+  test("compact refuses a multi-partition plan (per-part bin ids would collide)") {
+    import spark.implicits._
+    // two parts, each with bin 0 — executing this against ONE inPath
+    // would overwrite bin=00000 twice (code-review r10); the contract is
+    // one compact() per partition directory
+    val plan = Seq(("a", 0L, 2L, 100L, "f1", "f2"),
+        ("b", 0L, 2L, 100L, "g1", "g2"))
+      .toDF("part", "bin", "n_files", "total_bytes", "first_file", "last_file")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/nonexistent", "/nonexistent-out", plan, "k")
+    }
+    assert(e.getMessage.contains("per-partition"))
+  }
+
   test("compact EXECUTES the plan: one file per bin, read-equivalent, clustering preserved") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cex").toString
     try {
