@@ -214,9 +214,15 @@ object DriftTier {
     * recall collapse (shifted subvectors fall outside the aged
     * codebook's coverage, so every delta vector quantizes to the same
     * few edge cells and ADC loses the neighborhood) — while the no-drift
-    * control shows aged ≈ fresh (RefreshSpec pins both). The hash match
-    * reproduces the monitor arithmetic, the decision, both codebook
-    * trainings, and both recall measurements cross-engine.
+    * control shows aged ≈ fresh (DriftSpec pins both). Codebooks here
+    * train at ONE Lloyd round, not ProdLloydIters: the staleness
+    * comparison is aged-vs-fresh at EQUAL budget, the decay ratio is
+    * round-insensitive (prototyped at 3 rounds: 0.06 vs 0.35, same
+    * ~6×), and extra rounds buy SLA recall — a different claim, carried
+    * by retrieval_recall_pq_prod — at double this entry's two-training
+    * cost. The hash match reproduces the monitor arithmetic, the
+    * decision, both codebook trainings, and both recall measurements
+    * cross-engine.
     *
     * Scale shape: the monitor is the O(dim) keyed aggregate above; each
     * codebook training is the bounded O(sample) Lloyd pass; re-encoding

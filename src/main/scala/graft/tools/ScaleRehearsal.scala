@@ -396,7 +396,13 @@ object ScaleRehearsal {
       Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
           (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
         val s = measured("pq encode codes (map-side only)", sc, n) {
-          PqIndex.encode(e, "vec_id", "v", pqCb, dim = 64).count()
+          // FORCE the codes column: .count() lets Spark prune the encode
+          // projection entirely (the wall would measure a columnless scan
+          // — the r10 profiling trap); summing one code element evaluates
+          // the native PqEncode per row
+          PqIndex.encode(e, "vec_id", "v", pqCb, dim = 64)
+            .agg(count(lit(1)), sum(element_at(col("codes"), 1)))
+            .collect().head.getLong(0)
         }
         samples += s.copy(showRate = false)
       }
@@ -419,7 +425,9 @@ object ScaleRehearsal {
       Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
           (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
         val s = measured("pq encode codes PROD k=256 (map-side only)", sc, n) {
-          PqIndex.encode(e, "vec_id", "v", pqCb256, dim = 64).count()
+          PqIndex.encode(e, "vec_id", "v", pqCb256, dim = 64)
+            .agg(count(lit(1)), sum(element_at(col("codes"), 1)))
+            .collect().head.getLong(0)
         }
         samples += s.copy(showRate = false)
       }
