@@ -75,7 +75,9 @@ object Bench {
     // r10 late: the probe sweep runs FOUR probed scans + the exact
     // oracle (its sibling retrieval_recall_ivf is pinned) — pinned on
     // debut so it never surfaces as a serial_extra straggler
-    "retrieval_recall_ivf_probes")
+    "retrieval_recall_ivf_probes",
+    // r10 late: stateful (blocking micro-batch loop) → serial-only
+    "embedding_drift_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -92,7 +94,8 @@ object Bench {
     */
   private val StatefulSet =
     Set("freshness_transitions_stream", "mv_refresh_stream",
-      "inverted_index_stream", "corpus_drift_stream")
+      "inverted_index_stream", "corpus_drift_stream",
+      "embedding_drift_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

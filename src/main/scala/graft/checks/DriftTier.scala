@@ -410,7 +410,66 @@ object DriftTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The mean-shift monitor in STREAMING form — the continuous-state
+    * sibling of [[corpusDriftStream]] with a different merge algebra:
+    * means are NOT associative, so the folded state is the per-dim
+    * sufficient statistics (Σx, n — `Drift.embeddingMoments`), merged by
+    * SUM per micro-batch, and the means derive only at read time
+    * (`embeddingMeanShiftFromMoments`). The current snapshot streams
+    * (odd vec_ids under the fixture cap, two waves); the oracle
+    * recomputes per-dim means from raw parquet, so the hash match pins
+    * stream-folded moments ≡ batch ≡ the monitor arithmetic. State is
+    * O(dim) at any corpus size; stateful → serial-only bench.
+    */
+  val embeddingDriftStream = Check("embedding_drift_stream",
+    (spark, dir) => {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val e = table(ss, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      val refM = graft.substrate.Drift
+        .embeddingMoments(e.filter(col("vec_id") % 2 === 0), "v")
+      val streamed = col("vec_id") % 2 === 1 && col("vec_id") < DriftStreamCap
+      def wave(m: Int): Seq[Seq[Double]] =
+        e.filter(streamed && col("vec_id") % 4 === (2 * m + 1))
+          .select(col("v")).as[Seq[Double]].collect().toSeq
+      var curM = ss.emptyDataset[(Long, Double, Long)]
+        .toDF("dim", "sx", "n")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Seq[Double]]
+      val q = input.toDF().toDF("v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          curM = curM
+            .unionByName(graft.substrate.Drift.embeddingMoments(batch, "v"))
+            .groupBy("dim").agg(sum("sx").as("sx"), sum("n").as("n"))
+            .localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { vs =>
+          input.addData(vs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.substrate.Drift.embeddingMeanShiftFromMoments(refM, curM)
+        .orderBy("dim")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |r AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim, unnest(v) AS x
+         |FROM e WHERE vec_id % 2 = 0),
+         |c AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim, unnest(v) AS x
+         |FROM e WHERE vec_id % 2 = 1 AND vec_id < $DriftStreamCap),
+         |rm AS (SELECT dim, AVG(x) AS mean_ref FROM r GROUP BY dim),
+         |cm AS (SELECT dim, AVG(x) AS mean_cur FROM c GROUP BY dim)
+         |SELECT dim, mean_ref, mean_cur, abs(mean_cur - mean_ref) AS abs_shift
+         |FROM rm JOIN cm USING (dim) ORDER BY dim"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
     numericDriftPsi, distributionCurrency, indexRefreshDecision,
-    corpusDriftStream)
+    corpusDriftStream, embeddingDriftStream)
 }

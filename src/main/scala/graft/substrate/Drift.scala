@@ -133,4 +133,32 @@ object Drift {
       .select(col("dim"), col("mean_ref"), col("mean_cur"),
         abs(col("mean_cur") - col("mean_ref")).as("abs_shift"))
   }
+
+  /** Per-dimension moment state of an embedding snapshot — (dim, sx, n)
+    * with sx = Σx. The SUFFICIENT-STATISTIC form of the mean monitor:
+    * unlike a mean, moments are associative (two batches' states merge
+    * by plain SUM), so a streaming fold or a per-shard rollup maintains
+    * O(dim) state without rescanning vectors — the counts-table twin of
+    * [[categoricalPsiFromCounts]] for continuous state.
+    */
+  def embeddingMoments(df: DataFrame, vCol: String): DataFrame =
+    df.select(posexplode(col(vCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("dim").cast("long").as("dim"), col("sx"), col("n"))
+
+  /** [[embeddingMeanShift]] from pre-aggregated moment tables (each
+    * (dim, sx, n)) — means derive at READ time (sx/n), so the monitor's
+    * stored state stays mergeable all the way to the comparison
+    * (`embedding_drift_stream` pins stream-folded moments ≡ batch).
+    * Divide-by-n matches avg's arithmetic only when every row
+    * contributed exactly one x per dim — which posexplode guarantees.
+    */
+  def embeddingMeanShiftFromMoments(refM: DataFrame,
+      curM: DataFrame): DataFrame = {
+    val r = refM.select(col("dim"), (col("sx") / col("n")).as("mean_ref"))
+    val c = curM.select(col("dim"), (col("sx") / col("n")).as("mean_cur"))
+    r.join(c, Seq("dim"))
+      .select(col("dim"), col("mean_ref"), col("mean_cur"),
+        abs(col("mean_cur") - col("mean_ref")).as("abs_shift"))
+  }
 }

@@ -130,6 +130,28 @@ class DriftSpec extends SparkSpec {
     assert(folded.toSeq == oneShot.toSeq)
   }
 
+  test("embeddingMeanShiftFromMoments: merged batch moments == one-shot mean shift") {
+    import spark.implicits._
+    val ref = Seq(Tuple1(Seq(0.0, 2.0)), Tuple1(Seq(2.0, 2.0))).toDF("v")
+    val cur = Seq(Tuple1(Seq(1.0, 0.0)), Tuple1(Seq(3.0, 0.0)),
+      Tuple1(Seq(5.0, 3.0))).toDF("v")
+    val oneShot = Drift.embeddingMeanShift(ref, cur, "v")
+      .orderBy("dim").as[(Long, Double, Double, Double)].collect().toSeq
+    // cur split into two "micro-batches", moments merged by SUM — the
+    // sufficient-statistic state a streaming fold maintains (means are
+    // NOT associative; sums and counts are)
+    val b1 = Drift.embeddingMoments(
+      Seq(Tuple1(Seq(1.0, 0.0))).toDF("v"), "v")
+    val b2 = Drift.embeddingMoments(
+      Seq(Tuple1(Seq(3.0, 0.0)), Tuple1(Seq(5.0, 3.0))).toDF("v"), "v")
+    val merged = b1.unionByName(b2).groupBy("dim")
+      .agg(sum("sx").as("sx"), sum("n").as("n"))
+    val folded = Drift.embeddingMeanShiftFromMoments(
+        Drift.embeddingMoments(ref, "v"), merged)
+      .orderBy("dim").as[(Long, Double, Double, Double)].collect().toSeq
+    assert(folded == oneShot)
+  }
+
   test("refresh loop, planted drift: trigger fires AND the aged codebook's recall decay is real") {
     val (shift, aged, fresh) = refreshLoop(0.6)
     assert(shift > Drift.MeanShiftBar, s"monitor missed the planted shift: $shift")
