@@ -77,7 +77,17 @@ object Bench {
     // debut so it never surfaces as a serial_extra straggler
     "retrieval_recall_ivf_probes",
     // r10 late: stateful (blocking micro-batch loop) → serial-only
-    "embedding_drift_stream")
+    "embedding_drift_stream",
+    // r11: promoted per VERDICT r10 #2 — 6.4x concurrent/serial under
+    // contention in the driver's r10 artifact; the promote-on-straggler
+    // policy pins it so serial_extra ships empty in the DRIVER's run too
+    "mv_incremental_refresh_minmax",
+    // r11 debut heavies, pinned immediately (the r9/r10 precedent): the
+    // deployed residual IVF-PQ recall row (planted corpus + assignAuto +
+    // k=256 residual codebook + probed ADC + depth-100 rerank + exact
+    // oracle) and the drift→refresh EXECUTE loop (three codebook
+    // trainings across its two scenarios + two exact oracles)
+    "retrieval_recall_ivfpq_prod", "index_refresh_execute")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -207,8 +217,25 @@ object Bench {
     // 8-wide 30.6 s with ratios blowing past the 4x gate (4.5x) — 6 is
     // the knee, adopted as the default (3·cpus/16). SPARK_GRAFT_POOL
     // overrides for regime experiments (BENCH_NOTES r9).
+    // Load-derate (VERDICT r10 next #7): the r10 driver run's 6.2x
+    // concurrent/serial ratios were pure box load (quiet-box control of
+    // the same commit: 1.8x). When the 1-min load average at launch
+    // already exceeds 1.5x the PHYSICAL cores, adding 6 concurrent
+    // queries just multiplies queueing delay into every wall — halve the
+    // width so the 4x inflation gate keeps meaning on a loaded box. An
+    // explicit SPARK_GRAFT_POOL always wins (regime experiments).
+    val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+    val physCores = Runtime.getRuntime.availableProcessors()
+    val basePool = math.max(2, cpus.toInt * 3 / 16)
     val poolWidth = sys.env.get("SPARK_GRAFT_POOL").map(_.toInt)
-      .getOrElse(math.max(2, cpus.toInt * 3 / 16))
+      .getOrElse {
+        if (load1 > 1.5 * physCores) {
+          System.err.println(f"[bench] load1=$load1%.1f > 1.5x$physCores cores — derating pool $basePool -> ${math.max(2, basePool / 2)}")
+          math.max(2, basePool / 2)
+        } else basePool
+      }
     val pool = Executors.newFixedThreadPool(poolWidth)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val suiteT0 = System.nanoTime()
@@ -264,8 +291,12 @@ object Bench {
     // stateful entries benched serially (their medians are in serial_top)
     val nQueries = results.size + statefulBenched.size
     val summary = (extra: String) =>
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,$extra"serial_extra":${obj(extraSerial)},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},$extra"serial_extra":${obj(extraSerial)},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // full record path: env-overridable (ADVICE r10 — the bare relative
+    // path scattered the artifact when launched outside the repo root and
+    // let two concurrent runs in one checkout overwrite each other)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
       summary(s""""queries":${obj(results.sortBy(-_._2))},"serial_top":${obj(serialTop)},"""))
     println(summary(s""""queries":$slowest,"serial_top":$serialSlowest,"""))
     spark.stop()

@@ -90,13 +90,24 @@ object Assessor {
       val r = meta(key)
       val threshold = Thresholds.forReq(key, workload)
       (key, r.factor.id, r.factor.name, workload.name, value, threshold,
-        value >= threshold)
+        value >= threshold, Registry.extensionKeys.contains(key))
     }
     spark.createDataFrame(out)
       .toDF("requirement", "factor", "factor_name", "workload", "value",
-        "threshold", "passed")
+        "threshold", "passed", "extension")
       .orderBy("factor", "requirement")
   }
+
+  /** The REFERENCE-comparable rollup (ADVICE r10): same arithmetic as
+    * [[factorRollup]] over the 48 reference requirements ONLY — the
+    * engine-defined extension rows are excluded via the scorecard's
+    * `extension` tag, so the fractions use the pure-48 denominator a
+    * reference implementation would report and stay numerically
+    * comparable across frameworks.
+    */
+  def factorRollupReference(spark: SparkSession, dir: String,
+      workload: Workload): DataFrame =
+    rollupOf(scorecard(spark, dir, workload).filter(!col("extension")))
 
   /** Factor rollup: avg score + pass fraction per factor (the dashboard
     * row contract, `README.md:45`).

@@ -329,6 +329,145 @@ object DriftTier {
     },
     isScore = false)
 
+  /** The refresh EXECUTED, not just decided (VERDICT r10 next #3 /
+    * what's-missing #2 — `index_refresh_decision` measured what
+    * staleness costs; this entry pins the full decide→ACT→recover loop
+    * via substrate.IndexRefresh.refreshIfDrifted): TWO scenarios over
+    * the same fixture geometry (delta = vec_id % 4 == 3 shifted by
+    * +shift per dimension), one DRIFTED (shift 0.6 — the monitor fires,
+    * the operator re-trains the codebook on the CURRENT population and
+    * re-encodes) and one STABLE (shift 0.02 — below the 0.1 bar, the
+    * operator must NOT act and keeps serving the aged artifact; a loop
+    * that always retrains is a timer, not a monitor, and at 100 TB the
+    * gated re-encode is the corpus-linear cost the gate exists for).
+    * Output per scenario: the measured mean_shift, the bar, the
+    * decision, recall_aged (before acting) and recall_post (what the
+    * serving index measures AFTER the loop ran), and recovered =
+    * recall_post ≥ recall_aged. The oracle recomputes BOTH codebooks
+    * per scenario and selects recall_post with the same
+    * mean_shift-vs-bar CASE, so the hash match pins the decision, the
+    * action, and the recovery, jointly. Queries sample the drifted
+    * region (vec_id % 100 == 3 ⊂ delta) — where the aged codebook
+    * decays (r10 measured 0.055 aged vs 0.315 fresh) and the refresh
+    * must recover. Three bounded codebook trainings total (aged ×2
+    * scenarios + fresh for the drifted one — the stable path trains no
+    * second codebook: that is the point).
+    */
+  val indexRefreshExecute = Check("index_refresh_execute",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.substrate.{Drift, IndexRefresh, PqIndex}
+      import graft.substrate.VectorOps.sqDist
+      val K = 10
+      val e = table(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      def scenario(name: String, shift: Double) = {
+        // eager localCheckpoint: three codebook trainings + two encodes
+        // + the exact oracle all re-consume this corpus; without it each
+        // training round's driver action replays the scan+transform
+        // lineage. Bounded: n×(id, 64 doubles, bool) ≈ 1 MB at sf0.1.
+        val corpus = e.select(col("vec_id"),
+          when(col("vec_id") % 4 === 3,
+            transform(col("v"), x => x + lit(shift)))
+            .otherwise(col("v")).as("v"),
+          (col("vec_id") % 4 === 3).as("is_delta"))
+          .localCheckpoint(true)
+        val base = corpus.filter(!col("is_delta")).select("vec_id", "v")
+        val delta = corpus.filter(col("is_delta")).select("vec_id", "v")
+        val full = corpus.select("vec_id", "v")
+        val (ms, refresh, cbAged, cbServing) = IndexRefresh
+          .refreshIfDrifted(base, delta, full, "vec_id", "v", dim = 64)
+        val q = corpus.filter(col("vec_id") % 100 === 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val exact = broadcast(q).crossJoin(full)
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            sqDist(col("qv"), col("v")).as("d2"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
+          .filter(col("rank") <= K).select("qid", "cid")
+        def hits(cb: Array[Array[Array[Double]]], out: String) = {
+          val codes = PqIndex.encode(full, "vec_id", "v", cb, dim = 64)
+          val approx = PqIndex.topK(codes, q, "qid", "qv", cb, dim = 64,
+            topK = K).select("qid", "cid")
+          exact.join(approx, Seq("qid", "cid"), "left_semi")
+            .agg(count(lit(1)).as(out))
+        }
+        val nq = exact.select("qid").distinct()
+          .agg(count(lit(1)).as("n_queries"))
+        nq.crossJoin(hits(cbAged, "h_aged"))
+          .crossJoin(hits(cbServing, "h_post"))
+          .select(lit(name).as("scenario"), col("n_queries"),
+            lit(ms).as("mean_shift"),
+            lit(Drift.MeanShiftBar).as("drift_bar"),
+            lit(refresh).as("refresh"),
+            (col("h_aged").cast("double") / (col("n_queries") * K))
+              .as("recall_aged"),
+            (col("h_post").cast("double") / (col("n_queries") * K))
+              .as("recall_post"))
+          .withColumn("recovered", col("recall_post") >= col("recall_aged"))
+      }
+      scenario("drifted", 0.6).unionByName(scenario("stable", 0.02))
+        .orderBy("scenario")
+    },
+    Some {
+      import graft.substrate.{Drift, PqIndex}
+      val K = 10
+      def block(p: String, shift: Double): String = {
+        val pq = (pp: String, ts: Option[String]) =>
+          VectorTier.pqCodeCtesCfg(s"${p}corpus", m = 8,
+            k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod,
+            iters = 1, prefix = pp, trainSrc = ts,
+            qWhere = Some("t.vec_id % 100 = 3"))
+        s"""${p}corpus AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
+           |THEN list_transform(v, x -> x + $shift) ELSE v END AS v,
+           |vec_id % 4 = 3 AS is_delta FROM e),
+           |${p}bsrc AS (SELECT vec_id, v FROM ${p}corpus WHERE NOT is_delta),
+           |${p}rmeans AS (SELECT dim, AVG(x) AS mr FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ${p}corpus WHERE NOT is_delta) GROUP BY dim),
+           |${p}cmeans AS (SELECT dim, AVG(x) AS mc FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ${p}corpus WHERE is_delta) GROUP BY dim),
+           |${p}ms AS (SELECT AVG(abs(mc - mr)) AS ms FROM ${p}rmeans JOIN ${p}cmeans USING (dim)),
+           |${p}qs AS (SELECT vec_id AS qid, v AS qv FROM ${p}corpus WHERE vec_id % 100 = 3),
+           |${p}exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+           |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+           |FROM ${p}qs q, ${p}corpus c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+           |${pq(s"${p}a_", Some(s"${p}bsrc"))},
+           |${pq(s"${p}f_", None)},
+           |${p}a_adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+           |FROM ${p}a_codes co JOIN ${p}a_lut l ON l.sub = co.sub AND l.cid = co.cid
+           |WHERE co.vec_id <> l.qid GROUP BY 1, 2),
+           |${p}a_pq AS (SELECT qid, cid FROM (SELECT qid, cand AS cid,
+           |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM ${p}a_adist) WHERE rank <= $K),
+           |${p}f_adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+           |FROM ${p}f_codes co JOIN ${p}f_lut l ON l.sub = co.sub AND l.cid = co.cid
+           |WHERE co.vec_id <> l.qid GROUP BY 1, 2),
+           |${p}f_pq AS (SELECT qid, cid FROM (SELECT qid, cand AS cid,
+           |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM ${p}f_adist) WHERE rank <= $K),
+           |${p}row AS (SELECT
+           |(SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM ${p}exact) AS n_queries,
+           |(SELECT ms FROM ${p}ms) AS mean_shift,
+           |CAST(${Drift.MeanShiftBar} AS DOUBLE) AS drift_bar,
+           |(SELECT ms FROM ${p}ms) > ${Drift.MeanShiftBar} AS refresh,
+           |CAST((SELECT COUNT(*) FROM ${p}exact JOIN ${p}a_pq USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM ${p}exact) * $K) AS recall_aged,
+           |CASE WHEN (SELECT ms FROM ${p}ms) > ${Drift.MeanShiftBar}
+           |THEN CAST((SELECT COUNT(*) FROM ${p}exact JOIN ${p}f_pq USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM ${p}exact) * $K)
+           |ELSE CAST((SELECT COUNT(*) FROM ${p}exact JOIN ${p}a_pq USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM ${p}exact) * $K) END AS recall_post)"""
+          .stripMargin.replace("\n", " ")
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${block("d_", 0.6)},
+         |${block("s_", 0.02)}
+         |SELECT scenario, n_queries, mean_shift, drift_bar, refresh,
+         |recall_aged, recall_post, recall_post >= recall_aged AS recovered
+         |FROM (SELECT 'drifted' AS scenario, * FROM d_row
+         |UNION ALL SELECT 'stable' AS scenario, * FROM s_row)
+         |ORDER BY scenario"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** Bounded driver-side MemoryStream fixture cap (the
     * inverted_index_stream/IdxStreamCap discipline): only doc_id <
     * DriftStreamCap rows are collected to feed the test source, so the
@@ -471,5 +610,5 @@ object DriftTier {
 
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
     numericDriftPsi, distributionCurrency, indexRefreshDecision,
-    corpusDriftStream, embeddingDriftStream)
+    indexRefreshExecute, corpusDriftStream, embeddingDriftStream)
 }

@@ -189,6 +189,14 @@ object Registry {
   require(all.size == 49,
     s"registry must hold the 48 reference requirements + 1 engine-defined, got ${all.size}")
 
+  /** The engine-defined rows, named once (ADVICE r10: composing the 49th
+    * requirement into the scorecards changed the reference-facing
+    * denominator — tagging the row lets consumers, and the
+    * `factor_rollup_reference` entry, reproduce the pure-48 numbers a
+    * reference implementation would emit).
+    */
+  val extensionKeys: Set[String] = Set("distribution_currency")
+
   /** Requirements applicable to a workload, honoring additivity
     * (`definitions.md:39`): meeting a stricter workload implies meeting the
     * less strict ones — selection is simple tag membership.

@@ -310,8 +310,11 @@ object InvertedIndex {
       .select(col("qid"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"))
     val posting0 = allowed match {
-      case Some(a) => posting1.join(a.select(col("doc_id")), Seq("doc_id"),
-        "left_semi")
+      // broadcast() matches the documented plan shape (ADVICE r10: the
+      // bare join left Spark free to shuffle the exploded postings
+      // against the keep-list at scale)
+      case Some(a) => posting1.join(broadcast(a.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
       case None => posting1
     }
     val posting =

@@ -47,13 +47,8 @@ object IvfPq {
     val indexed = IvfIndex.assignAuto(e, centroidMod).select("vec_id", "cell")
     val cellCodes = PqIndex.encode(e, "vec_id", "v", cb, dim)
       .join(indexed, Seq("vec_id"))
-    val cents = IvfIndex.centroids(e, centroidMod)
-    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col(qidCol).as("qid"), col(qvCol).as("qv"), col("cent_id"),
-        VectorOps.sqDist(col(qvCol), col("cv")).as("qd2"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cent_id").as("cell"))
+    val probes = probeCells(e, queries, qidCol, qvCol, centroidMod, nProbe)
+      .select("qid", "cell")
     // ONE lut table per query — (qid, sub, cid, d) skinny rows, shared
     // across the query's probes (the r9 per-(query, probe) LUT-array
     // duplication is gone — VERDICT r9 what's-wrong #4): the candidate
@@ -68,6 +63,90 @@ object IvfPq {
       .select(col("qid"), col("vec_id"),
         posexplode(col("codes")).as(Seq("sub", "cid_code")))
     val scored = cand.join(broadcast(lut), Seq("qid", "sub", "cid_code"))
+      .select(col("qid"), col("vec_id").as("cid"), col("d"))
+      .groupBy("qid", "cid").agg(sum("d").as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("cid").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "cid")
+  }
+
+  /** Production probe budget for the residual deployed path: chosen off
+    * the measured `retrieval_recall_ivf_probes` curve so the probe set
+    * covers a planted cluster's full cell complement (cells per cluster
+    * is ~Poisson(|C|/G); 8 probes cover the ~4-cell mean with tail
+    * margin) while still scanning ≤ nProbe/|C| ≈ 9% of the code table
+    * per query at sf0.1.
+    */
+  val ProdNProbe = 8
+
+  /** RESIDUAL encoding input (FAISS `IVFPQ(by_residual=true)`; Jégou et
+    * al. 2011 §V.B — the recall lever [[topK]]'s non-residual scaladoc
+    * names): assign each vector to its IVF cell (the production
+    * [[IvfIndex.assignAuto]] route), then output r = v − centroid(cell).
+    * Residuals concentrate near 0 regardless of WHICH cell a vector
+    * landed in, so one k-centroid codebook spends its resolution on the
+    * within-cell geometry instead of re-describing the coarse structure
+    * the IVF assignment already captured — that is where the recall
+    * comes from. The cost is coupling: a re-clustered coarse quantizer
+    * invalidates every code (the tradeoff [[topK]] documents).
+    *
+    * Shape: assignAuto is the audited O(n·√|C|) route; the centroid join
+    * is broadcast (|C| rows); the subtraction is one codegen'd zip_with
+    * projection — no extra shuffle over the assignment's own. Output:
+    * (vec_id, cell, r).
+    */
+  def residuals(e: DataFrame, centroidMod: Int): DataFrame = {
+    val assigned = IvfIndex.assignAuto(e, centroidMod)
+    val cents = IvfIndex.centroids(e, centroidMod)
+    assigned.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+  }
+
+  /** Per-query probe list WITH the probed centroids: (qid, qv, cell, cv)
+    * — top-`nProbe` cells by exact query-to-centroid distance,
+    * deterministic (d2, cent_id) tie-break. The centroid vector rides
+    * along because the residual ADC path needs the QUERY residual
+    * q − centroid per probed cell ([[adcResidual]]).
+    */
+  def probeCells(e: DataFrame, queries: DataFrame, qidCol: String,
+      qvCol: String, centroidMod: Int, nProbe: Int): DataFrame = {
+    val cents = IvfIndex.centroids(e, centroidMod)
+    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
+    queries.crossJoin(broadcast(cents))
+      .select(col(qidCol).cast("long").as("qid"), col(qvCol).as("qv"),
+        col("cent_id"), VectorOps.sqDist(col(qvCol), col("cv")).as("qd2"),
+        col("cv"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"), col("cv"))
+  }
+
+  /** Residual-ADC top-k over probed cells — the deployed compressed
+    * retrieval scan (`retrieval_recall_ivfpq_prod`): the LUT is keyed by
+    * (qid, cell) because each probed cell's query residual differs
+    * (PqIndex.lutAdcTableKeyed — |Q|·nProbe·m·k skinny broadcast rows,
+    * bounded by the query batch, never O(n)); the candidate scan is the
+    * `cell` equi-join of the code table against the broadcast probe
+    * list — on a stored code table partitioned BY cell it prunes to
+    * nProbe partitions per query — and each candidate costs m lookup
+    * adds, collapsed map-side before the one exchange. Deterministic
+    * (adist, cid) ranking. Output: (qid, rank, cid) up to `topK` (pass
+    * the rerank depth here and refine with PqIndex.rerankExact — the
+    * IVFADC+R composition).
+    */
+  def adcResidual(codesWithCell: DataFrame, probes: DataFrame,
+      cb: Array[Array[Array[Double]]], dim: Int, topK: Int): DataFrame = {
+    val qres = probes.select(col("qid"), col("cell"),
+      zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    val lut = PqIndex.lutAdcTableKeyed(qres, Seq("qid", "cell"), "qr", cb, dim)
+    val cand = codesWithCell
+      .join(broadcast(probes.select("qid", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid_code")))
+    val scored = cand.join(broadcast(lut), Seq("qid", "cell", "sub", "cid_code"))
       .select(col("qid"), col("vec_id").as("cid"), col("d"))
       .groupBy("qid", "cid").agg(sum("d").as("adist"))
     scored.withColumn("rank", row_number().over(

@@ -97,7 +97,15 @@ object PqIndex {
       .select(col("sub").cast("int").as("sub"), col("cid").cast("int"),
         col("sv").as("cv"))
       .collect()
+    // ADVICE r10: an empty corpus died on `.max` of nothing and a corpus
+    // with fewer than k vectors left null slots in codebookArrays(k) that
+    // would NPE inside PqEncode's tight loop — fail HERE with the actual
+    // contract instead
+    require(seedSubs.nonEmpty,
+      s"PqIndex.codebooks: empty training corpus — cannot seed $k centroids")
     val kEff = seedSubs.map(_.getInt(1)).max + 1
+    require(kEff == k,
+      s"PqIndex.codebooks: corpus has only $kEff distinct seed vectors but k=$k — a codebook needs at least k vectors (shrink k or grow the corpus)")
     var cbArr = Array.ofDim[Array[Double]](m, kEff)
     seedSubs.foreach { r =>
       cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
@@ -174,25 +182,43 @@ object PqIndex {
     * (qid, cid) partial sums collapse map-side.
     */
   private[graft] def lutAdcTable(q: DataFrame, qidCol: String,
-      qvCol: String, cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
-    val m = cb.length; val sd = dim / m
-    // the codebook as m·k DATA rows, not literals: embedding k=256
-    // codebooks as nested literal arrays put ~16k expression nodes in
-    // the plan and Catalyst's tree passes — not the arithmetic — cost
-    // ~17 s per action (round-10 profile); as a broadcast row table the
-    // plan carries ONE sqDist node and the same distances come out of a
-    // 40×m·k-row join
-    val spark = q.sparkSession
+      qvCol: String, cb: Array[Array[Array[Double]]], dim: Int): DataFrame =
+    lutAdcTableKeyed(q.select(col(qidCol).cast("long").as("qid"),
+      col(qvCol).as("qv")), Seq("qid"), "qv", cb, dim)
+
+  /** The codebook as a broadcast m·k DATA-row table, not literals:
+    * embedding k=256 codebooks as nested literal arrays put ~16k
+    * expression nodes in the plan and Catalyst's tree passes — not the
+    * arithmetic — cost ~17 s per action (round-10 profile); as a
+    * broadcast row table the plan carries ONE sqDist node and the same
+    * distances come out of a skinny join.
+    */
+  private[substrate] def codebookDf(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    val cbDf = broadcast((for {
+    (for {
       s <- cb.indices; c <- cb(s).indices
-    } yield (s.toLong, c, cb(s)(c).toSeq)).toDF("sub", "cid_code", "cv"))
-    q.select(col(qidCol).cast("long").as("qid"),
-        subvecs(col(qvCol), dim, m).as(Seq("sub", "quv")))
-      .select(col("qid"), col("sub").cast("long").as("sub"), col("quv"))
+    } yield (s.toLong, c, cb(s)(c).toSeq)).toDF("sub", "cid_code", "cv")
+  }
+
+  /** [[lutAdcTable]] generalized to an arbitrary key (the residual
+    * IVF-PQ form needs a LUT per (query, probed cell), because the query
+    * RESIDUAL differs per cell — Jégou et al. 2011 §V.B): input rows are
+    * (keyCols..., `qvCol`), output (keyCols..., sub, cid_code, d) — the
+    * exact squared subspace distance from that key's vector to centroid
+    * (sub, cid). Skinny m·k rows per key, broadcast by the callers.
+    */
+  private[graft] def lutAdcTableKeyed(q: DataFrame, keyCols: Seq[String],
+      qvCol: String, cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = cb.length
+    val cbDf = broadcast(codebookDf(q.sparkSession, cb))
+    val keys = keyCols.map(col)
+    q.select(keys :+ subvecs(col(qvCol), dim, m).as(Seq("sub", "quv")): _*)
+      .select(keys ++ Seq(col("sub").cast("long").as("sub"), col("quv")): _*)
       .join(cbDf, Seq("sub"))
-      .select(col("qid"), col("sub"), col("cid_code"),
-        VectorOps.sqDist(col("quv"), col("cv")).as("d"))
+      .select(keys ++ Seq(col("sub"), col("cid_code"),
+        VectorOps.sqDist(col("quv"), col("cv")).as("d")): _*)
   }
 
   /** ADC (asymmetric distance computation) top-k: each query precomputes

@@ -171,4 +171,25 @@ class DriftSpec extends SparkSpec {
     assert(aged * 2 >= fresh,
       s"control decayed without drift: aged=$aged fresh=$fresh")
   }
+
+  test("refresh EXECUTE: drifted scenario acts and recovers; stable scenario must not act") {
+    // VERDICT r10 next #3 — decide→act→recover end-to-end: the drifted
+    // row retrains + re-encodes and post recall strictly recovers from
+    // the aged decay (post == fresh-trained by construction, so this IS
+    // recovery-to-fresh-within-ε); the stable row keeps the aged
+    // artifact untouched (post == aged exactly — acting without a
+    // trigger would make the monitor a timer)
+    val rows = graft.checks.Checks.byName("index_refresh_execute")
+      .run(spark, sf).collect()
+      .map(r => r.getAs[String]("scenario") -> r).toMap
+    val d = rows("drifted"); val s = rows("stable")
+    assert(d.getAs[Boolean]("refresh"), "drifted scenario must trigger")
+    assert(d.getAs[Boolean]("recovered"))
+    assert(d.getAs[Double]("recall_post") > d.getAs[Double]("recall_aged"),
+      s"refresh bought no recall: aged=${d.getAs[Double]("recall_aged")} post=${d.getAs[Double]("recall_post")}")
+    assert(!s.getAs[Boolean]("refresh"), "stable scenario must not trigger")
+    assert(s.getAs[Double]("recall_post") == s.getAs[Double]("recall_aged"),
+      "stable scenario served a different artifact than the aged one")
+    assert(s.getAs[Boolean]("recovered"))
+  }
 }

