@@ -87,7 +87,11 @@ object Bench {
     // k=256 residual codebook + probed ADC + depth-100 rerank + exact
     // oracle) and the drift→refresh EXECUTE loop (three codebook
     // trainings across its two scenarios + two exact oracles)
-    "retrieval_recall_ivfpq_prod", "index_refresh_execute")
+    "retrieval_recall_ivfpq_prod", "index_refresh_execute",
+    // r11: the selective-refresh loop (assignAuto + frozen-codebook
+    // training + two encodes + three probed ADC passes) — same
+    // debut-pin treatment
+    "index_refresh_selective")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -468,6 +468,254 @@ object DriftTier {
     },
     isScore = false)
 
+  /** SELECTIVE refresh — the O(drifted-fraction) form (VERDICT r10 next
+    * #8): when drift is localized (here: 5 of 25 planted clusters shift
+    * +0.8/dim while the rest only jitter +0.01 — the below-bar
+    * background churn every live corpus has), a full re-encode rewrites
+    * 100% of a 100 TB code table to maintain 20% of it. This entry pins
+    * the cell-scoped alternative end-to-end via
+    * IndexRefresh.cellShiftCorrection: per-cell mean-shift monitors
+    * (membership = the STORED assignment) flag only the drifted cells;
+    * the repair moves each flagged cell's serving centroid by the
+    * monitor's own measured mean-shift vector — the PQ codebook stays
+    * FROZEN, so clean cells' stored codes remain valid (retraining the
+    * codebook would orphan every code at once, the residual-coupling
+    * tradeoff IvfPq.residuals documents) — and only the flagged cells'
+    * rows re-encode.
+    *
+    * The pinned claims are the incremental-maintenance pair, the same
+    * contract shape mv_incremental_refresh proves for MVs: (a) COST —
+    * `frac_rows_reencoded` ≈ the drifted fraction, never 1.0; (b)
+    * EQUIVALENCE — the selectively-maintained serving state matches the
+    * full re-encode twin: `sel_matches_full` (|recall_full −
+    * recall_selective| ≤ 0.05 through the deployed residual probed
+    * path) and `code_agreement` (fraction of vectors whose selective
+    * codes equal the full twin's — refreshed cells agree by
+    * construction; clean cells measure how often the below-bar jitter
+    * flips a code). `recall_stale` rides along as the measured
+    * no-maintenance baseline; it documents that per-cell TRANSLATION
+    * drift barely moves deployed-path recall (stale codes are
+    * CONSISTENTLY stale — est ≈ d(query, stored positions) — so
+    * within-cell ordering survives; verified against an
+    * exact-arithmetic simulation), which is exactly why the honest
+    * selective story is write-cost avoidance at serving parity. The
+    * recall-rescue case — the codebook itself no longer fitting — is
+    * `index_refresh_execute`'s codebook-level loop. Raw ADC recall,
+    * deliberately NO rerank: the exact refine would mask the code
+    * differences being compared.
+    */
+  val indexRefreshSelective = Check("index_refresh_selective",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.substrate.{IndexRefresh, IvfIndex, IvfPq, PqIndex}
+      import graft.substrate.VectorOps.sqDist
+      val K = 10; val G = 25; val QMod = 53; val CMod = 23
+      val e = table(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      val cent = e.filter(col("vec_id") < G)
+        .select(col("vec_id").as("g"), col("v").as("cw"))
+      // planted corpus (the retrieval_recall_ivfpq_prod fixture), then
+      // the CURRENT snapshot: clusters g<5 drift, the rest jitter
+      val p0 = e.join(broadcast(cent), col("vec_id") % G === col("g"))
+        .select(col("vec_id"),
+          zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
+        .localCheckpoint(true)
+      val p1 = p0.select(col("vec_id"),
+        when(col("vec_id") % G < 5,
+          transform(col("v"), x => x + lit(0.8)))
+          .otherwise(transform(col("v"), x => x + lit(0.01))).as("v"))
+        .localCheckpoint(true)
+      // the STORED artifact: assignment, centroids, frozen residual
+      // codebook, codes — all built from the indexed snapshot p0
+      val assigned = IvfIndex.assignAuto(p0, CMod).select("vec_id", "cell")
+        .localCheckpoint(true)
+      val cents0 = p0.filter(col("vec_id") % CMod === 0)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val resid0 = p0.join(assigned, Seq("vec_id"))
+        .join(broadcast(cents0), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(resid0, "vec_id", "r", dim = 64,
+          k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod),
+        k = PqIndex.ProdCodebookK)
+      val codes0 = PqIndex.encode(resid0, "vec_id", "r", cb, dim = 64)
+        .join(assigned, Seq("vec_id"))
+      // monitor + repair: corrected serving centroids, flagged cells
+      val cents1 = IndexRefresh.cellShiftCorrection(p0, p1, assigned, cents0)
+        .localCheckpoint(true)
+      val refreshCells = cents1.filter(col("refreshed")).select("cell")
+      // current residuals vs the SERVING centroids: full twin = every
+      // row; selective = flagged cells re-encoded, others keep codes0
+      val resid1 = p1.join(assigned, Seq("vec_id"))
+        .join(broadcast(cents1.select("cell", "cv")), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+        .localCheckpoint(true)
+      val codesFull = PqIndex.encode(resid1, "vec_id", "r", cb, dim = 64)
+        .join(assigned, Seq("vec_id"))
+      val codesSel = codesFull.join(refreshCells, Seq("cell"), "left_semi")
+        .unionByName(codes0.join(refreshCells, Seq("cell"), "left_anti"))
+      val q = p1.filter(col("vec_id") % QMod === 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = broadcast(q).crossJoin(p1)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          sqDist(col("qv"), col("v")).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
+        .filter(col("rank") <= K).select("qid", "cid")
+      val probes1 = IvfPq.probeCellsFrom(cents1.select("cell", "cv"), q,
+        "qid", "qv", IvfPq.ProdNProbe)
+      val probes0 = IvfPq.probeCellsFrom(cents0, q, "qid", "qv",
+        IvfPq.ProdNProbe)
+      def recallOf(codes: org.apache.spark.sql.DataFrame,
+          probes: org.apache.spark.sql.DataFrame, out: String) = {
+        val top = IvfPq.adcResidual(codes, probes, cb, dim = 64, topK = K)
+          .select("qid", "cid")
+        exact.join(top, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as(out))
+      }
+      val nq = exact.select("qid").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      val nCells = assigned.select("cell").distinct()
+        .agg(count(lit(1)).as("n_cells"))
+      val nRef = refreshCells.agg(count(lit(1)).as("n_refresh_cells"))
+      val nRows = assigned.agg(count(lit(1)).as("n_rows"))
+      val nRowsRef = assigned.join(refreshCells, Seq("cell"), "left_semi")
+        .agg(count(lit(1)).as("n_rows_ref"))
+      val agree = codesSel.select(col("vec_id"), col("codes").as("cs"))
+        .join(codesFull.select(col("vec_id"), col("codes").as("cf")),
+          Seq("vec_id"))
+        .agg(avg(when(col("cs") === col("cf"), 1.0).otherwise(0.0))
+          .as("code_agreement"))
+      nq.crossJoin(nCells).crossJoin(nRef).crossJoin(nRows)
+        .crossJoin(nRowsRef)
+        .crossJoin(recallOf(codes0, probes0, "h_stale"))
+        .crossJoin(recallOf(codesSel, probes1, "h_sel"))
+        .crossJoin(recallOf(codesFull, probes1, "h_full"))
+        .crossJoin(agree)
+        .select(col("n_queries"), col("n_cells"), col("n_refresh_cells"),
+          (col("n_rows_ref").cast("double") / col("n_rows"))
+            .as("frac_rows_reencoded"),
+          (col("h_stale").cast("double") / (col("n_queries") * K))
+            .as("recall_stale"),
+          (col("h_sel").cast("double") / (col("n_queries") * K))
+            .as("recall_selective"),
+          (col("h_full").cast("double") / (col("n_queries") * K))
+            .as("recall_full"),
+          col("code_agreement"))
+        .withColumn("sel_matches_full",
+          abs(col("recall_full") - col("recall_selective")) <= 0.05)
+    },
+    Some {
+      import graft.substrate.{Drift, IvfPq, PqIndex}
+      val K = 10; val np = IvfPq.ProdNProbe
+      val bar = Drift.MeanShiftBar
+      def probeCte(name: String, cents: String) =
+        s"""$name AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
+           |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cell) AS rn
+           |FROM qs1 q, $cents c) WHERE rn <= $np)"""
+          .stripMargin.replace("\n", " ")
+      def qlutCtes(sfx: String, probes: String, centw: String) =
+        s"""qres$sfx AS (SELECT p.qid, p.cell, list(q.x - c.x ORDER BY q.j) AS qr
+           |FROM $probes p JOIN qw1 q ON q.qid = p.qid
+           |JOIN $centw c ON c.cell = p.cell AND c.j = q.j GROUP BY p.qid, p.cell),
+           |qsub$sfx AS (SELECT qid, cell, s.sub, qr[s.sub*8+1 : s.sub*8+8] AS quv FROM qres$sfx, subs s),
+           |rlut$sfx AS (SELECT q.qid, q.cell, q.sub, c.cid, list_distance(q.quv, c.cv) AS d
+           |FROM qsub$sfx q JOIN cbf c USING (sub))"""
+          .stripMargin.replace("\n", " ")
+      def adcCtes(sfx: String, probes: String, codes: String, lut: String) =
+        s"""ad$sfx AS (SELECT p.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+           |FROM $probes p JOIN acell a ON a.cell = p.cell
+           |JOIN $codes co ON co.vec_id = a.vec_id
+           |JOIN $lut l ON l.qid = p.qid AND l.cell = p.cell AND l.sub = co.sub AND l.cid = co.cid
+           |WHERE co.vec_id <> p.qid GROUP BY 1, 2),
+           |top$sfx AS (SELECT qid, cid FROM (SELECT qid, cand AS cid,
+           |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM ad$sfx) WHERE rank <= $K)"""
+          .stripMargin.replace("\n", " ")
+      def recall(top: String) =
+        s"""CAST((SELECT COUNT(*) FROM exact JOIN $top USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
+         |cw AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < 25),
+         |p0 AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
+         |FROM ew a JOIN cw c ON c.g = a.vec_id % 25 AND c.j = a.j GROUP BY a.vec_id),
+         |${VectorTier.assignAutoCtes("p0", 23, 4)},
+         |p1 AS (SELECT vec_id, CASE WHEN vec_id % 25 < 5
+         |THEN list_transform(v, x -> x + 0.8)
+         |ELSE list_transform(v, x -> x + 0.01) END AS v FROM p0),
+         |acell AS (SELECT vec_id, cell FROM assigned),
+         |rw0 AS (SELECT a.vec_id, a.cell, generate_subscripts(a.v, 1) AS j, unnest(a.v) AS x FROM assigned a),
+         |centw AS (SELECT cent_id AS cell, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents),
+         |resid0 AS (SELECT r.vec_id, r.cell, list(r.x - c.x ORDER BY r.j) AS v
+         |FROM rw0 r JOIN centw c ON c.cell = r.cell AND c.j = r.j GROUP BY r.vec_id, r.cell),
+         |${VectorTier.pqCodeCtesCfg("resid0", m = 8, k = PqIndex.ProdCodebookK,
+            trainMod = PqIndex.ProdTrainMod, iters = 1,
+            qWhere = Some("FALSE"))},
+         |p1w AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM p1),
+         |r1w AS (SELECT a.vec_id, a.cell, q.j, q.x FROM acell a JOIN p1w q ON q.vec_id = a.vec_id),
+         |m01 AS (SELECT cell, j, AVG(x) AS m0 FROM rw0 GROUP BY 1, 2),
+         |m11 AS (SELECT cell, j, AVG(x) AS m1 FROM r1w GROUP BY 1, 2),
+         |dmt AS (SELECT cell, j, m1 - m0 AS dm FROM m01 JOIN m11 USING (cell, j)),
+         |sv AS (SELECT cell, list(dm ORDER BY j) AS dmv, AVG(abs(dm)) AS shift FROM dmt GROUP BY cell),
+         |svw AS (SELECT cell, generate_subscripts(dmv, 1) AS j, unnest(dmv) AS d FROM sv),
+         |cents1 AS (SELECT c.cell, s.shift > $bar AS refreshed,
+         |list(CASE WHEN s.shift > $bar THEN c.x + w.d ELSE c.x END ORDER BY c.j) AS cv
+         |FROM centw c JOIN svw w ON w.cell = c.cell AND w.j = c.j
+         |JOIN sv s ON s.cell = c.cell GROUP BY c.cell, s.shift),
+         |rcells AS (SELECT cell FROM cents1 WHERE refreshed),
+         |cw1 AS (SELECT cell, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents1),
+         |resid1 AS (SELECT q.vec_id, q.cell, list(q.x - c.x ORDER BY q.j) AS v
+         |FROM r1w q JOIN cw1 c ON c.cell = q.cell AND c.j = q.j GROUP BY q.vec_id, q.cell),
+         |esv1 AS (SELECT t.vec_id, s.sub, t.v[s.sub*8+1 : s.sub*8+8] AS ev FROM resid1 t, subs s),
+         |codesf AS (SELECT vec_id, sub, cid FROM (SELECT v.vec_id, v.sub, c.cid,
+         |row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY list_distance(v.ev, c.cv), c.cid) AS rn
+         |FROM esv1 v JOIN cbf c USING (sub)) WHERE rn = 1),
+         |codessel AS (SELECT co.vec_id, co.sub, co.cid FROM codesf co JOIN acell a USING (vec_id)
+         |WHERE a.cell IN (SELECT cell FROM rcells)
+         |UNION ALL SELECT co.vec_id, co.sub, co.cid FROM codes co JOIN acell a USING (vec_id)
+         |WHERE a.cell NOT IN (SELECT cell FROM rcells)),
+         |qs1 AS (SELECT vec_id AS qid, v AS qv FROM p1 WHERE vec_id % 53 = 3),
+         |qw1 AS (SELECT qid, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM qs1),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM qs1 q, p1 c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |c0 AS (SELECT cent_id AS cell, cv FROM cents),
+         |${probeCte("probes0", "c0")},
+         |${probeCte("probes1", "cents1")},
+         |${qlutCtes("0", "probes0", "centw")},
+         |${qlutCtes("1", "probes1", "cw1")},
+         |${adcCtes("s", "probes0", "codes", "rlut0")},
+         |${adcCtes("e", "probes1", "codessel", "rlut1")},
+         |${adcCtes("f", "probes1", "codesf", "rlut1")},
+         |agreet AS (SELECT s.vec_id, SUM(CASE WHEN s.cid = f.cid THEN 1 ELSE 0 END) AS nm
+         |FROM codessel s JOIN codesf f ON f.vec_id = s.vec_id AND f.sub = s.sub GROUP BY s.vec_id),
+         |agg AS (SELECT
+         |(SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+         |(SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM acell) AS n_cells,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM rcells) AS n_refresh_cells,
+         |CAST((SELECT COUNT(*) FROM acell WHERE cell IN (SELECT cell FROM rcells)) AS DOUBLE)
+         |/ (SELECT COUNT(*) FROM acell) AS frac_rows_reencoded,
+         |${recall("tops")} AS recall_stale,
+         |${recall("tope")} AS recall_selective,
+         |${recall("topf")} AS recall_full,
+         |(SELECT AVG(CASE WHEN nm = 8 THEN 1.0 ELSE 0.0 END) FROM agreet) AS code_agreement)
+         |SELECT n_queries, n_cells, n_refresh_cells, frac_rows_reencoded,
+         |recall_stale, recall_selective, recall_full, code_agreement,
+         |abs(recall_full - recall_selective) <= 0.05 AS sel_matches_full FROM agg"""
+        .stripMargin.replace("\n", " ")
+        // every CTE MATERIALIZED (the corpus_prep_pipeline precedent):
+        // cbf/codes/assigned are each referenced by several downstream
+        // CTEs, and DuckDB's default inlining re-executes the whole
+        // codebook chain per reference — at sf0.1 the expansion OOMs
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")
+    },
+    isScore = false)
+
   /** Bounded driver-side MemoryStream fixture cap (the
     * inverted_index_stream/IdxStreamCap discipline): only doc_id <
     * DriftStreamCap rows are collected to feed the test source, so the
@@ -610,5 +858,6 @@ object DriftTier {
 
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
     numericDriftPsi, distributionCurrency, indexRefreshDecision,
-    indexRefreshExecute, corpusDriftStream, embeddingDriftStream)
+    indexRefreshExecute, indexRefreshSelective, corpusDriftStream,
+    embeddingDriftStream)
 }

@@ -52,4 +52,46 @@ object IndexRefresh {
       else aged
     (meanShift, refresh, aged, serving)
   }
+
+  /** PER-CELL first-moment repair — the O(drifted-fraction) refresh a
+    * 100 TB residual index needs (VERDICT r10 next #8): for each IVF
+    * cell, compare the members' per-dimension means between the indexed
+    * snapshot `p0` and the current snapshot `p1` (membership = the
+    * STORED assignment — the monitor reads the artifact it guards);
+    * where the cell's average |shift| exceeds [[Drift.MeanShiftBar]],
+    * move the serving centroid by exactly the measured mean-shift
+    * vector. The monitor's own sufficient statistic IS the repair: a
+    * first-moment drift re-centers the cell, the residuals fall back
+    * into the distribution the FROZEN codebook was trained on, and only
+    * the flagged cells' rows need re-encoding — the codebook itself
+    * never retrains, so clean cells' stored codes stay valid (retraining
+    * it would orphan every code at once, the coupling
+    * [[IvfPq.residuals]] documents).
+    *
+    * Scale shape: the monitor state is O(|C|·dim) means (mergeable —
+    * the [[Drift.embeddingMoments]] algebra per cell), the correction is
+    * a |C|-row join, and the triggered re-encode is corpus-linear ONLY
+    * in the drifted cells' rows. Output: (cell, cv, refreshed) — the
+    * serving centroid table, corrected where flagged.
+    */
+  def cellShiftCorrection(p0: DataFrame, p1: DataFrame, assigned: DataFrame,
+      cents0: DataFrame): DataFrame = {
+    def cellDimMeans(df: DataFrame, out: String) =
+      df.join(assigned, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as(out))
+    val delta = cellDimMeans(p0, "m0")
+      .join(cellDimMeans(p1, "m1"), Seq("cell", "dim"))
+      .select(col("cell"), col("dim"), (col("m1") - col("m0")).as("dm"))
+    val sv = delta.groupBy("cell").agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("dm")))),
+        p => p("dm")).as("dmv"),
+      avg(abs(col("dm"))).as("shift"))
+    cents0.join(sv, Seq("cell"))
+      .select(col("cell"),
+        when(col("shift") > Drift.MeanShiftBar,
+          zip_with(col("cv"), col("dmv"), (c, d) => c + d))
+          .otherwise(col("cv")).as("cv"),
+        (col("shift") > Drift.MeanShiftBar).as("refreshed"))
+  }
 }

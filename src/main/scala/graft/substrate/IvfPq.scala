@@ -112,15 +112,26 @@ object IvfPq {
     * q − centroid per probed cell ([[adcResidual]]).
     */
   def probeCells(e: DataFrame, queries: DataFrame, qidCol: String,
-      qvCol: String, centroidMod: Int, nProbe: Int): DataFrame = {
-    val cents = IvfIndex.centroids(e, centroidMod)
-    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cent_id"))
+      qvCol: String, centroidMod: Int, nProbe: Int): DataFrame =
+    probeCellsFrom(
+      IvfIndex.centroids(e, centroidMod)
+        .select(col("cent_id").as("cell"), col("cv")),
+      queries, qidCol, qvCol, nProbe)
+
+  /** [[probeCells]] against an EXPLICIT centroid table (cell, cv) — the
+    * form the refresh loop needs: after a selective centroid correction
+    * (`index_refresh_selective`) the serving centroids are no longer a
+    * pure id-sample of any corpus, they are the stored artifact itself.
+    */
+  def probeCellsFrom(cents: DataFrame, queries: DataFrame, qidCol: String,
+      qvCol: String, nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy("qid").orderBy(col("qd2").asc, col("cell"))
     queries.crossJoin(broadcast(cents))
       .select(col(qidCol).cast("long").as("qid"), col(qvCol).as("qv"),
-        col("cent_id"), VectorOps.sqDist(col(qvCol), col("cv")).as("qd2"),
+        col("cell"), VectorOps.sqDist(col(qvCol), col("cv")).as("qd2"),
         col("cv"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cent_id").as("cell"), col("cv"))
+      .select(col("qid"), col("qv"), col("cell"), col("cv"))
   }
 
   /** Residual-ADC top-k over probed cells — the deployed compressed

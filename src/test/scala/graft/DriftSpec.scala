@@ -192,4 +192,24 @@ class DriftSpec extends SparkSpec {
       "stable scenario served a different artifact than the aged one")
     assert(s.getAs[Boolean]("recovered"))
   }
+
+  test("selective refresh: rewrites only the drifted fraction, serving parity with the full re-encode") {
+    // VERDICT r10 next #8 — the incremental-maintenance pair: cost
+    // (re-encoded rows ≈ the drifted fraction, never everything) and
+    // equivalence (selective serving state ≈ full re-encode through the
+    // deployed probed path)
+    val r = graft.checks.Checks.byName("index_refresh_selective")
+      .run(spark, sf).collect().head
+    val frac = r.getAs[Double]("frac_rows_reencoded")
+    assert(frac > 0.0 && frac < 0.7,
+      s"selective refresh should rewrite a strict minority-ish fraction, got $frac")
+    assert(r.getAs[Long]("n_refresh_cells") > 0)
+    assert(r.getAs[Long]("n_refresh_cells") < r.getAs[Long]("n_cells"))
+    assert(r.getAs[Boolean]("sel_matches_full"))
+    val agree = r.getAs[Double]("code_agreement")
+    // refreshed cells agree by construction; clean-cell jitter may flip
+    // borderline codes, but a majority of vectors must carry identical
+    // codes to the full twin
+    assert(agree > 0.5 && agree <= 1.0, s"code agreement $agree")
+  }
 }
