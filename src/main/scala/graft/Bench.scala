@@ -91,7 +91,10 @@ object Bench {
     // r11: the selective-refresh loop (assignAuto + frozen-codebook
     // training + two encodes + three probed ADC passes) — same
     // debut-pin treatment
-    "index_refresh_selective")
+    "index_refresh_selective",
+    // r11: the residual probe sweep (one prod training + FOUR probed
+    // ADC+rerank branches) — pinned on debut like its ivf sibling
+    "retrieval_recall_ivfpq_probes")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1353,41 +1353,60 @@ object VectorTier {
     * residual LUT is |Q|·nProbe·m·k skinny broadcast rows, bounded by
     * the query batch.
     */
+  /** Shared planted-cluster residual-index fixture of the deployed-path
+    * entries (`retrieval_recall_ivfpq_prod` + `_probes`): the planted
+    * corpus (25 clusters, 2×center + own vector), the coprime-modulus
+    * query sample, exact euclidean ground truth, the assignAuto-derived
+    * residuals, and the production k=256 residual codebook + codes.
+    * Eager localCheckpoints throughout: every training round's driver
+    * action plus encode/probes/exact re-consume these — without the
+    * checkpoint each action replays the scan+join lineage (the
+    * chained-iteration recompute trap PqIndex.codebooks documents).
+    * Bounded: n×(id, 64 doubles) ≈ 1 MB at sf0.1. Rebuilt per entry RUN
+    * (never memoized across entries) so bench medians price each entry's
+    * full pipeline.
+    */
+  private case class ResidIndex(corpus: DataFrame, q: DataFrame,
+      exact: DataFrame, resid: DataFrame,
+      cb: Array[Array[Array[Double]]], codes: DataFrame)
+  private val PlantedG = 25
+  private val PlantedQMod = 53
+  private def plantedResidIndex(spark: SparkSession,
+      dir: String): ResidIndex = {
+    import graft.substrate.{IvfPq, PqIndex}
+    val e = embeddingsD(spark, dir)
+    val cent = e.filter(col("vec_id") < PlantedG)
+      .select(col("vec_id").as("g"), col("v").as("cw"))
+    val corpus = e.join(broadcast(cent), col("vec_id") % PlantedG === col("g"))
+      .select(col("vec_id"),
+        zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
+      .localCheckpoint(true)
+    val q = corpus.filter(col("vec_id") % PlantedQMod === 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = broadcast(q).crossJoin(corpus)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        sqDist(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
+      .filter(col("rank") <= K).select("qid", "cid")
+    val resid = IvfPq.residuals(corpus, centroidMod = 23)
+      .localCheckpoint(true)
+    val cb = PqIndex.codebookArrays(
+      PqIndex.codebooks(resid, "vec_id", "r", dim = 64,
+        k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod,
+        iters = PqIndex.ProdLloydIters),
+      k = PqIndex.ProdCodebookK)
+    val codes = PqIndex.encode(resid, "vec_id", "r", cb, dim = 64)
+      .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+    ResidIndex(corpus, q, exact, resid, cb, codes)
+  }
+
   val retrievalRecallIvfPqProd = Check("retrieval_recall_ivfpq_prod",
     (spark, dir) => {
       import graft.substrate.{IvfPq, PqIndex}
-      val G = 25; val QMod = 53
-      val e = embeddingsD(spark, dir)
-      val cent = e.filter(col("vec_id") < G)
-        .select(col("vec_id").as("g"), col("v").as("cw"))
-      // eager localCheckpoint: the planted corpus (and below, the
-      // assignAuto-derived residuals) is re-consumed by every training
-      // round's driver action plus encode/probes/exact — without the
-      // checkpoint each action replays the scan+join lineage (the
-      // chained-iteration recompute trap PqIndex.codebooks documents).
-      // Bounded: n×(id, 64 doubles) ≈ 1 MB at sf0.1.
-      val corpus = e.join(broadcast(cent), col("vec_id") % G === col("g"))
-        .select(col("vec_id"),
-          zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
-        .localCheckpoint(true)
-      val q = corpus.filter(col("vec_id") % QMod === 3)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val exact = broadcast(q).crossJoin(corpus)
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          sqDist(col("qv"), col("v")).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
-        .filter(col("rank") <= K).select("qid", "cid")
-      val resid = IvfPq.residuals(corpus, centroidMod = 23)
-        .localCheckpoint(true)
-      val cb = PqIndex.codebookArrays(
-        PqIndex.codebooks(resid, "vec_id", "r", dim = 64,
-          k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod,
-          iters = PqIndex.ProdLloydIters),
-        k = PqIndex.ProdCodebookK)
-      val codes = PqIndex.encode(resid, "vec_id", "r", cb, dim = 64)
-        .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+      val ResidIndex(corpus, q, exact, resid, cb, codes) =
+        plantedResidIndex(spark, dir)
       val probes = IvfPq.probeCells(corpus, q, "qid", "qv",
         centroidMod = 23, nProbe = IvfPq.ProdNProbe)
       val cand = IvfPq.adcResidual(codes, probes, cb, dim = 64,
@@ -1477,6 +1496,128 @@ object VectorTier {
     },
     isScore = false)
 
+  /** The recall-vs-probe-budget sweep through the DEPLOYED residual
+    * path (the planted-corpus sibling of `retrieval_recall_ivf_probes`,
+    * which swept IVF-flat on the isotropic corpus): nProbe ∈ {2,4,8,16}
+    * against ONE residual index (fixture built once; only the probe
+    * list widens — how a deployed index serves different latency
+    * tiers), each row reporting the probed-cell ceiling, raw residual
+    * ADC, and depth-100 reranked recall@10. This is the measured curve
+    * that justifies IvfPq.ProdNProbe = 8: on a neighbor-structured
+    * corpus the ceiling saturates once the probe set covers a
+    * cluster's full cell complement (~Poisson(|C|/G) cells), unlike
+    * the isotropic sweep where it climbs linearly forever — the
+    * knob-picking contrast the ops runbook needs
+    * (`requirements.yaml:82-84` "recall at required latency").
+    */
+  val retrievalRecallIvfPqProbes = Check("retrieval_recall_ivfpq_probes",
+    (spark, dir) => {
+      import graft.substrate.{IvfPq, PqIndex}
+      val ResidIndex(corpus, q, exact, resid, cb, codes) =
+        plantedResidIndex(spark, dir)
+      val nq = exact.select("qid").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      Seq(2, 4, 8, 16).map { np =>
+        val probes = IvfPq.probeCells(corpus, q, "qid", "qv",
+          centroidMod = 23, nProbe = np)
+        val cand = IvfPq.adcResidual(codes, probes, cb, dim = 64,
+          topK = PqIndex.ProdRerankDepth)
+        val raw = cand.filter(col("rank") <= K).select("qid", "cid")
+        val rr = PqIndex.rerankExact(cand.select("qid", "cid"), corpus, q,
+          "qid", "qv", K).select("qid", "cid")
+        val cellHit = exact
+          .join(resid.select(col("vec_id").as("cid"), col("cell")),
+            Seq("cid"))
+          .join(probes.select("qid", "cell"), Seq("qid", "cell"),
+            "left_semi")
+          .agg(count(lit(1)).as("h_cell"))
+        val hitsRaw = exact.join(raw, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("h_raw"))
+        val hitsRr = exact.join(rr, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("h_rr"))
+        nq.crossJoin(cellHit).crossJoin(hitsRaw).crossJoin(hitsRr)
+          .select(lit(np.toLong).as("n_probe"), col("n_queries"),
+            (col("h_cell").cast("double") / (col("n_queries") * K))
+              .as("cell_recall"),
+            (col("h_raw").cast("double") / (col("n_queries") * K))
+              .as("recall_adc"),
+            (col("h_rr").cast("double") / (col("n_queries") * K))
+              .as("recall_rerank"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    },
+    Some {
+      import graft.substrate.PqIndex
+      val budgets = Seq(2, 4, 8, 16)
+      val depth = PqIndex.ProdRerankDepth
+      val perBudget = budgets.map { np =>
+        s"""ad$np AS (SELECT p.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+           |FROM probes p JOIN assigned a ON a.cell = p.cell
+           |JOIN codes co ON co.vec_id = a.vec_id
+           |JOIN rlut l ON l.qid = p.qid AND l.cell = p.cell AND l.sub = co.sub AND l.cid = co.cid
+           |WHERE co.vec_id <> p.qid AND p.rn <= $np GROUP BY 1, 2),
+           |rk$np AS (SELECT qid, cand AS cid,
+           |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM ad$np),
+           |raw$np AS (SELECT qid, cid FROM rk$np WHERE rank <= $K),
+           |cd$np AS (SELECT qid, cid FROM rk$np WHERE rank <= $depth),
+           |rr$np AS (SELECT qid, cid FROM (SELECT c.qid, c.cid,
+           |row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, v.v), c.cid) AS rank
+           |FROM cd$np c JOIN corpus v ON v.vec_id = c.cid JOIN qs q ON q.qid = c.qid)
+           |WHERE rank <= $K),
+           |ch$np AS (SELECT ex.qid, ex.cid FROM exact ex
+           |JOIN assigned a ON a.vec_id = ex.cid
+           |JOIN probes p ON p.qid = ex.qid AND p.cell = a.cell AND p.rn <= $np)"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val rows = budgets.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS n_probe,
+           |(SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact) AS n_queries,
+           |CAST((SELECT COUNT(*) FROM ch$np) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS cell_recall,
+           |CAST((SELECT COUNT(*) FROM exact JOIN raw$np USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_adc,
+           |CAST((SELECT COUNT(*) FROM exact JOIN rr$np USING (qid, cid)) AS DOUBLE)
+           |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_rerank"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(" UNION ALL ")
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
+         |cwp AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < $PlantedG),
+         |corpus AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
+         |FROM ew a JOIN cwp c ON c.g = a.vec_id % $PlantedG AND c.j = a.j GROUP BY a.vec_id),
+         |${assignAutoCtes("corpus", 23, 4)},
+         |rw AS (SELECT a.vec_id, a.cell, generate_subscripts(a.v, 1) AS j, unnest(a.v) AS x FROM assigned a),
+         |centw AS (SELECT cent_id, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents),
+         |resid AS (SELECT r.vec_id, r.cell, list(r.x - c.x ORDER BY r.j) AS v
+         |FROM rw r JOIN centw c ON c.cent_id = r.cell AND c.j = r.j GROUP BY r.vec_id, r.cell),
+         |${pqCodeCtesCfg("resid", m = 8, k = PqIndex.ProdCodebookK,
+            trainMod = PqIndex.ProdTrainMod, iters = PqIndex.ProdLloydIters,
+            qWhere = Some("FALSE"))},
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id % $PlantedQMod = 3),
+         |exact AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.v), c.vec_id) AS rank
+         |FROM qs q, corpus c WHERE c.vec_id <> q.qid) WHERE rank <= $K),
+         |probes AS (SELECT qid, qv, cell, cv, rn FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell, c.cv,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM qs q, cents c) WHERE rn <= 16),
+         |qw2 AS (SELECT qid, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM qs),
+         |qres AS (SELECT p.qid, p.cell, list(q.x - c.x ORDER BY q.j) AS qr
+         |FROM probes p JOIN qw2 q ON q.qid = p.qid
+         |JOIN centw c ON c.cent_id = p.cell AND c.j = q.j GROUP BY p.qid, p.cell),
+         |qrsub AS (SELECT q.qid, q.cell, s.sub, q.qr[s.sub*8+1 : s.sub*8+8] AS quv FROM qres q, subs s),
+         |rlut AS (SELECT q.qid, q.cell, q.sub, c.cid, list_distance(q.quv, c.cv) AS d
+         |FROM qrsub q JOIN cbf c USING (sub)),
+         |$perBudget
+         |SELECT * FROM ($rows) ORDER BY n_probe"""
+        .stripMargin.replace("\n", " ")
+        // every CTE MATERIALIZED (the index_refresh_selective
+        // precedent): codes/cbf/probes are each consumed by four budget
+        // branches — DuckDB's default inlining re-executes the codebook
+        // chain per reference
+        ).replaceAll(" AS \\(", " AS MATERIALIZED (")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
     retrievalRecallIvf, retrievalRecallIvfProbes,
@@ -1485,5 +1626,6 @@ object VectorTier {
     dedupSemanticFlat, dedupSemanticHier, dedupSemanticRouted,
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
-    retrievalRecallPqProd, retrievalRecallIvfPqProd)
+    retrievalRecallPqProd, retrievalRecallIvfPqProd,
+    retrievalRecallIvfPqProbes)
 }

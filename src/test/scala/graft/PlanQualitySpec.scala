@@ -384,6 +384,38 @@ class PlanQualitySpec extends SparkSpec {
         .forall(_.contains("qid")), s"global window in ADC rank:\n$plan")
   }
 
+  test("residual ADC deployed path: probes and per-(query,cell) LUT broadcast onto the cell-joined codes, no product") {
+    import spark.implicits._
+    val e = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j).toDouble % 11)))
+      .toDF("vec_id", "v")
+    val resid = graft.substrate.IvfPq.residuals(e, centroidMod = 29)
+    val cb = graft.substrate.PqIndex.codebookArrays(
+      graft.substrate.PqIndex.codebooks(resid, "vec_id", "r", dim = 8,
+        m = 4, k = 16, trainMod = 1), m = 4, k = 16)
+    val codes = graft.substrate.PqIndex.encode(resid, "vec_id", "r", cb, dim = 8)
+      .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = graft.substrate.IvfPq.probeCells(e, q, "qid", "qv",
+      centroidMod = 29, nProbe = 2)
+    val res = graft.substrate.IvfPq.adcResidual(codes, probes, cb,
+      dim = 8, topK = 3)
+    val plan = planOf(res)
+    // the candidate scan is the cell equi-join of the code table against
+    // the BROADCAST probe list, then the (qid, cell)-keyed residual LUT
+    // broadcasts onto the exploded codes — an unbroadcast shuffle or a
+    // product here is exactly the at-scale regression the r10 LUT
+    // rework retired
+    assert(!plan.contains("CartesianProduct"),
+      s"product in residual ADC:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/LUT joins not broadcast:\n$plan")
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("Window"))
+        .forall(_.contains("qid")), s"global window in ADC rank:\n$plan")
+  }
+
   test("filtered hybrid: the keep-list semi-joins BOTH retrievers, no product") {
     val res = graft.checks.Checks.byName("retrieval_hybrid_filtered")
       .run(spark, sf)

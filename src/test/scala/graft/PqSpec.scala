@@ -196,6 +196,30 @@ class PqSpec extends SparkSpec {
     assert(re * 10 < ve, s"residual energy $re not << vector energy $ve")
   }
 
+  test("residual probe sweep: ceiling and reranked recall monotone in nProbe, saturating at the prod budget") {
+    val rows = graft.checks.Checks.byName("retrieval_recall_ivfpq_probes")
+      .run(spark, sf).collect().sortBy(_.getAs[Long]("n_probe"))
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq == Seq(2L, 4L, 8L, 16L))
+    val ceil = rows.map(_.getAs[Double]("cell_recall"))
+    val rr = rows.map(_.getAs[Double]("recall_rerank"))
+    ceil.sliding(2).foreach { case Array(a, b) => assert(b >= a,
+      s"ceiling not monotone: ${ceil.toSeq}"); case _ => () }
+    rr.sliding(2).foreach { case Array(a, b) => assert(b >= a,
+      s"rerank recall not monotone: ${rr.toSeq}"); case _ => () }
+    // on the neighbor-structured corpus the curve is NEAR-SATURATED by
+    // the prod budget (the knob story: nProbe=8 buys the ceiling;
+    // doubling to 16 buys almost nothing — ≤ 0.1 here, exactly 0 at
+    // sf0.01/sf0.1 where the cell count is realistic) — unlike the
+    // isotropic ivf sweep that keeps climbing
+    assert(rr.last - rr(2) <= 0.1,
+      s"doubling past the prod budget still buys recall: ${rr.toSeq}")
+    // rerank recall can never exceed the probed-cell ceiling
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_rerank")
+        <= r.getAs[Double]("cell_recall") + 1e-12)
+    }
+  }
+
   test("DEPLOYED path (residual IVF-PQ, nProbe=8, depth-100 rerank) meets the 0.8 SLA through the PRUNED scan") {
     // VERDICT r10 what's-missing #1: the SLA must hold on the
     // probe-bounded composition a serving tier actually runs, not just
