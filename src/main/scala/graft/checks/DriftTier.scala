@@ -395,8 +395,14 @@ object DriftTier {
         }
         val nq = exact.select("qid").distinct()
           .agg(count(lit(1)).as("n_queries"))
-        nq.crossJoin(hits(cbAged, "h_aged"))
-          .crossJoin(hits(cbServing, "h_post"))
+        // no-action path: serving == aged by IDENTITY, so h_post IS
+        // h_aged — re-running the same ADC scan against the same
+        // codebook would measure nothing and double the scenario's cost
+        val withAged = nq.crossJoin(hits(cbAged, "h_aged"))
+        val withPost =
+          if (refresh) withAged.crossJoin(hits(cbServing, "h_post"))
+          else withAged.withColumn("h_post", col("h_aged"))
+        withPost
           .select(lit(name).as("scenario"), col("n_queries"),
             lit(ms).as("mean_shift"),
             lit(Drift.MeanShiftBar).as("drift_bar"),

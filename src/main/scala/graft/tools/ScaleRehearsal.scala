@@ -466,6 +466,62 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- selective refresh: monitor + gated re-encode vs full ---------
+    // index_refresh_selective's 100 TB claim (VERDICT r10 next #8): when
+    // a fifth of the cells drift, the monitor's state is O(|C|·dim)
+    // means and the gated rewrite touches ONLY the flagged cells' rows —
+    // `selective re-encode rows` must track the drifted fraction (~n/5)
+    // across the decades while `full re-encode rows` pays n; the row
+    // (and wall) ratio is the nightly-maintenance bill the mechanism
+    // divides. The monitor row counts FLAGGED CELLS (its output is
+    // |C|-scale, never rows).
+    locally {
+      val selCb = PqIndex.codebookArrays(
+        PqIndex.codebooks(emb1, "vec_id", "v", dim = 64))
+      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+          (emb100, nEmb100, "100x")).foreach { case (e, n, sc) =>
+        val assigned = IvfIndex.assignAuto(e, 23).select("vec_id", "cell")
+          .localCheckpoint(true)
+        val cents0 = e.filter(col("vec_id") % 23 === 0)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        val p1 = e.join(assigned, Seq("vec_id"))
+          .select(col("vec_id"), col("cell"),
+            when(col("cell") % 5 === 0,
+              transform(col("v"), x => x + lit(0.8)))
+              .otherwise(transform(col("v"), x => x + lit(0.01))).as("v"))
+          .localCheckpoint(true)
+        val s1 = measured("cell drift monitor (flagged cells out)", sc, n) {
+          graft.substrate.IndexRefresh
+            .cellShiftCorrection(e, p1.select("vec_id", "v"), assigned,
+              cents0)
+            .filter(col("refreshed")).count()
+        }
+        samples += s1.copy(showRate = false)
+        val cents1 = graft.substrate.IndexRefresh
+          .cellShiftCorrection(e, p1.select("vec_id", "v"), assigned, cents0)
+          .localCheckpoint(true)
+        def encodeCount(centSel: DataFrame): Long = {
+          val resid1 = p1.join(broadcast(centSel), Seq("cell"))
+            .select(col("vec_id"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+          // force the codes column (the r10 pruning trap — see the pq
+          // encode samples above)
+          PqIndex.encode(resid1, "vec_id", "r", selCb, dim = 64)
+            .agg(count(lit(1)), sum(element_at(col("codes"), 1)))
+            .collect().head.getLong(0)
+        }
+        val s2 = measured("selective re-encode rows (cells%5 drifted)", sc,
+          n) {
+          encodeCount(cents1.filter(col("refreshed")).select("cell", "cv"))
+        }
+        samples += s2.copy(showRate = false)
+        val s3 = measured("full re-encode rows", sc, n) {
+          encodeCount(cents1.select("cell", "cv"))
+        }
+        samples += s3.copy(showRate = false)
+      }
+    }
+
     emb100.unpersist() // ~100 MB; the remaining sections don't touch it
 
     // ---- inverted index: posting-row skew vs n (VERDICT r8 #2) --------
@@ -844,6 +900,39 @@ object ScaleRehearsal {
          |  and LUT size (m·k per query) — NEVER scan shape: encode stays
          |  exchange-free and the ADC scan stays m lookups/candidate at
          |  every k.
+         |- **Residual IVF-PQ — the DEPLOYED path at its SLA** (r11,
+         |  `retrieval_recall_ivfpq_prod`; no separate decade rows by
+         |  design — its probed scan IS the measured `ivfpq probed
+         |  candidates` shape with the per-(query, probed-cell) residual
+         |  LUT replacing the per-query one, |Q|·nProbe·m·k skinny
+         |  broadcast rows): residual encoding (codes quantize
+         |  v − centroid(cell); FAISS by_residual=true) plus a
+         |  neighbor-structured planted corpus at ~5× inter/intra margin
+         |  close the r10 gap between "full-ADC meets 0.8" and "the pruned
+         |  path serves 0.22". Measured at sf0.1 through nProbe=8 of ~87
+         |  cells (~9% of the code table per query): cell_recall 1.0,
+         |  residual ADC 0.51, depth-100 rerank **1.0** — `meets_sla`
+         |  hash-checked. The probe-budget curve
+         |  (`retrieval_recall_ivfpq_probes`: 0.69 → 0.99 → 1.0 → 1.0 at
+         |  nProbe 2/4/8/16) SATURATES once probes cover a cluster's cell
+         |  complement — the knee that picks ProdNProbe=8, unlike the
+         |  isotropic sweep that climbs forever.
+         |- **Selective refresh — O(drifted-fraction) maintenance** (r11,
+         |  `index_refresh_selective`; decade rows above: `cell drift
+         |  monitor` + `selective re-encode rows` vs `full re-encode
+         |  rows`): per-cell mean-shift monitors over the STORED
+         |  assignment flag drifted cells; the repair adds the measured
+         |  mean-shift vector to the flagged cells' serving centroids
+         |  (codebook FROZEN — retraining would orphan every code) and
+         |  re-encodes only those cells' rows. The decade rows must show
+         |  selective rows tracking ~n/5 while full pays n, with the
+         |  monitor's output |C|-scale at every decade. The registered
+         |  entry measures the quality half at sf0.1: serving recall
+         |  parity with the full twin (0.529 vs 0.508, hash-checked
+         |  boolean) vs stale 0.432, 19.9% of rows re-encoded, 66% exact
+         |  code agreement (clean-cell jitter flips borderline k=256
+         |  Voronoi assignments — why parity, not code equality, is the
+         |  claim).
          |- **PQ rerank / frozen-codebook ingest** (no separate rows by
          |  design): `retrieval_recall_pq_rerank`'s second stage adds |Q|·depth
          |  exact-distance point lookups on top of the measured ADC scan — a
