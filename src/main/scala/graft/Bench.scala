@@ -94,7 +94,9 @@ object Bench {
     "index_refresh_selective",
     // r11: the residual probe sweep (one prod training + FOUR probed
     // ADC+rerank branches) — pinned on debut like its ivf sibling
-    "retrieval_recall_ivfpq_probes")
+    "retrieval_recall_ivfpq_probes",
+    // r11 late: stateful (blocking micro-batch loop) → serial-only
+    "vector_ingest_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -112,7 +114,7 @@ object Bench {
   private val StatefulSet =
     Set("freshness_transitions_stream", "mv_refresh_stream",
       "inverted_index_stream", "corpus_drift_stream",
-      "embedding_drift_stream")
+      "embedding_drift_stream", "vector_ingest_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number
@@ -234,7 +236,18 @@ object Bench {
     val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
-    val physCores = Runtime.getRuntime.availableProcessors()
+    // PHYSICAL cores, as documented: on SMT boxes availableProcessors
+    // returns logical threads (2x), which would under-fire the derate
+    // exactly on the loaded-box scenario it exists for — count distinct
+    // (physical id, core id) pairs and fall back to the logical count
+    val physCores = try {
+      val lines = scala.io.Source.fromFile("/proc/cpuinfo").getLines().toSeq
+      def vals(k: String) =
+        lines.filter(_.startsWith(k)).map(_.split(":")(1).trim)
+      val pairs = vals("physical id").zip(vals("core id")).distinct
+      if (pairs.nonEmpty) pairs.size
+      else Runtime.getRuntime.availableProcessors()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
     val basePool = math.max(2, cpus.toInt * 3 / 16)
     val poolWidth = sys.env.get("SPARK_GRAFT_POOL").map(_.toInt)
       .getOrElse {
@@ -297,12 +310,14 @@ object Bench {
     // n_queries counts the whole benched surface: concurrent suite +
     // stateful entries benched serially (their medians are in serial_top)
     val nQueries = results.size + statefulBenched.size
-    val summary = (extra: String) =>
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},$extra"serial_extra":${obj(extraSerial)},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     // full record path: env-overridable (ADVICE r10 — the bare relative
     // path scattered the artifact when launched outside the repo root and
-    // let two concurrent runs in one checkout overwrite each other)
+    // let two concurrent runs in one checkout overwrite each other); the
+    // summary's `detail` pointer must name the RESOLVED path, or a
+    // redirected run points its consumers at a stale repo-root artifact
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val summary = (extra: String) =>
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},$extra"serial_extra":${obj(extraSerial)},"detail":"$fullOut","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
       summary(s""""queries":${obj(results.sortBy(-_._2))},"serial_top":${obj(serialTop)},"""))
     println(summary(s""""queries":$slowest,"serial_top":$serialSlowest,"""))

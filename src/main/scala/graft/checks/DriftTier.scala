@@ -515,17 +515,12 @@ object DriftTier {
       import org.apache.spark.sql.expressions.Window
       import graft.substrate.{IndexRefresh, IvfIndex, IvfPq, PqIndex}
       import graft.substrate.VectorOps.sqDist
-      val K = 10; val G = 25; val QMod = 53; val CMod = 23
-      val e = table(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-      val cent = e.filter(col("vec_id") < G)
-        .select(col("vec_id").as("g"), col("v").as("cw"))
-      // planted corpus (the retrieval_recall_ivfpq_prod fixture), then
-      // the CURRENT snapshot: clusters g<5 drift, the rest jitter
-      val p0 = e.join(broadcast(cent), col("vec_id") % G === col("g"))
-        .select(col("vec_id"),
-          zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
-        .localCheckpoint(true)
+      val K = 10; val G = VectorTier.PlantedG
+      val QMod = VectorTier.PlantedQMod; val CMod = 23
+      // planted corpus — the retrieval_recall_ivfpq_prod fixture, by
+      // SHARED construction (VectorTier.plantedCorpus) — then the
+      // CURRENT snapshot: clusters g<5 drift, the rest jitter
+      val p0 = VectorTier.plantedCorpus(spark, dir)
       val p1 = p0.select(col("vec_id"),
         when(col("vec_id") % G < 5,
           transform(col("v"), x => x + lit(0.8)))
@@ -645,11 +640,7 @@ object DriftTier {
         s"""CAST((SELECT COUNT(*) FROM exact JOIN $top USING (qid, cid)) AS DOUBLE)
            |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K)"""
           .stripMargin.replace("\n", " ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
-         |cw AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < 25),
-         |p0 AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
-         |FROM ew a JOIN cw c ON c.g = a.vec_id % 25 AND c.j = a.j GROUP BY a.vec_id),
+      s"""WITH ${VectorTier.plantedCorpusCtes("p0")},
          |${VectorTier.assignAutoCtes("p0", 23, 4)},
          |p1 AS (SELECT vec_id, CASE WHEN vec_id % 25 < 5
          |THEN list_transform(v, x -> x + 0.8)
@@ -862,8 +853,76 @@ object DriftTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Streaming INGEST against the FROZEN serving codebook — the stream
+    * half of index maintenance: [[indexRefreshExecute]] guards WHEN the
+    * codebook retrains; this pins that BETWEEN refreshes, arriving
+    * vectors encode against the frozen artifact in a STATELESS
+    * micro-batch map — no state store, no shuffle, the codebook rides
+    * each batch as a broadcast-sized array (m·k·(dim/m) doubles) and
+    * every batch is embarrassingly parallel. That statelessness is the
+    * property that keeps index ingest streaming-compatible at any rate:
+    * unlike the drift monitors (which FOLD state across batches with a
+    * merge algebra), the encode of a vector depends on nothing but the
+    * frozen artifact, so the 100 TB shape is trivially a wider cluster.
+    * Output is the full per-row code assignment of the streamed delta
+    * (two waves of new vectors); the DuckDB oracle recomputes the same
+    * codes from raw parquet (train on the base population, encode the
+    * delta), so the hash match pins stream-encode ≡ batch arithmetic
+    * row-for-row — the batch-equivalence contract every streaming entry
+    * here carries. Stateful (blocking micro-batch loop) → serial-only
+    * bench, the established treatment.
+    */
+  val vectorIngestStream = Check("vector_ingest_stream",
+    (spark, dir) => {
+      import graft.substrate.PqIndex
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val e = table(ss, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "v", dim = 64))
+      val streamed = col("vec_id") % 2 === 1 && col("vec_id") < DriftStreamCap
+      def wave(m: Int): Seq[(Long, Seq[Double])] =
+        e.filter(streamed && col("vec_id") % 4 === (2 * m + 1))
+          .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+          .collect().toSeq
+      var acc = ss.emptyDataset[(Long, Seq[Int])].toDF("vec_id", "codes")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = input.toDF().toDF("vec_id", "v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc = acc
+            .unionByName(PqIndex.encode(batch, "vec_id", "v", cb, dim = 64))
+            .localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { vs =>
+          input.addData(vs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      acc.select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "cid")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("cid").cast("long").as("cid"))
+        .orderBy("vec_id", "sub")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         |delta AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1 AND vec_id < $DriftStreamCap),
+         |${VectorTier.pqCodeCtesCfg("delta", m = 8, k = 16, trainMod = 5,
+            iters = 1, trainSrc = Some("base"), qWhere = Some("FALSE"))}
+         |SELECT vec_id, sub, cid FROM codes ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
     numericDriftPsi, distributionCurrency, indexRefreshDecision,
     indexRefreshExecute, indexRefreshSelective, corpusDriftStream,
-    embeddingDriftStream)
+    embeddingDriftStream, vectorIngestStream)
 }

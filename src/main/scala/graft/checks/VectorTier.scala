@@ -1369,18 +1369,43 @@ object VectorTier {
   private case class ResidIndex(corpus: DataFrame, q: DataFrame,
       exact: DataFrame, resid: DataFrame,
       cb: Array[Array[Array[Double]]], codes: DataFrame)
-  private val PlantedG = 25
-  private val PlantedQMod = 53
-  private def plantedResidIndex(spark: SparkSession,
-      dir: String): ResidIndex = {
-    import graft.substrate.{IvfPq, PqIndex}
+  private[checks] val PlantedG = 25
+  private[checks] val PlantedQMod = 53
+
+  /** Planted-cluster corpus — ONE construction shared by
+    * `retrieval_recall_ivfpq_prod`, `retrieval_recall_ivfpq_probes`
+    * and DriftTier's `index_refresh_selective`, so the cross-entry
+    * "same fixture" claim is pinned by code, not prose (code-review
+    * r11): each row lands at 2·centroid(g) + noise, g = vec_id mod
+    * [[PlantedG]], giving ~5x inter/intra cluster margin from the
+    * corpus's own unit-ish noise.
+    */
+  private[checks] def plantedCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = embeddingsD(spark, dir)
     val cent = e.filter(col("vec_id") < PlantedG)
       .select(col("vec_id").as("g"), col("v").as("cw"))
-    val corpus = e.join(broadcast(cent), col("vec_id") % PlantedG === col("g"))
+    e.join(broadcast(cent), col("vec_id") % PlantedG === col("g"))
       .select(col("vec_id"),
         zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
       .localCheckpoint(true)
+  }
+
+  /** DuckDB twin of [[plantedCorpus]]: emits CTEs `e`, `ew`, `cw` and
+    * `$out` (the planted corpus). Callers must not redefine those
+    * names.
+    */
+  private[checks] def plantedCorpusCtes(out: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
+       |cw AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < $PlantedG),
+       |$out AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
+       |FROM ew a JOIN cw c ON c.g = a.vec_id % $PlantedG AND c.j = a.j GROUP BY a.vec_id)"""
+      .stripMargin.replace("\n", " ")
+  private def plantedResidIndex(spark: SparkSession,
+      dir: String): ResidIndex = {
+    import graft.substrate.{IvfPq, PqIndex}
+    val corpus = plantedCorpus(spark, dir)
     val q = corpus.filter(col("vec_id") % PlantedQMod === 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = broadcast(q).crossJoin(corpus)
@@ -1439,11 +1464,7 @@ object VectorTier {
       import graft.substrate.{IvfPq, PqIndex}
       val np = IvfPq.ProdNProbe
       val depth = PqIndex.ProdRerankDepth
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
-         |cw AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < 25),
-         |corpus AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
-         |FROM ew a JOIN cw c ON c.g = a.vec_id % 25 AND c.j = a.j GROUP BY a.vec_id),
+      s"""WITH ${plantedCorpusCtes("corpus")},
          |${assignAutoCtes("corpus", 23, 4)},
          |rw AS (SELECT a.vec_id, a.cell, generate_subscripts(a.v, 1) AS j, unnest(a.v) AS x FROM assigned a),
          |centw AS (SELECT cent_id, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents),
@@ -1579,11 +1600,7 @@ object VectorTier {
            |/ ((SELECT COUNT(DISTINCT qid) FROM exact) * $K) AS recall_rerank"""
           .stripMargin.replace("\n", " ")
       }.mkString(" UNION ALL ")
-      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ew AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
-         |cwp AS (SELECT vec_id AS g, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e WHERE vec_id < $PlantedG),
-         |corpus AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
-         |FROM ew a JOIN cwp c ON c.g = a.vec_id % $PlantedG AND c.j = a.j GROUP BY a.vec_id),
+      (s"""WITH ${plantedCorpusCtes("corpus")},
          |${assignAutoCtes("corpus", 23, 4)},
          |rw AS (SELECT a.vec_id, a.cell, generate_subscripts(a.v, 1) AS j, unnest(a.v) AS x FROM assigned a),
          |centw AS (SELECT cent_id, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents),

@@ -39,8 +39,14 @@ object IndexRefresh {
       k: Int = PqIndex.ProdCodebookK,
       trainMod: Int = PqIndex.ProdTrainMod)
       : (Double, Boolean, Array[Array[Array[Double]]], Array[Array[Array[Double]]]) = {
-    val meanShift = Drift.embeddingMeanShift(base, delta, vCol)
-      .agg(avg("abs_shift").as("ms")).collect().head.getDouble(0)
+    // an EMPTY delta (no new data arrived this window) is a legitimate
+    // monitoring state, not an error: the per-dim join yields zero rows
+    // and avg() returns null — read it as zero shift, i.e. no drift
+    // evidence, serve the aged artifact (an empty BASE still fails
+    // loudly downstream in PqIndex.codebooks' undersized-corpus guard)
+    val msRow = Drift.embeddingMeanShift(base, delta, vCol)
+      .agg(avg("abs_shift").as("ms")).collect().head
+    val meanShift = if (msRow.isNullAt(0)) 0.0 else msRow.getDouble(0)
     val aged = PqIndex.codebookArrays(
       PqIndex.codebooks(base, idCol, vCol, dim, k = k, trainMod = trainMod),
       k = k)

@@ -218,6 +218,14 @@ object Layout {
     val parts = plan.select("part").distinct().collect().map(_.getString(0))
     require(parts.length <= 1,
       s"compact() is per-partition (one inPath): plan spans ${parts.length} parts — use compactAll (or call once per partition directory)")
+    // the plan records the directory it was built over; executing it
+    // against a DIFFERENT directory whose files share leaf names would
+    // silently compact the wrong data under the wrong bin geometry
+    // (code-review r11 — the single-part twin of compactAll's
+    // leaf-distinctness contract)
+    require(parts.isEmpty ||
+        parts.head.stripSuffix("/") == inPath.stripSuffix("/"),
+      s"compact: plan was built over '${parts.head}' but inPath is '$inPath'")
     // members come from the plan's OWN `files` column (ADVICE r10: the
     // old execution-time re-list + lexicographic [first, last] range
     // silently folded in files added after planning)

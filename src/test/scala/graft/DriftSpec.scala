@@ -212,4 +212,44 @@ class DriftSpec extends SparkSpec {
     // codes to the full twin
     assert(agree > 0.5 && agree <= 1.0, s"code agreement $agree")
   }
+
+  test("vector_ingest_stream: stream-encoded codes == batch encode against the frozen codebook") {
+    // the stateless-ingest contract: between refreshes, a streamed
+    // vector's codes depend on nothing but the frozen artifact, so the
+    // micro-batch path must be EXACTLY the batch encode, row for row
+    import graft.substrate.PqIndex
+    import graft.substrate.VectorOps.toDoubleArr
+    val out = graft.checks.Checks.byName("vector_ingest_stream")
+      .run(spark, sf).collect()
+    assert(out.nonEmpty && out.length % 8 == 0, s"rows=${out.length}")
+    val e = graft.checks.CheckDsl.table(spark, sf, "embeddings")
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    val cb = PqIndex.codebookArrays(PqIndex.codebooks(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "v", dim = 64))
+    val batch = PqIndex.encode(
+        e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 400),
+        "vec_id", "v", cb, dim = 64)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+      .toSet
+    val streamed = out
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub"),
+        r.getAs[Long]("cid"))).toSet
+    assert(streamed == batch, "stream and batch code assignments differ")
+  }
+
+  test("refreshIfDrifted: an empty delta is a no-drift window, not an error") {
+    // the routine monitoring state "no new data arrived" must read as
+    // zero shift and serve the aged artifact — not NPE on avg(NULL)
+    // (code-review r11)
+    import graft.substrate.IndexRefresh
+    val base = Seq.tabulate(8)(i =>
+        (i.toLong, Array.fill(8)(i.toDouble)))
+      .toDF("vec_id", "v")
+    val empty = base.filter(org.apache.spark.sql.functions.lit(false))
+    val (ms, refresh, aged, serving) = IndexRefresh.refreshIfDrifted(
+      base, empty, base, "vec_id", "v", dim = 8, k = 2, trainMod = 1)
+    assert(ms == 0.0 && !refresh)
+    assert(serving eq aged, "no-drift window must keep the aged artifact")
+  }
 }

@@ -383,6 +383,20 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("per-partition"))
   }
 
+  test("compact refuses a plan built over a different directory") {
+    import spark.implicits._
+    // a plan carries the directory it planned over; executing it against
+    // another directory whose files share leaf names would silently
+    // compact the wrong data under the wrong bin geometry (code-review
+    // r11 — the single-part twin of compactAll's leaf-distinctness rule)
+    val plan = Seq(("/planned/dir", 0L, Seq("part-0.parquet")))
+      .toDF("part", "bin", "files")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/other/dir", "/out", plan, "k")
+    }
+    assert(e.getMessage.contains("built over"))
+  }
+
   test("compact EXECUTES the plan: one file per bin, read-equivalent, clustering preserved") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cex").toString
     try {
