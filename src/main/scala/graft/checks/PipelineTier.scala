@@ -428,6 +428,143 @@ object PipelineTier {
     },
     None, isScore = false)
 
+  /** Fixed doc_id cap on the streaming-dedup fixture: bounds BOTH sides —
+    * the stored index (~cap/2 docs) and the streamed waves (~cap/10 +
+    * cap/50 docs) — so the MemoryStream driver-side collects and the md5
+    * portable hashing stay O(cap) at ANY scale factor (the
+    * inverted_index_stream IdxStreamCap discipline; binding from sf0.1
+    * up, whole-corpus below).
+    */
+  private val DedupStreamCap = 1000L
+
+  /** STREAMING dedup at ingest — the stream face of `dedup_incremental`:
+    * documents arrive as real Structured Streaming micro-batches
+    * (MemoryStream → foreachBatch) and each batch is near-dup-checked
+    * against the STORED signature index (MinHashLsh
+    * .nearDupPairsAgainstIndex — only the batch hashes fresh; the index
+    * side is the signature artifact appended batch-by-batch, never
+    * rebuilt) plus within itself (nearDupPairs), then its signatures and
+    * shingles join the stores. This is detection-at-ingest: every doc is
+    * indexed, dup or not, and the report carries (later arrival, earlier
+    * doc, jaccard) — admission control is a downstream anti-join on `a`.
+    * Two waves stream in: natural docs (doc_id % 20 = 7 → wave 1,
+    * % 20 = 17 → wave 2) plus planted re-ingests of indexed docs
+    * (doc_id % 50 = 0, first token dropped, re-keyed +2,000,000;
+    * % 100 = 0 → wave 1, % 100 = 50 → wave 2), all under
+    * [[DedupStreamCap]]. The DuckDB oracle recomputes ALL near-dup pairs
+    * over base ∪ wave1 ∪ wave2 with one global band algebra and applies
+    * the arrival-order rule declaratively (pair reported iff not both
+    * sides are base; a = the later epoch's doc, id-ordered within an
+    * epoch) — the hash match pins stream-incremental ≡ batch over the
+    * full population, band boundaries, Jaccard values and arrival
+    * orientation included. Per-batch cost at 100 TB is O(batch +
+    * candidates): one (band, bkey) equi-join against the stored index,
+    * shingle store touched only by the candidate-bounded verify join.
+    * Stateful (blocking micro-batch loop) → serial-only bench.
+    */
+  val dedupIngestStream = Check("dedup_ingest_stream",
+    (spark, dir) => {
+      import graft.substrate.MinHashLsh
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val d = docs(ss, dir)
+      val toks = tokens(col("text"))
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      val base = d
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < DedupStreamCap)
+        .select(col("doc_id"), col("text"))
+      // the stored index artifact: signature table + shingle store,
+      // eagerly checkpointed per batch so lineage stays O(1) in batches
+      var sigStore = MinHashLsh
+        .signatures(sh(base), 8, MinHashLsh.portableHash)
+        .localCheckpoint(true)
+      var shStore = sh(base).localCheckpoint(true)
+      var pairs = Seq.empty[(Long, Long, Double)].toDF("a", "b", "jaccard")
+      def wave(m: Int): Seq[(Long, String)] = {
+        val nat = d.filter(col("doc_id") % 20 === (10 * m + 7) &&
+            col("doc_id") < DedupStreamCap)
+          .select(col("doc_id"), col("text"))
+        val planted = d.filter(col("doc_id") % 100 === (50 * m) &&
+            col("doc_id") < DedupStreamCap)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+              .as("text"))
+        nat.unionAll(planted).as[(Long, String)].collect().toSeq
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bsh = sh(batch).localCheckpoint(true)
+          val cross = MinHashLsh.nearDupPairsAgainstIndex(bsh, sigStore,
+            shStore, numPerms = 8, bandRows = 2, threshold = 0.5,
+            hashFn = MinHashLsh.portableHash,
+            bandKeyFn = MinHashLsh.portableBandKey)
+          val within = MinHashLsh.nearDupPairs(bsh, numPerms = 8,
+            bandRows = 2, threshold = 0.5,
+            hashFn = MinHashLsh.portableHash,
+            bandKeyFn = MinHashLsh.portableBandKey)
+          pairs = pairs.unionByName(cross).unionByName(within)
+            .localCheckpoint(true)
+          sigStore = sigStore
+            .unionByName(MinHashLsh.signatures(bsh, 8,
+              MinHashLsh.portableHash))
+            .localCheckpoint(true)
+          shStore = shStore.unionByName(bsh).localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { vs =>
+          input.addData(vs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      pairs.orderBy("a", "b")
+    },
+    Some {
+      val sigCols = (0 until 8)
+        .map(p => s"MIN(md5(sh || ':$p')) AS m$p").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bkey FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH pop AS (
+         |SELECT doc_id, text, 0 AS ep FROM documents WHERE doc_id % 2 = 0 AND doc_id < $DedupStreamCap
+         |UNION ALL SELECT doc_id, text, CASE WHEN doc_id % 20 = 7 THEN 1 ELSE 2 END AS ep
+         |FROM documents WHERE doc_id % 10 = 7 AND doc_id < $DedupStreamCap
+         |UNION ALL SELECT doc_id + 2000000 AS doc_id,
+         |array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+         |len(string_split_regex(trim(text), '\\s+'))), ' ') AS text,
+         |CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 2 END AS ep
+         |FROM documents WHERE doc_id % 50 = 0 AND doc_id < $DedupStreamCap),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM pop),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+         |sigs AS (SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY doc_id),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+         |FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS i
+         |FROM cand c JOIN tri ta ON ta.doc_id = c.u
+         |JOIN tri tb ON tb.doc_id = c.v AND tb.sh = ta.sh GROUP BY 1, 2),
+         |j AS (SELECT c.u, c.v, eu.ep AS epu, ev.ep AS epv,
+         |CAST(COALESCE(i.i, 0) AS DOUBLE) / (su.n + sv.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON i.u = c.u AND i.v = c.v
+         |JOIN sigs su ON su.doc_id = c.u JOIN sigs sv ON sv.doc_id = c.v
+         |JOIN pop eu ON eu.doc_id = c.u JOIN pop ev ON ev.doc_id = c.v)
+         |SELECT CASE WHEN epv > epu THEN v ELSE u END AS a,
+         |CASE WHEN epv > epu THEN u ELSE v END AS b, jaccard
+         |FROM j WHERE jaccard >= 0.5 AND NOT (epu = 0 AND epv = 0)
+         |ORDER BY a, b"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** Events attributed to the pipeline-run window they occurred in —
     * point-in-interval RANGE join (substrate.RangeJoin): binned to an
     * equi-join on hour buckets + residual BETWEEN, instead of the
@@ -1175,7 +1312,8 @@ object PipelineTier {
 
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
-    dedupIncrementalProd, dedupRetainQuality, sequencePack, eventsInRunWindow,
+    dedupIncrementalProd, dedupIngestStream, dedupRetainQuality,
+    sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramContamination,
     ngramDocFreq,

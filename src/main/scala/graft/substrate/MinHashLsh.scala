@@ -138,37 +138,65 @@ object MinHashLsh {
       hashFn: (Column, Int) => Column = defaultHash,
       bandKeyFn: Seq[Column] => Column = defaultBandKey,
       includeSameId: Boolean = false): DataFrame = {
-    val dOwn = deltaShingles.storageLevel ==
-      org.apache.spark.storage.StorageLevel.NONE
     val cOwn = corpusShingles.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
-    val dsh = if (dOwn) deltaShingles.persist() else deltaShingles
     val csh = if (cOwn) corpusShingles.persist() else corpusShingles
-    val dsigs = signatures(dsh, numPerms, hashFn).persist()
     val csigs = signatures(csh, numPerms, hashFn).persist()
+    val pairs = nearDupPairsAgainstIndex(deltaShingles, csigs, csh,
+      numPerms, bandRows, threshold, hashFn, bandKeyFn, includeSameId)
+    csigs.unpersist(false)
+    if (cOwn) csh.unpersist(false)
+    pairs
+  }
+
+  /** Delta-vs-STORED-INDEX near-dup: [[nearDupPairsAgainst]] with the
+    * corpus side's signatures supplied as a PRECOMPUTED artifact (the
+    * appended signature table a streaming ingester maintains — see
+    * [[signatures]]' scaladoc: at 100 TB that table IS the index, computed
+    * once and appended to per batch, never rebuilt). Only the delta is
+    * hashed fresh; the corpus SHINGLE store is touched solely by the
+    * candidate-bounded exact-Jaccard verify join (at scale, a point
+    * lookup into the stored shingle table pruned by the candidate set),
+    * so per-batch cost is O(delta + candidates), independent of corpus
+    * size outside the one (band, bkey) equi-join against the index.
+    *
+    * @param corpusSigs (doc_id, m0..m{numPerms-1}, n) stored signature
+    *        rows, hashed with the SAME hashFn as the delta.
+    */
+  def nearDupPairsAgainstIndex(deltaShingles: DataFrame,
+      corpusSigs: DataFrame, corpusShingles: DataFrame,
+      numPerms: Int = 12, bandRows: Int = 2, threshold: Double = 0.5,
+      hashFn: (Column, Int) => Column = defaultHash,
+      bandKeyFn: Seq[Column] => Column = defaultBandKey,
+      includeSameId: Boolean = false): DataFrame = {
+    val dOwn = deltaShingles.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val dsh = if (dOwn) deltaShingles.persist() else deltaShingles
+    val dsigs = signatures(dsh, numPerms, hashFn).persist()
     val candidates = bandedKeys(dsigs, numPerms, bandRows, bandKeyFn)
       .select(col("band"), col("bkey"), col("doc_id").as("a"))
-      .join(bandedKeys(csigs, numPerms, bandRows, bandKeyFn)
+      .join(bandedKeys(corpusSigs, numPerms, bandRows, bandKeyFn)
         .select(col("band"), col("bkey"), col("doc_id").as("b")),
         Seq("band", "bkey"))
       .filter(if (includeSameId) lit(true) else col("a") =!= col("b"))
       .select("a", "b").distinct()
     val inter = candidates
       .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(csh.select(col("doc_id").as("b2"), col("shingle").as("sh2")),
+      .join(corpusShingles.select(col("doc_id").as("b2"),
+          col("shingle").as("sh2")),
         col("b") === col("b2") && col("shingle") === col("sh2"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val pairs = candidates.join(inter, Seq("a", "b"), "left")
       .join(dsigs.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(csigs.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .join(corpusSigs.select(col("doc_id").as("b"), col("n").as("nb")),
+        Seq("b"))
       .select(col("a"), col("b"),
         (coalesce(col("inter"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    dsigs.unpersist(false); csigs.unpersist(false)
+    dsigs.unpersist(false)
     if (dOwn) dsh.unpersist(false)
-    if (cOwn) csh.unpersist(false)
     pairs
   }
 }

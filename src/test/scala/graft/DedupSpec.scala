@@ -155,4 +155,41 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sig(0L), sig(1L)) <= 8)  // near dup close in 32-bit space
     assert(hamming(sig(0L), sig(2L)) > 8)   // unrelated far
   }
+
+  test("nearDupPairsAgainstIndex with STORED signatures == recomputing them") {
+    // the streaming-ingest contract: feeding the precomputed signature
+    // artifact must yield exactly the pairs of the recompute-everything
+    // path — the index is a cache of the corpus hash, never a different
+    // algebra
+    import graft.substrate.{MinHashLsh, TextOps}
+    val corpus = Seq((0L, base), (2L, different)).toDF("doc_id", "text")
+    val delta = Seq((10L, nearDup), (11L, "fresh unseen text with no relation to anything indexed before"))
+      .toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    val stored = MinHashLsh.signatures(sh(corpus), 12)
+    val viaIndex = MinHashLsh
+      .nearDupPairsAgainstIndex(sh(delta), stored, sh(corpus))
+      .as[(Long, Long, Double)].collect().toSet
+    val recomputed = MinHashLsh.nearDupPairsAgainst(sh(delta), sh(corpus))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == recomputed && viaIndex.exists(_._1 == 10L))
+  }
+
+  test("dedup_ingest_stream: planted re-ingests surface against the stored index; only streamed docs report") {
+    val rows = graft.checks.Checks.byName("dedup_ingest_stream")
+      .run(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val streamedId = (id: Long) => id >= 2000000L || id % 10 == 7
+    // a = the later arrival: always a streamed doc (the index is never
+    // checked against itself)
+    assert(rows.nonEmpty && rows.forall { case (a, _, j) =>
+      streamedId(a) && j >= 0.5 })
+    // every planted first-token-dropped re-ingest must pair with its
+    // original (the stored-index hit the entry exists to prove)
+    val planted = rows.filter(_._1 >= 2000000L).map(p => (p._1, p._2)).toSet
+    val expect = (0L until 1000L by 50L)
+      .filter(_ < 500).map(id => (id + 2000000L, id)).toSet
+    assert(expect.subsetOf(planted), s"missing ${expect -- planted}")
+  }
 }
