@@ -1408,6 +1408,10 @@ object VectorTier {
     val corpus = plantedCorpus(spark, dir)
     val q = corpus.filter(col("vec_id") % PlantedQMod === 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // exact ground truth and the code table each feed MANY consumers
+    // (cell-ceiling / raw-ADC / rerank branches, ×4 budgets in the probe
+    // sweep) — materialize once or Spark re-runs the kNN cross join and
+    // the k=256 encode per branch (the chained-iteration recompute trap)
     val exact = broadcast(q).crossJoin(corpus)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
@@ -1415,6 +1419,7 @@ object VectorTier {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
       .filter(col("rank") <= K).select("qid", "cid")
+      .localCheckpoint(true)
     val resid = IvfPq.residuals(corpus, centroidMod = 23)
       .localCheckpoint(true)
     val cb = PqIndex.codebookArrays(
@@ -1424,6 +1429,7 @@ object VectorTier {
       k = PqIndex.ProdCodebookK)
     val codes = PqIndex.encode(resid, "vec_id", "r", cb, dim = 64)
       .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+      .localCheckpoint(true)
     ResidIndex(corpus, q, exact, resid, cb, codes)
   }
 

@@ -807,6 +807,10 @@ object ScaleRehearsal {
          |  ingest shape. Wall and shuffle track the DELTA, not the corpus:
          |  at 100 TB the index side is a precomputed table
          |  (MinHashLsh.signatures) and only the batch hashes fresh.
+         |  `dedup_ingest_stream` rides exactly this shape per micro-batch
+         |  (nearDupPairsAgainstIndex: the stored signature table IS the
+         |  index side), so its per-batch cost is this row's at |batch|
+         |  instead of |delta| — no separate decade rows by design.
          |- **Sign-LSH**: 8-bit bands have only 256 buckets/band, so bucket
          |  occupancy — and the candidate rate — is roughly CONSTANT in n:
          |  fixed-width bands are quadratic in the limit. The documented knob
@@ -903,7 +907,10 @@ object ScaleRehearsal {
          |  recall; codebook k trades training cost (bounded, O(sample·k))
          |  and LUT size (m·k per query) — NEVER scan shape: encode stays
          |  exchange-free and the ADC scan stays m lookups/candidate at
-         |  every k.
+         |  every k. `vector_ingest_stream` is this encode shape applied
+         |  per micro-batch against the frozen codebook (stateless — no
+         |  state store, no shuffle), so streamed ingest inherits the
+         |  flat-shuffle decade rows verbatim.
          |- **Residual IVF-PQ — the DEPLOYED path at its SLA** (r11,
          |  `retrieval_recall_ivfpq_prod`; no separate decade rows by
          |  design — its probed scan IS the measured `ivfpq probed
