@@ -1641,6 +1641,107 @@ object VectorTier {
     },
     isScore = false)
 
+  /** STREAMING retrieval serving — the query half of the index
+    * lifecycle, closing the triangle with `vector_ingest_stream`
+    * (writes) and the `index_refresh_*` family (maintenance): queries
+    * arrive as Structured Streaming micro-batches and each batch is
+    * answered against the FROZEN production artifacts — stored
+    * centroids (probeCellsFrom: the serving centroid table, not a
+    * recompute), residual code table, codebook — through the full
+    * deployed composition `retrieval_recall_ivfpq_prod` measures:
+    * nProbe=8 probe → residual ADC at depth-100 → exact rerank to
+    * top-10. Serving is STATELESS per query (no state store, no
+    * cross-batch fold): a query's answer depends on nothing but the
+    * frozen artifacts, which is exactly why the micro-batch union must
+    * equal the all-queries batch run — and the DuckDB oracle recomputes
+    * that batch answer (the prod entry's chain, emitting the ranked
+    * serving rows instead of the recall aggregate), so the hash pins
+    * stream-serve ≡ batch arithmetic per (qid, rank, cid) row. Two
+    * waves split the planted query sample by (qid div 53) parity; the
+    * wave boundary cannot appear in the output — that invariance IS the
+    * statelessness claim. Per-batch cost at 100 TB: |batch|·nProbe
+    * broadcast probe rows against a cell-partitioned code table (the
+    * measured flat-candidates shape), |batch|·depth point lookups for
+    * the rerank. Stateful fixture loop → serial-only bench.
+    */
+  val retrievalServeStream = Check("retrieval_serve_stream",
+    (spark, dir) => {
+      import graft.substrate.{IvfIndex, IvfPq, PqIndex}
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      // frozen serving artifacts, built ONCE before the stream starts
+      val ResidIndex(corpus, q, _, _, cb, codes) = plantedResidIndex(ss, dir)
+      val cents = IvfPq.servingCentroids(corpus, centroidMod = 23)
+        .localCheckpoint(true)
+      var served = Seq.empty[(Long, Long, Long)].toDF("qid", "rank", "cid")
+      def wave(m: Int): Seq[(Long, Seq[Double])] =
+        q.filter(expr(s"(qid div $PlantedQMod) % 2") === m)
+          .as[(Long, Seq[Double])].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val sq2 = input.toDF().toDF("qid", "qv")
+      val query = sq2.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val probes = IvfPq.probeCellsFrom(cents, batch, "qid", "qv",
+            nProbe = IvfPq.ProdNProbe)
+          val cand = IvfPq.adcResidual(codes, probes, cb, dim = 64,
+            topK = PqIndex.ProdRerankDepth)
+          val ans = PqIndex.rerankExact(cand.select("qid", "cid"), corpus,
+            batch, "qid", "qv", K)
+          served = served.unionByName(ans).localCheckpoint(true)
+        }
+        .start()
+      try {
+        Seq(wave(0), wave(1)).foreach { vs =>
+          input.addData(vs); query.processAllAvailable()
+        }
+      } finally query.stop()
+      served.orderBy("qid", "rank")
+    },
+    Some {
+      import graft.substrate.{IvfPq, PqIndex}
+      val np = IvfPq.ProdNProbe
+      val depth = PqIndex.ProdRerankDepth
+      s"""WITH ${plantedCorpusCtes("corpus")},
+         |${assignAutoCtes("corpus", 23, 4)},
+         |rw AS (SELECT a.vec_id, a.cell, generate_subscripts(a.v, 1) AS j, unnest(a.v) AS x FROM assigned a),
+         |centw AS (SELECT cent_id, generate_subscripts(cv, 1) AS j, unnest(cv) AS x FROM cents),
+         |resid AS (SELECT r.vec_id, r.cell, list(r.x - c.x ORDER BY r.j) AS v
+         |FROM rw r JOIN centw c ON c.cent_id = r.cell AND c.j = r.j GROUP BY r.vec_id, r.cell),
+         |${pqCodeCtesCfg("resid", m = 8, k = PqIndex.ProdCodebookK,
+            trainMod = PqIndex.ProdTrainMod, iters = PqIndex.ProdLloydIters,
+            qWhere = Some("FALSE"))},
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id % $PlantedQMod = 3),
+         |probes AS (SELECT qid, qv, cell, cv FROM (
+         |SELECT q.qid, q.qv, c.cent_id AS cell, c.cv,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cent_id) AS rn
+         |FROM qs q, cents c) WHERE rn <= $np),
+         |qw2 AS (SELECT qid, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM qs),
+         |qres AS (SELECT p.qid, p.cell, list(q.x - c.x ORDER BY q.j) AS qr
+         |FROM probes p JOIN qw2 q ON q.qid = p.qid
+         |JOIN centw c ON c.cent_id = p.cell AND c.j = q.j GROUP BY p.qid, p.cell),
+         |qrsub AS (SELECT q.qid, q.cell, s.sub, q.qr[s.sub*8+1 : s.sub*8+8] AS quv FROM qres q, subs s),
+         |rlut AS (SELECT q.qid, q.cell, q.sub, c.cid, list_distance(q.quv, c.cv) AS d
+         |FROM qrsub q JOIN cbf c USING (sub)),
+         |adist AS (SELECT p.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM probes p JOIN assigned a ON a.cell = p.cell
+         |JOIN codes co ON co.vec_id = a.vec_id
+         |JOIN rlut l ON l.qid = p.qid AND l.cell = p.cell AND l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> p.qid GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cand AS cid,
+         |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM adist),
+         |cand AS (SELECT qid, cid FROM ranked WHERE rank <= $depth),
+         |rr AS (SELECT c.qid, c.cid,
+         |row_number() OVER (PARTITION BY c.qid ORDER BY list_distance(q.qv, v.v), c.cid) AS rank
+         |FROM cand c JOIN corpus v ON v.vec_id = c.cid JOIN qs q ON q.qid = c.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid FROM rr
+         |WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(knnExactCosine, annBrpTopk,
     retrievalRecallCompliance, annIvfTopk, annIvfFiltered,
     retrievalRecallIvf, retrievalRecallIvfProbes,
@@ -1650,5 +1751,5 @@ object VectorTier {
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
-    retrievalRecallIvfPqProbes)
+    retrievalRecallIvfPqProbes, retrievalServeStream)
 }

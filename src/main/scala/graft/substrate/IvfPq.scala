@@ -113,10 +113,17 @@ object IvfPq {
     */
   def probeCells(e: DataFrame, queries: DataFrame, qidCol: String,
       qvCol: String, centroidMod: Int, nProbe: Int): DataFrame =
-    probeCellsFrom(
-      IvfIndex.centroids(e, centroidMod)
-        .select(col("cent_id").as("cell"), col("cv")),
+    probeCellsFrom(servingCentroids(e, centroidMod),
       queries, qidCol, qvCol, nProbe)
+
+  /** The coarse-quantizer artifact as a standalone (cell, cv) table —
+    * what a serving tier STORES and hands to [[probeCellsFrom]] per
+    * query batch (`retrieval_serve_stream`), instead of re-deriving
+    * centroids from the corpus on every probe.
+    */
+  def servingCentroids(e: DataFrame, centroidMod: Int): DataFrame =
+    IvfIndex.centroids(e, centroidMod)
+      .select(col("cent_id").as("cell"), col("cv"))
 
   /** [[probeCells]] against an EXPLICIT centroid table (cell, cv) — the
     * form the refresh loop needs: after a selective centroid correction

@@ -237,4 +237,23 @@ class PqSpec extends SparkSpec {
     assert(rr >= 0.8, s"deployed-path recall $rr under the 0.8 SLA")
     assert(out.getAs[Boolean]("meets_sla"))
   }
+
+  test("retrieval_serve_stream: both waves served, exactly k ranked answers per query, no self-hits") {
+    // the statelessness contract's structural half (the cross-engine
+    // batch-equality half is the entry's DuckDB oracle): the micro-batch
+    // union must cover the FULL planted query sample with a complete
+    // 1..k ranking each — a wave boundary visible in the output would
+    // mean serving state leaked across batches
+    val rows = graft.checks.Checks.byName("retrieval_serve_stream")
+      .run(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.keys.forall(_ % 53 == 3))
+    assert(byQ.keySet.map(q => (q / 53) % 2) == Set(0L, 1L),
+      "output must span both streamed waves")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 10L), s"ranks for $q")
+      assert(rs.forall(_._3 != q), s"self-answer for $q")
+    }
+  }
 }
