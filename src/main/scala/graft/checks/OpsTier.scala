@@ -866,10 +866,90 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Manifest-pinned snapshot reads (substrate.SnapshotStore) — the
+    * data-level witness for Factor 4's immutable version ids
+    * (`requirements.yaml:136-138`): v1 is the initial load (l_orderkey
+    * % 4 ∈ {0,1}, 4 clustered files), v2 an APPEND commit (v1's files
+    * plus a % 4 = 2 delta — pinned by listing both directories, no file
+    * rewritten), v3 a COMPACTION commit (v2's rows rewritten into one
+    * clustered file; v1/v2 keep their original files). The output reads
+    * ALL THREE versions through readAt AFTER the compaction commit
+    * exists — v1 and v2 still answering from their original files while
+    * v3 answers from the rewrite IS the time-travel claim, and v3
+    * hashing equal to v2 is the rewrite's read-equivalence. The oracle
+    * recomputes each version's aggregates from the source parquet with
+    * the same modulus predicates; sums use the order-independent
+    * integer-cents idiom (the compaction_execute lesson — v3's file
+    * order differs from v2's by construction). Aggregates are collected
+    * (3 rows) so the temp store can be deleted eagerly; manifest
+    * collects are metadata-scale (#files rows). The vacuum/retention
+    * half — dropped-version files deletable, shared files surviving,
+    * retained reads intact after deletion — is physical and lives in
+    * LayoutSpec.
+    */
+  val snapshotRead = Check("snapshot_read",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val li = table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap")
+        .toString
+      try {
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+          s"$tmp/d1", "l_orderkey", numFiles = 4)
+        val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+          s"$tmp/d2", "l_orderkey", numFiles = 2)
+        val m2 = SnapshotStore.manifestFor(spark, 2L,
+          Seq(s"$tmp/d1", s"$tmp/d2"))
+        val m12 = m1.unionByName(m2).localCheckpoint(true)
+        Layout.writeClustered(SnapshotStore.readAt(spark, m12, 2L),
+          s"$tmp/d3", "l_orderkey", numFiles = 1)
+        val manifest = m12
+          .unionByName(SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
+          .localCheckpoint(true)
+        val rows = Seq(1L, 2L, 3L).map { v =>
+          SnapshotStore.readAt(spark, manifest, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"),
+              sum(floor(col("l_extendedprice")).cast("long"))
+                .as("sum_price_i"))
+            .select(lit(v).as("version"), col("n_rows"), col("sum_qty_i"),
+              col("sum_price_i"))
+        }.reduce(_ unionByName _).orderBy("version").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_qty_i",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_price_i",
+              org.apache.spark.sql.types.LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg(where: String) =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem WHERE $where""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(1 AS BIGINT) AS version, ${agg("l_orderkey % 4 <= 1")}
+         |UNION ALL SELECT CAST(2 AS BIGINT), ${agg("l_orderkey % 4 <= 2")}
+         |UNION ALL SELECT CAST(3 AS BIGINT), ${agg("l_orderkey % 4 <= 2")}
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
-    zorder3ClusterStats, compactionPlan, compactionExecute)
+    zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead)
 }

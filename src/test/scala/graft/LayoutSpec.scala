@@ -533,4 +533,55 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("snapshot store: time travel survives compaction; vacuum names exactly the dropped-only files") {
+    import spark.implicits._
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapspec")
+      .toString
+    try {
+      val df = spark.range(1000)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      val head = df.filter(col("k") < 600)
+      Layout.writeClustered(head, s"$tmp/d1", "k", numFiles = 3)
+      val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
+      Layout.writeClustered(df.filter(col("k") >= 600), s"$tmp/d2", "k",
+        numFiles = 2)
+      val m12 = m1.unionByName(
+          SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+        .localCheckpoint(true)
+      // v3 = compaction commit: v2's rows rewritten into one file
+      Layout.writeClustered(SnapshotStore.readAt(spark, m12, 2L),
+        s"$tmp/d3", "k", numFiles = 1)
+      val manifest = m12
+        .unionByName(SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
+        .localCheckpoint(true)
+      // v1 answers from its original files, untouched by later commits
+      val v1 = SnapshotStore.readAt(spark, manifest, 1L)
+      assert(v1.exceptAll(head).isEmpty && head.exceptAll(v1).isEmpty)
+      // the rewrite is read-equivalent: v3 == v2 row-for-row
+      val v2 = SnapshotStore.readAt(spark, manifest, 2L)
+      val v3 = SnapshotStore.readAt(spark, manifest, 3L)
+      assert(v3.exceptAll(v2).isEmpty && v2.exceptAll(v3).isEmpty)
+      // shared-file safety: dropping only v2 deletes nothing of d1
+      // (v1 still references it) — only d2's files become deletable
+      val afterDropV2 = SnapshotStore.vacuum(manifest, Seq(1L, 3L))
+        .as[String].collect()
+      assert(afterDropV2.nonEmpty && afterDropV2.forall(_.contains("/d2/")))
+      // retention end-to-end: drop v1+v2, physically delete their
+      // exclusive files, and the retained version still reads complete
+      val dropped = SnapshotStore.vacuum(manifest, Seq(3L))
+        .as[String].collect()
+      assert(dropped.forall(f => f.contains("/d1/") || f.contains("/d2/")))
+      dropped.foreach(f => assert(new java.io.File(f).delete(), f))
+      assert(SnapshotStore.readAt(spark, manifest, 3L).count() == 1000L)
+      // unknown version fails loudly, never an empty table
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readAt(spark, manifest, 9L)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
