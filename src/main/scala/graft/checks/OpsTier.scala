@@ -1,5 +1,6 @@
 package graft.checks
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Fixtures
@@ -887,47 +888,62 @@ object OpsTier {
     * retained reads intact after deletion — is physical and lives in
     * LayoutSpec.
     */
+  /** Builds the 3-version snapshot fixture under `tmp` and returns its
+    * manifest: v1 initial load (l_orderkey % 4 ∈ {0,1}, 4 clustered
+    * files), v2 append commit (+ the % 4 = 2 delta, 2 files), v3
+    * compaction commit (v2 rewritten into one clustered file). Shared by
+    * `snapshot_read` and `snapshot_incremental_read` so the two entries
+    * witness the SAME store lifecycle.
+    */
+  private def snapshotFixture(spark: SparkSession, dir: String,
+      tmp: String): DataFrame = {
+    import graft.substrate.{Layout, SnapshotStore}
+    val li = table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+      s"$tmp/d1", "l_orderkey", numFiles = 4)
+    val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
+    Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+      s"$tmp/d2", "l_orderkey", numFiles = 2)
+    val m12 = m1.unionByName(SnapshotStore.manifestFor(spark, 2L,
+        Seq(s"$tmp/d1", s"$tmp/d2")))
+      .localCheckpoint(true)
+    Layout.writeClustered(SnapshotStore.readAt(spark, m12, 2L),
+      s"$tmp/d3", "l_orderkey", numFiles = 1)
+    m12.unionByName(SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
+      .localCheckpoint(true)
+  }
+
+  private val SnapAggSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_qty_i",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_price_i",
+      org.apache.spark.sql.types.LongType)))
+
+  private def snapAgg(df: DataFrame, tag: Long): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"),
+        sum(floor(col("l_extendedprice")).cast("long")).as("sum_price_i"))
+      .select(lit(tag).as("version"), col("n_rows"), col("sum_qty_i"),
+        col("sum_price_i"))
+
   val snapshotRead = Check("snapshot_read",
     (spark, dir) => {
-      import graft.substrate.{Layout, SnapshotStore}
-      val li = table(spark, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      import graft.substrate.SnapshotStore
       val tmp = java.nio.file.Files.createTempDirectory("graft_snap")
         .toString
       try {
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
-          s"$tmp/d1", "l_orderkey", numFiles = 4)
-        val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
-          s"$tmp/d2", "l_orderkey", numFiles = 2)
-        val m2 = SnapshotStore.manifestFor(spark, 2L,
-          Seq(s"$tmp/d1", s"$tmp/d2"))
-        val m12 = m1.unionByName(m2).localCheckpoint(true)
-        Layout.writeClustered(SnapshotStore.readAt(spark, m12, 2L),
-          s"$tmp/d3", "l_orderkey", numFiles = 1)
-        val manifest = m12
-          .unionByName(SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
-          .localCheckpoint(true)
-        val rows = Seq(1L, 2L, 3L).map { v =>
-          SnapshotStore.readAt(spark, manifest, v)
-            .agg(count(lit(1)).as("n_rows"),
-              sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"),
-              sum(floor(col("l_extendedprice")).cast("long"))
-                .as("sum_price_i"))
-            .select(lit(v).as("version"), col("n_rows"), col("sum_qty_i"),
-              col("sum_price_i"))
-        }.reduce(_ unionByName _).orderBy("version").collect()
+        val manifest = snapshotFixture(spark, dir, tmp)
+        val rows = Seq(1L, 2L, 3L)
+          .map(v => snapAgg(SnapshotStore.readAt(spark, manifest, v), v))
+          .reduce(_ unionByName _).orderBy("version").collect()
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("version",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_qty_i",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_price_i",
-              org.apache.spark.sql.types.LongType))))
+          SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmp)).deleteRecursively()
@@ -946,10 +962,62 @@ object OpsTier {
     },
     isScore = false)
 
+  /** File-level incremental consumption over the SAME snapshot store
+    * lifecycle (`snapshotFixture`): a downstream consumer pinned to v1
+    * catches up to v2 by reading ONLY the files v2 added
+    * (SnapshotStore.changedFiles — after an append commit that is
+    * exactly the delta, O(|delta|) bytes instead of a table re-scan;
+    * the manifest diff itself is O(#files) metadata rows). The 2→3 row
+    * is the HONEST caveat pinned as data: a compaction commit rewrites
+    * every file, so the file-level diff degenerates to the full table —
+    * the reason maintenance rewrites pair with row-level diffing
+    * (table_diff / cdc_upsert) for consumers that cannot re-read. The
+    * oracle recomputes both windows from the source parquet with the
+    * same modulus predicates (1→2: the % 4 = 2 delta only; 2→3: the
+    * full % 4 ≤ 2 population); integer-cents sums.
+    */
+  val snapshotIncrementalRead = Check("snapshot_incremental_read",
+    (spark, dir) => {
+      import graft.substrate.SnapshotStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapinc")
+        .toString
+      try {
+        val manifest = snapshotFixture(spark, dir, tmp)
+        val rows = Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+          snapAgg(SnapshotStore.readChanged(spark, manifest, a, b), b)
+            .withColumnRenamed("version", "to_version")
+            .select(lit(a).as("from_version"), col("to_version"),
+              col("n_rows"), col("sum_qty_i"), col("sum_price_i"))
+        }.reduce(_ unionByName _).orderBy("from_version").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("from_version",
+              org.apache.spark.sql.types.LongType, nullable = false) +:
+            SnapAggSchema.fields.toSeq.map(f =>
+              if (f.name == "version") f.copy(name = "to_version") else f)))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg(where: String) =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem WHERE $where""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(1 AS BIGINT) AS from_version, CAST(2 AS BIGINT) AS to_version, ${agg("l_orderkey % 4 = 2")}
+         |UNION ALL SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), ${agg("l_orderkey % 4 <= 2")}
+         |ORDER BY from_version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
-    zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead)
+    zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
+    snapshotIncrementalRead)
 }

@@ -61,4 +61,33 @@ object SnapshotStore {
     manifest.select("file").distinct()
       .join(manifest.filter(col("version").isin(keep: _*)).select("file"),
         Seq("file"), "left_anti")
+
+  /** Files in `toV` that `fromV` does not reference — the file-level
+    * incremental-consumption set: after an APPEND commit this is exactly
+    * the delta's files, so a downstream consumer reads O(|delta|) bytes
+    * instead of re-scanning the table (the manifest diff costs O(#files)
+    * metadata rows, never data). After a COMPACTION commit it is the
+    * whole rewritten set — file-level diff is only as incremental as the
+    * commits are append-only, which is why maintenance rewrites should
+    * pair with row-level diffing (TableDiff/Cdc) for consumers that
+    * cannot re-read.
+    */
+  def changedFiles(manifest: DataFrame, fromV: Long, toV: Long): DataFrame =
+    manifest.filter(col("version") === toV).select("file")
+      .join(manifest.filter(col("version") === fromV).select("file"),
+        Seq("file"), "left_anti")
+
+  /** Scan of exactly [[changedFiles]]' paths. Fails loudly when nothing
+    * changed — an empty path list cannot produce a schema'd scan; a
+    * no-change window is for the caller to short-circuit on
+    * changedFiles' count.
+    */
+  def readChanged(spark: SparkSession, manifest: DataFrame,
+      fromV: Long, toV: Long): DataFrame = {
+    val files = changedFiles(manifest, fromV, toV)
+      .collect().map(_.getString(0))
+    require(files.nonEmpty,
+      s"no files changed between versions $fromV and $toV")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

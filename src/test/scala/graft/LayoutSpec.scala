@@ -579,6 +579,21 @@ class LayoutSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         SnapshotStore.readAt(spark, manifest, 9L)
       }
+      // file-level diff: append commit → exactly the delta's files;
+      // compaction commit → the whole rewritten set; same version →
+      // nothing changed and readChanged refuses rather than scanning
+      // nothing (readChanged itself runs against the PRE-vacuum files
+      // in the oracled entry — here d1/d2 were just deleted, so assert
+      // the manifest algebra only)
+      val app = SnapshotStore.changedFiles(manifest, 1L, 2L)
+        .as[String].collect()
+      assert(app.nonEmpty && app.forall(_.contains("/d2/")))
+      val rew = SnapshotStore.changedFiles(manifest, 2L, 3L)
+        .as[String].collect()
+      assert(rew.nonEmpty && rew.forall(_.contains("/d3/")))
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readChanged(spark, manifest, 2L, 2L)
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()
