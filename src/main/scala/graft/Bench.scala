@@ -128,6 +128,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // LAUNCH load, read before any work (code-review r11): the derate
+    // exists to detect EXTERNAL load, but the multi-minute serial pass
+    // keeps ~cpus threads runnable — sampling after it would let the
+    // bench's own serial phase trigger the derate on a quiet box
+    val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => 0.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -235,9 +242,6 @@ object Bench {
     // queries just multiplies queueing delay into every wall — halve the
     // width so the 4x inflation gate keeps meaning on a loaded box. An
     // explicit SPARK_GRAFT_POOL always wins (regime experiments).
-    val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split(" ")(0).toDouble
-    catch { case _: Throwable => 0.0 }
     // PHYSICAL cores, as documented: on SMT boxes availableProcessors
     // returns logical threads (2x), which would under-fire the derate
     // exactly on the loaded-box scenario it exists for — count distinct

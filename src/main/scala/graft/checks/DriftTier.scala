@@ -255,13 +255,7 @@ object DriftTier {
       // codebook must still resolve
       val q = corpus.filter(col("vec_id") % 100 === 3)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val exact = broadcast(q).crossJoin(full)
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          sqDist(col("qv"), col("v")).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
-        .filter(col("rank") <= K).select("qid", "cid")
+      val exact = VectorTier.exactTopK(full, q, K)
       def adcHits(trainSrc: org.apache.spark.sql.DataFrame, out: String) = {
         val cb = PqIndex.codebookArrays(
           PqIndex.codebooks(trainSrc, "vec_id", "v", dim = 64,
@@ -379,13 +373,7 @@ object DriftTier {
           .refreshIfDrifted(base, delta, full, "vec_id", "v", dim = 64)
         val q = corpus.filter(col("vec_id") % 100 === 3)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
-        val exact = broadcast(q).crossJoin(full)
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid"),
-            sqDist(col("qv"), col("v")).as("d2"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
-          .filter(col("rank") <= K).select("qid", "cid")
+        val exact = VectorTier.exactTopK(full, q, K)
         def hits(cb: Array[Array[Array[Double]]], out: String) = {
           val codes = PqIndex.encode(full, "vec_id", "v", cb, dim = 64)
           val approx = PqIndex.topK(codes, q, "qid", "qv", cb, dim = 64,
@@ -560,13 +548,7 @@ object DriftTier {
         .unionByName(codes0.join(refreshCells, Seq("cell"), "left_anti"))
       val q = p1.filter(col("vec_id") % QMod === 3)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val exact = broadcast(q).crossJoin(p1)
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          sqDist(col("qv"), col("v")).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
-        .filter(col("rank") <= K).select("qid", "cid")
+      val exact = VectorTier.exactTopK(p1, q, K)
       val probes1 = IvfPq.probeCellsFrom(cents1.select("cell", "cv"), q,
         "qid", "qv", IvfPq.ProdNProbe)
       val probes0 = IvfPq.probeCellsFrom(cents0, q, "qid", "qv",

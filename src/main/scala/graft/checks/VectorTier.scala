@@ -77,6 +77,23 @@ object VectorTier {
     graft.substrate.BrpLsh.topK(e, q, dim = 64, k = k)
   }
 
+  /** Exact euclidean top-k ground truth: (qid, cid) for the k nearest
+    * corpus rows per query, deterministic (d2, cid) tie-break, self
+    * excluded. The explicitly-named all-pairs WITNESS shape (broadcast
+    * query batch × corpus) every recall entry measures against — ONE
+    * definition (code-review r11: the same 8 lines were inlined in four
+    * entries; the tie-break rule must not be able to drift between them).
+    * `corpus` must carry (vec_id, v); `q` carries (qid, qv).
+    */
+  private[checks] def exactTopK(corpus: DataFrame, q: DataFrame,
+      k: Int): DataFrame =
+    broadcast(q).crossJoin(corpus).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        sqDist(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
+      .filter(col("rank") <= k).select("qid", "cid")
+
   /** Exact euclidean top-k (ground truth for recall; euclidean because the
     * LSH family is euclidean-metric).
     */
@@ -84,11 +101,7 @@ object VectorTier {
     val e = embeddingsD(spark, dir)
     val q = e.filter(col("vec_id") % QuerySampleMod === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val d = broadcast(q).crossJoin(e).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), sqDist(col("qv"), col("v")).as("d2"))
-    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))
-    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "cid")
+    exactTopK(e, q, k)
   }
 
   /** The BRP index + recall pipeline as DuckDB CTEs — the SQL mirror of
@@ -1412,14 +1425,7 @@ object VectorTier {
     // (cell-ceiling / raw-ADC / rerank branches, ×4 budgets in the probe
     // sweep) — materialize once or Spark re-runs the kNN cross join and
     // the k=256 encode per branch (the chained-iteration recompute trap)
-    val exact = broadcast(q).crossJoin(corpus)
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        sqDist(col("qv"), col("v")).as("d2"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d2").asc, col("cid"))))
-      .filter(col("rank") <= K).select("qid", "cid")
-      .localCheckpoint(true)
+    val exact = exactTopK(corpus, q, K).localCheckpoint(true)
     val resid = IvfPq.residuals(corpus, centroidMod = 23)
       .localCheckpoint(true)
     val cb = PqIndex.codebookArrays(

@@ -196,6 +196,12 @@ object Registry {
     * reference implementation would emit).
     */
   val extensionKeys: Set[String] = Set("distribution_currency")
+  // a renamed/typo'd extension key would silently tag NOTHING: every row
+  // keeps extension=false in BOTH engines, the NOT-extension filter keeps
+  // all 49 rows, and factor_rollup_reference ships a 49-denominator
+  // number as the pure-48 rollup — still hash-green (code-review r11)
+  require(extensionKeys.subsetOf(all.map(_.key).toSet),
+    s"extensionKeys must name registry rows: ${extensionKeys -- all.map(_.key).toSet} unknown")
 
   /** Requirements applicable to a workload, honoring additivity
     * (`definitions.md:39`): meeting a stricter workload implies meeting the
