@@ -1396,12 +1396,17 @@ object VectorTier {
   private[checks] def plantedCorpus(spark: SparkSession,
       dir: String): DataFrame = {
     val e = embeddingsD(spark, dir)
-    val cent = e.filter(col("vec_id") < PlantedG)
-      .select(col("vec_id").as("g"), col("v").as("cw"))
-    e.join(broadcast(cent), col("vec_id") % PlantedG === col("g"))
-      .select(col("vec_id"),
-        zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
-      .localCheckpoint(true)
+    // memoized like the index it feeds (stored-fixture discipline): the
+    // drift/refresh entries and the residual index share one
+    // materialization per corpus per JVM
+    graft.substrate.DerivationCache.memo(e, s"plantedCorpus/g$PlantedG") {
+      val cent = e.filter(col("vec_id") < PlantedG)
+        .select(col("vec_id").as("g"), col("v").as("cw"))
+      e.join(broadcast(cent), col("vec_id") % PlantedG === col("g"))
+        .select(col("vec_id"),
+          zip_with(col("cw"), col("v"), (c, x) => lit(2.0) * c + x).as("v"))
+        .localCheckpoint(true)
+    }
   }
 
   /** DuckDB twin of [[plantedCorpus]]: emits CTEs `e`, `ew`, `cw` and
@@ -1415,7 +1420,25 @@ object VectorTier {
        |$out AS (SELECT a.vec_id, list(2.0 * c.x + a.x ORDER BY a.j) AS v
        |FROM ew a JOIN cw c ON c.g = a.vec_id % $PlantedG AND c.j = a.j GROUP BY a.vec_id)"""
       .stripMargin.replace("\n", " ")
+  /** The planted residual serving index as a STORED artifact: memoized
+    * per (embeddings plan, JVM) via DerivationCache — the r9
+    * stored-index serving model (InvertedIndex.storedBuild precedent)
+    * applied to the residual stack. Three entries serve from this one
+    * index (`_prod`, `_probes`, `retrieval_serve_stream`), which is the
+    * production shape: the index is built once and QUERIED many times,
+    * so an entry's cost is its serving path, not a rebuild of the same
+    * artifact. Everything inside is eagerly materialized
+    * (localCheckpoint / driver arrays) before the memo returns; a
+    * different corpus (other sf dir) hashes to its own key.
+    */
   private def plantedResidIndex(spark: SparkSession,
+      dir: String): ResidIndex =
+    graft.substrate.DerivationCache.memo(embeddingsD(spark, dir),
+      s"plantedResidIndex/g$PlantedG/k${graft.substrate.PqIndex.ProdCodebookK}") {
+      plantedResidIndexBuild(spark, dir)
+    }
+
+  private def plantedResidIndexBuild(spark: SparkSession,
       dir: String): ResidIndex = {
     import graft.substrate.{IvfPq, PqIndex}
     val corpus = plantedCorpus(spark, dir)

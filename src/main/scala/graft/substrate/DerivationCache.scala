@@ -40,11 +40,24 @@ object DerivationCache {
 
   /** Memoize `compute` under (df's canonicalized plan hash, tag). The tag
     * must encode every non-plan parameter the derivation depends on.
+    *
+    * Deliberately NOT computeIfAbsent: derivations NEST (a memoized index
+    * build consumes a memoized fixture), and ConcurrentHashMap throws
+    * "Recursive update" when a compute re-enters the map on a colliding
+    * bin. get + putIfAbsent allows re-entry; the race cost is a rare
+    * duplicate computation of the same deterministic value (both results
+    * are bit-equal, putIfAbsent keeps exactly one), never a wrong answer.
     */
-  def memo[T](df: DataFrame, tag: String)(compute: => T): T =
-    cache.computeIfAbsent(
-      (df.queryExecution.analyzed.semanticHash(), tag),
-      _ => compute).asInstanceOf[T]
+  def memo[T](df: DataFrame, tag: String)(compute: => T): T = {
+    val key = (df.queryExecution.analyzed.semanticHash(), tag)
+    val hit = cache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      val prev = cache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Drop every memoized derivation — call at an ingest boundary when new
     * files land under an already-derived path (class doc), or from tests.

@@ -146,4 +146,19 @@ class BrpLshSpec extends SparkSpec {
     assert(graft.substrate.DerivationCache.size == before + 1)
     graft.substrate.DerivationCache.clear()
   }
+
+  test("DerivationCache: memoized derivations may NEST (stored index consumes stored fixture)") {
+    // plantedResidIndex memoizes a build whose body consumes the memoized
+    // plantedCorpus — computeIfAbsent threw 'Recursive update' when the
+    // two keys collided on a map bin (seen at sf0.01; bin landing is hash
+    // luck, so the contract must be re-entrancy, not luck)
+    import graft.substrate.DerivationCache
+    DerivationCache.clear()
+    val df = spark.range(8).toDF("id")
+    val outer = DerivationCache.memo(df, "nest/outer") {
+      1 + DerivationCache.memo(df, "nest/inner") { 41 }
+    }
+    assert(outer == 42 && DerivationCache.memo(df, "nest/inner") { -1 } == 41)
+    DerivationCache.clear()
+  }
 }
