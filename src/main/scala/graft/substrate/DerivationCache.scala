@@ -35,29 +35,32 @@ import org.apache.spark.sql.DataFrame
   */
 object DerivationCache {
 
+  /** One derivation slot: allocation is what goes through the map's
+    * computeIfAbsent (cheap, never re-enters the map), evaluation happens
+    * OUTSIDE it on the cell's lazy val — so derivations may NEST (a
+    * memoized index build consuming a memoized fixture evaluates a
+    * DIFFERENT cell; ConcurrentHashMap's own "Recursive update" guard
+    * never fires) while concurrent same-key callers still BLOCK on the
+    * one in-flight computation instead of duplicating it (the concurrent
+    * bench suite launches several checks sharing one stored index — a
+    * lock-free get/putIfAbsent variant let all of them build it in
+    * parallel and multiplied the suite wall; both failure modes are now
+    * spec-pinned).
+    */
+  private final class Cell(compute: () => Any) {
+    lazy val value: Any = compute()
+  }
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Cell]()
 
   /** Memoize `compute` under (df's canonicalized plan hash, tag). The tag
     * must encode every non-plan parameter the derivation depends on.
-    *
-    * Deliberately NOT computeIfAbsent: derivations NEST (a memoized index
-    * build consumes a memoized fixture), and ConcurrentHashMap throws
-    * "Recursive update" when a compute re-enters the map on a colliding
-    * bin. get + putIfAbsent allows re-entry; the race cost is a rare
-    * duplicate computation of the same deterministic value (both results
-    * are bit-equal, putIfAbsent keeps exactly one), never a wrong answer.
     */
-  def memo[T](df: DataFrame, tag: String)(compute: => T): T = {
-    val key = (df.queryExecution.analyzed.semanticHash(), tag)
-    val hit = cache.get(key)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val v = compute
-      val prev = cache.putIfAbsent(key, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
-    }
-  }
+  def memo[T](df: DataFrame, tag: String)(compute: => T): T =
+    cache.computeIfAbsent(
+      (df.queryExecution.analyzed.semanticHash(), tag),
+      _ => new Cell(() => compute)).value.asInstanceOf[T]
 
   /** Drop every memoized derivation — call at an ingest boundary when new
     * files land under an already-derived path (class doc), or from tests.

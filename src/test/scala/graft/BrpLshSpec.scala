@@ -161,4 +161,28 @@ class BrpLshSpec extends SparkSpec {
     assert(outer == 42 && DerivationCache.memo(df, "nest/inner") { -1 } == 41)
     DerivationCache.clear()
   }
+
+  test("DerivationCache: concurrent same-key callers share ONE computation") {
+    // the concurrent bench suite launches several checks sharing one
+    // stored index — a lock-free memo let all of them build it in
+    // parallel (58.8 s suite wall vs 32.6, r11); same-key callers must
+    // block on the single in-flight build
+    import graft.substrate.DerivationCache
+    DerivationCache.clear()
+    val df = spark.range(4).toDF("id")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val vals = (1 to 8).map(_ => Future {
+      DerivationCache.memo(df, "conc") {
+        Thread.sleep(100); builds.incrementAndGet()
+      }
+    }).map(Await.result(_, Duration.Inf))
+    pool.shutdown()
+    assert(builds.get == 1, s"expected one build, got ${builds.get}")
+    assert(vals.toSet == Set(1))
+    DerivationCache.clear()
+  }
 }
