@@ -97,7 +97,7 @@ object Bench {
     "retrieval_recall_ivfpq_probes",
     // r11 late: stateful (blocking micro-batch loop) → serial-only
     "vector_ingest_stream", "dedup_ingest_stream",
-    "retrieval_serve_stream")
+    "retrieval_serve_stream", "retrieval_serve_swap_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -116,7 +116,8 @@ object Bench {
     Set("freshness_transitions_stream", "mv_refresh_stream",
       "inverted_index_stream", "corpus_drift_stream",
       "embedding_drift_stream", "vector_ingest_stream",
-      "dedup_ingest_stream", "retrieval_serve_stream")
+      "dedup_ingest_stream", "retrieval_serve_stream",
+      "retrieval_serve_swap_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

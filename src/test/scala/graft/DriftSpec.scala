@@ -238,6 +238,31 @@ class DriftSpec extends SparkSpec {
     assert(streamed == batch, "stream and batch code assignments differ")
   }
 
+  test("retrieval_serve_swap_stream: the hot-swap is load-bearing and each version equals its batch chain") {
+    val out = graft.checks.Checks.byName("retrieval_serve_swap_stream")
+      .run(spark, sf).collect()
+    val byVer = out.groupBy(_.getAs[Long]("index_version"))
+    assert(byVer.keySet == Set(0L, 1L), s"versions=${byVer.keySet}")
+    // both versions answer the SAME query set with a complete 1..K
+    // ranking — the stream never stopped across the swap
+    def answers(v: Long) = byVer(v)
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cid")).toSeq
+      }
+    val aged = answers(0L); val fresh = answers(1L)
+    assert(aged.keySet == fresh.keySet && aged.nonEmpty)
+    aged.values.foreach(cs => assert(cs.length == 10 && cs.distinct.length == 10))
+    byVer.values.foreach(rs => rs.groupBy(_.getAs[Long]("qid")).values
+      .foreach(g => assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))))
+    // the swap must CHANGE answers: the aged codebook misranks the
+    // drifted queries, the refreshed one recovers — identical outputs
+    // would mean the slot never actually swapped
+    val changed = aged.count { case (q, cs) => fresh(q) != cs }
+    assert(changed > aged.size / 2,
+      s"only $changed/${aged.size} queries changed answers across the swap")
+  }
+
   test("refreshIfDrifted: an empty delta is a no-drift window, not an error") {
     // the routine monitoring state "no new data arrived" must read as
     // zero shift and serve the aged artifact — not NPE on avg(NULL)
