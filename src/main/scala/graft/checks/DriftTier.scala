@@ -240,14 +240,7 @@ object DriftTier {
       val Shift = 0.6
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-      val corpus = e.select(col("vec_id"),
-        when(col("vec_id") % 4 === 3,
-          transform(col("v"), x => x + lit(Shift)))
-          .otherwise(col("v")).as("v"),
-        (col("vec_id") % 4 === 3).as("is_delta"))
-      val base = corpus.filter(!col("is_delta")).select("vec_id", "v")
-      val delta = corpus.filter(col("is_delta")).select("vec_id", "v")
-      val full = corpus.select("vec_id", "v")
+      val (corpus, base, delta, full) = driftedFixture(e, Shift)
       val meanShift = Drift.embeddingMeanShift(base, delta, "v")
         .agg(avg("abs_shift").as("mean_shift"))
       // queries: vec_id % 100 == 3 — a subset of the drifted delta
@@ -288,10 +281,7 @@ object DriftTier {
           trainMod = PqIndex.ProdTrainMod, iters = 1, prefix = p,
           trainSrc = ts, qWhere = Some("t.vec_id % 100 = 3"))
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |corpus AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
-         |THEN list_transform(v, x -> x + 0.6) ELSE v END AS v,
-         |vec_id % 4 = 3 AS is_delta FROM e),
-         |bsrc AS (SELECT vec_id, v FROM corpus WHERE NOT is_delta),
+         |${driftedCtes("", 0.6)},
          |rmeans AS (SELECT dim, AVG(x) AS mr FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM corpus WHERE NOT is_delta) GROUP BY dim),
          |cmeans AS (SELECT dim, AVG(x) AS mc FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM corpus WHERE is_delta) GROUP BY dim),
          |ms AS (SELECT AVG(abs(mc - mr)) AS mean_shift FROM rmeans JOIN cmeans USING (dim)),
@@ -347,6 +337,45 @@ object DriftTier {
     * scenarios + fresh for the drifted one — the stable path trains no
     * second codebook: that is the point).
     */
+  /** Shift-the-delta drifted-population fixture shared by
+    * [[indexRefreshExecute]] (both scenarios) and
+    * [[retrievalServeSwapStream]] (shift 0.6) — ONE definition so the
+    * cross-entry "same fixture as index_refresh_execute" claim is
+    * pinned by code, not prose. Rows with vec_id % 4 == 3 are the
+    * arrived DELTA, shifted +`shift` per dimension. Eager
+    * localCheckpoint: codebook trainings, encodes and the exact oracle
+    * all re-consume the corpus (bounded: n×(id, 64 doubles, bool)
+    * ≈ 1 MB at sf0.1). Returns (corpus-with-is_delta, base, delta,
+    * full) — base/delta/full are projections of the checkpointed
+    * corpus, so no second materialization is needed.
+    */
+  private def driftedFixture(e: org.apache.spark.sql.DataFrame,
+      shift: Double): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val corpus = e.select(col("vec_id"),
+      when(col("vec_id") % 4 === 3,
+        transform(col("v"), x => x + lit(shift)))
+        .otherwise(col("v")).as("v"),
+      (col("vec_id") % 4 === 3).as("is_delta"))
+      .localCheckpoint(true)
+    val base = corpus.filter(!col("is_delta")).select("vec_id", "v")
+    val delta = corpus.filter(col("is_delta")).select("vec_id", "v")
+    val full = corpus.select("vec_id", "v")
+    (corpus, base, delta, full)
+  }
+
+  /** DuckDB twin of [[driftedFixture]]: emits `${p}corpus`
+    * (vec_id, v, is_delta) and `${p}bsrc` (the pre-drift base) from a
+    * prior CTE `e(vec_id, v)`. Callers must not redefine those names.
+    */
+  private def driftedCtes(p: String, shift: Double): String =
+    s"""${p}corpus AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
+       |THEN list_transform(v, x -> x + $shift) ELSE v END AS v,
+       |vec_id % 4 = 3 AS is_delta FROM e),
+       |${p}bsrc AS (SELECT vec_id, v FROM ${p}corpus WHERE NOT is_delta)"""
+      .stripMargin.replace("\n", " ")
+
   val indexRefreshExecute = Check("index_refresh_execute",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -356,19 +385,7 @@ object DriftTier {
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       def scenario(name: String, shift: Double) = {
-        // eager localCheckpoint: three codebook trainings + two encodes
-        // + the exact oracle all re-consume this corpus; without it each
-        // training round's driver action replays the scan+transform
-        // lineage. Bounded: n×(id, 64 doubles, bool) ≈ 1 MB at sf0.1.
-        val corpus = e.select(col("vec_id"),
-          when(col("vec_id") % 4 === 3,
-            transform(col("v"), x => x + lit(shift)))
-            .otherwise(col("v")).as("v"),
-          (col("vec_id") % 4 === 3).as("is_delta"))
-          .localCheckpoint(true)
-        val base = corpus.filter(!col("is_delta")).select("vec_id", "v")
-        val delta = corpus.filter(col("is_delta")).select("vec_id", "v")
-        val full = corpus.select("vec_id", "v")
+        val (corpus, base, delta, full) = driftedFixture(e, shift)
         val (ms, refresh, cbAged, cbServing) = IndexRefresh
           .refreshIfDrifted(base, delta, full, "vec_id", "v", dim = 64)
         val q = corpus.filter(col("vec_id") % 100 === 3)
@@ -413,10 +430,7 @@ object DriftTier {
             k = PqIndex.ProdCodebookK, trainMod = PqIndex.ProdTrainMod,
             iters = 1, prefix = pp, trainSrc = ts,
             qWhere = Some("t.vec_id % 100 = 3"))
-        s"""${p}corpus AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
-           |THEN list_transform(v, x -> x + $shift) ELSE v END AS v,
-           |vec_id % 4 = 3 AS is_delta FROM e),
-           |${p}bsrc AS (SELECT vec_id, v FROM ${p}corpus WHERE NOT is_delta),
+        s"""${driftedCtes(p, shift)},
            |${p}rmeans AS (SELECT dim, AVG(x) AS mr FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ${p}corpus WHERE NOT is_delta) GROUP BY dim),
            |${p}cmeans AS (SELECT dim, AVG(x) AS mc FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ${p}corpus WHERE is_delta) GROUP BY dim),
            |${p}ms AS (SELECT AVG(abs(mc - mr)) AS ms FROM ${p}rmeans JOIN ${p}cmeans USING (dim)),
@@ -949,15 +963,10 @@ object DriftTier {
       val (corpus, cbAged, codesAged, cbFresh, codesFresh) =
         graft.substrate.DerivationCache.memo(e,
           s"serveSwap/shift0.6/k${PqIndex.ProdCodebookK}") {
-          val c = e.select(col("vec_id"),
-            when(col("vec_id") % 4 === 3,
-              transform(col("v"), x => x + lit(0.6)))
-              .otherwise(col("v")).as("v"),
-            (col("vec_id") % 4 === 3).as("is_delta"))
-            .localCheckpoint(true)
-          val base = c.filter(!col("is_delta")).select("vec_id", "v")
-          val delta = c.filter(col("is_delta")).select("vec_id", "v")
-          val full = c.select("vec_id", "v").localCheckpoint(true)
+          // single-consumer memo, every builder pins the same ss conf
+          // above — no artifactSession rebase needed (unlike the
+          // cross-entry plantedResidIndex)
+          val (_, base, delta, full) = driftedFixture(e, 0.6)
           val (_, refresh, cbA, cbS) = IndexRefresh
             .refreshIfDrifted(base, delta, full, "vec_id", "v", dim = 64)
           require(refresh,
@@ -1014,9 +1023,7 @@ object DriftTier {
            |row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank FROM ${p}adist)"""
           .stripMargin.replace("\n", " ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |corpus AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
-         |THEN list_transform(v, x -> x + 0.6) ELSE v END AS v FROM e),
-         |bsrc AS (SELECT vec_id, v FROM corpus WHERE vec_id % 4 <> 3),
+         |${driftedCtes("", 0.6)},
          |${pq("a_", Some("bsrc"))},
          |${pq("f_", None)},
          |${ranked("a_")},

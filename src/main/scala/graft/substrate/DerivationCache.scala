@@ -47,8 +47,22 @@ object DerivationCache {
     * parallel and multiplied the suite wall; both failure modes are now
     * spec-pinned).
     */
-  private final class Cell(compute: () => Any) {
-    lazy val value: Any = compute()
+  private final class Cell(key: (Int, String), compute: () => Any) {
+    // Guarded against SAME-KEY re-entry: lazy-val init holds `this`'s
+    // reentrant monitor, so a compute body that (transitively) asks for
+    // its own key would re-run the initializer and recurse to
+    // StackOverflowError deep in Spark planning. Naming the cycle here
+    // preserves the loud diagnosis ConcurrentHashMap's "Recursive
+    // update" guard used to give before evaluation moved out of the map.
+    private var owner: Thread = null
+    lazy val value: Any = {
+      if (owner eq Thread.currentThread())
+        throw new IllegalStateException(
+          s"Recursive derivation: memo key $key requested from inside " +
+            "its own compute body (self-cycle); nest only DIFFERENT keys")
+      owner = Thread.currentThread()
+      try compute() finally owner = null
+    }
   }
 
   private val cache =
@@ -60,7 +74,30 @@ object DerivationCache {
   def memo[T](df: DataFrame, tag: String)(compute: => T): T =
     cache.computeIfAbsent(
       (df.queryExecution.analyzed.semanticHash(), tag),
-      _ => new Cell(() => compute)).value.asInstanceOf[T]
+      k => new Cell(k, () => compute)).value.asInstanceOf[T]
+
+  /** Canonical session for building memoized DataFrame ARTIFACTS. A
+    * memoized DataFrame carries its builder's SparkSession, so every
+    * consumer's downstream joins/windows execute under the BUILDER's
+    * SQL conf — if a low-latency serving entry (shuffle.partitions=2
+    * sub-session) happens to touch a shared index first, every other
+    * entry's benched plan silently inherits those knobs (run-order
+    * sensitivity, code-review r11). Memo bodies that cache DataFrames
+    * shared ACROSS entries build against this one pinned sibling
+    * session instead: same SparkContext, shuffle partitions pinned
+    * from the context conf, one per JVM.
+    */
+  def artifactSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    artifactSessions.computeIfAbsent(spark.sparkContext, _ => {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.sparkContext.getConf.get("spark.sql.shuffle.partitions", "32"))
+      s
+    })
+
+  private val artifactSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.sql.SparkSession]()
 
   /** Drop every memoized derivation — call at an ingest boundary when new
     * files land under an already-derived path (class doc), or from tests.

@@ -162,6 +162,28 @@ class BrpLshSpec extends SparkSpec {
     DerivationCache.clear()
   }
 
+  test("DerivationCache: a SAME-KEY self-cycle fails loudly, not with StackOverflowError") {
+    // lazy-val init holds a reentrant monitor, so a compute body asking
+    // for its own key would re-run the initializer and recurse until
+    // StackOverflowError deep in Spark planning; the Cell names the
+    // cycle instead (code-review r11). A failed slot keeps its ORIGINAL
+    // compute closure (the memo contract: one key = one closure), so a
+    // retry re-runs it and fails just as loudly — never caches a broken
+    // value — and clear() restores the key
+    import graft.substrate.DerivationCache
+    DerivationCache.clear()
+    val df = spark.range(2).toDF("id")
+    def cyclic(): Int = DerivationCache.memo(df, "cycle") {
+      DerivationCache.memo(df, "cycle") { 0 }
+    }
+    val ex = intercept[IllegalStateException] { cyclic() }
+    assert(ex.getMessage.contains("Recursive derivation"))
+    intercept[IllegalStateException] { cyclic() }
+    DerivationCache.clear()
+    assert(DerivationCache.memo(df, "cycle") { 7 } == 7)
+    DerivationCache.clear()
+  }
+
   test("DerivationCache: concurrent same-key callers share ONE computation") {
     // the concurrent bench suite launches several checks sharing one
     // stored index — a lock-free memo let all of them build it in
