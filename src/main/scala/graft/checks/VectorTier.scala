@@ -940,6 +940,77 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The index as a PERSISTED, version-stamped artifact
+    * (substrate.VectorArtifact — the durable form of the JVM-memoized
+    * stored indexes): publish TWO versions of the demo-config PQ index
+    * under a temp base (v0 trained on the even-id half — a stand-in for
+    * an older corpus snapshot — v1 on the full corpus), then serve
+    * top-K entirely from a FRESH [[graft.substrate.VectorArtifact
+    * .loadLatest]]: codebook re-hydrated from its parquet table, codes
+    * read back from disk. The oracle recomputes the v1 ranking straight
+    * from the raw embeddings, so the hash match proves BOTH that
+    * parquet round-trips the index bit-exactly (IEEE doubles preserved
+    * → identical ADC distances → identical ranks) and that version
+    * selection dereferences the latest publish (a v0 load would rank by
+    * the half-trained codebook and mismatch). Results are collected
+    * (|Q|·K rows, bounded by the query sample) before the temp
+    * artifact is deleted — the compaction_execute eager-collect
+    * discipline: no lazy read of a removed directory, no junk left
+    * behind. At 100 TB only `codes` is corpus-sized (written clustered
+    * by cell for probe pruning — VectorArtifact scaladoc); publish =
+    * one directory write, swap = repointing readers.
+    */
+  val annStoredIndex = Check("ann_stored_index",
+    (spark, dir) => {
+      import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecart")
+        .toString
+      try {
+        val cents = IvfPq.servingCentroids(e, centroidMod = 23)
+        def publish(version: Long, train: DataFrame): Unit = {
+          val cb = PqIndex.codebookArrays(
+            PqIndex.codebooks(train, "vec_id", "v", dim = 64))
+          VectorArtifact.save(spark, tmp, version, dim = 64, cents, cb,
+            PqIndex.encode(e, "vec_id", "v", cb, dim = 64))
+        }
+        publish(0L, e.filter(col("vec_id") % 2 === 0))
+        publish(1L, e)
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 1L && a.dim == 64,
+          s"loadLatest must dereference v1/dim64, got v${a.version}/${a.dim}")
+        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
+            topK = K)
+          .select(lit(a.version).as("index_version"), col("qid"),
+            col("rank"), col("cid"))
+          .orderBy("qid", "rank")
+          .collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT CAST(1 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Recall@k of the PQ compressed scan vs the exact euclidean oracle —
     * completes the recall symmetry across the retrieval geometries
     * (#19's BRP, retrieval_recall_ivf, now PQ): the quantization loss is
@@ -1792,5 +1863,5 @@ object VectorTier {
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
-    retrievalRecallIvfPqProbes, retrievalServeStream)
+    retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex)
 }

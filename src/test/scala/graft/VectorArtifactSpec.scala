@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+
+/** Pins the persisted-index contract: save→load round-trips every piece
+  * bit-exactly, version listing/selection dereferences the latest
+  * publish, and a RELOADED artifact serves identical rankings through
+  * both the full-ADC and the cell-pruned residual path.
+  */
+class VectorArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  /** Deterministic 200×64 corpus with enough spread for k=16 codebooks. */
+  private def corpus: DataFrame =
+    spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        j => sin(col("id") * (j + lit(1)) * lit(0.37)) +
+          (col("id") % 7).cast("double") * lit(0.1)).as("v"))
+
+  private def withTmp[T](f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("vecart_spec").toString
+    try f(tmp) finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("save -> load round-trips codebook, centroids, codes and meta bit-exactly") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+      VectorArtifact.save(spark, tmp, version = 3L, dim = Dim, cents, cb,
+        codes)
+      val a = VectorArtifact.load(spark, tmp, 3L)
+      assert(a.version == 3L && a.dim == Dim)
+      assert(a.cb.length == cb.length && a.cb.head.length == cb.head.length)
+      for (s <- cb.indices; c <- cb(s).indices)
+        assert(java.util.Arrays.equals(a.cb(s)(c), cb(s)(c)),
+          s"codebook centroid ($s,$c) changed across the parquet round-trip")
+      assert(a.centroids.orderBy("cell").collect().toSeq ==
+        cents.orderBy("cell").collect().toSeq)
+      assert(a.codes.orderBy("vec_id").collect().toSeq ==
+        codes.orderBy("vec_id").collect().toSeq)
+    }
+  }
+
+  test("versions lists ascending and loadLatest dereferences the newest publish") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      def cbFor(train: DataFrame) = PqIndex.codebookArrays(
+        PqIndex.codebooks(train, "vec_id", "v", dim = Dim))
+      assert(VectorArtifact.versions(spark, tmp).isEmpty)
+      intercept[IllegalArgumentException] {
+        VectorArtifact.loadLatest(spark, tmp)
+      }
+      val cb0 = cbFor(e.filter(col("vec_id") % 2 === 0))
+      val cb1 = cbFor(e)
+      VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb0,
+        PqIndex.encode(e, "vec_id", "v", cb0, dim = Dim))
+      VectorArtifact.save(spark, tmp, 1L, Dim, cents, cb1,
+        PqIndex.encode(e, "vec_id", "v", cb1, dim = Dim))
+      assert(VectorArtifact.versions(spark, tmp) == Seq(0L, 1L))
+      val latest = VectorArtifact.loadLatest(spark, tmp)
+      assert(latest.version == 1L)
+      // the two versions are genuinely different artifacts (half-trained
+      // vs full-trained codebook) — version selection is load-bearing
+      val v0 = VectorArtifact.load(spark, tmp, 0L)
+      assert(!cb1.indices.forall(s => cb1(s).indices.forall(c =>
+        java.util.Arrays.equals(v0.cb(s)(c), latest.cb(s)(c)))))
+    }
+  }
+
+  test("a reloaded artifact serves identical rankings through the pruned residual path") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+        .localCheckpoint(true)
+      val resid = IvfPq.residuals(e, centroidMod = 7).localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(resid, "vec_id", "r", dim = Dim))
+      val codes = PqIndex.encode(resid, "vec_id", "r", cb, dim = Dim)
+        .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+      VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb, codes)
+      val a = VectorArtifact.loadLatest(spark, tmp)
+      val q = e.filter(col("vec_id") % 29 === 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def serve(cents: DataFrame, cb: Array[Array[Array[Double]]],
+          codes: DataFrame) = {
+        val probes = IvfPq.probeCellsFrom(cents, q, "qid", "qv", nProbe = 2)
+        IvfPq.adcResidual(codes, probes, cb, dim = Dim, topK = 5)
+          .select("qid", "rank", "cid").orderBy("qid", "rank")
+          .collect().toSeq
+      }
+      assert(serve(a.centroids, a.cb, a.codes) == serve(cents, cb, codes),
+        "reloaded artifact must serve the exact rankings of the in-memory build")
+    }
+  }
+}
