@@ -1335,6 +1335,47 @@ object TextTier {
     * rebuild down to individual token offsets, segment boundaries
     * included, cross-engine.
     */
+  /** Right-to-be-forgotten EXECUTED on the serving artifact
+    * (substrate.InvertedIndex.deleteDocs — the inverse of mergeDelta):
+    * doc_id % 10 == 7 plays the consent-revoked/retention-expired set,
+    * the stored full-corpus index (shared memo with the lookup/rank
+    * entries — a deployment deletes from the index it serves) drops
+    * exactly those ids touching only their tokens, and the oracle
+    * rebuilds from the REMAINING docs alone — the hash match is the
+    * forget proof: postings, re-derived dfs, and downward
+    * threshold-crossing re-layouts all equal a from-scratch rebuild
+    * with no trace of the deleted ids. Factor-5's retention/consent
+    * checks DECIDE (`retention_policy`, `consent_coverage`); this is
+    * the ACT half on the derived artifact, completing the decide→act
+    * symmetry the index-refresh loop established for drift. Work is
+    * O(deleted docs' tokens + their postings), never an index rebuild.
+    */
+  val invertedIndexDelete = Check("inverted_index_delete",
+    (spark, dir) => {
+      val d = docs(spark, dir)
+      val deleted = d.filter(col("doc_id") % 10 === 7)
+      val stored = graft.substrate.InvertedIndex
+        .storedBuild(d, "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+      graft.substrate.InvertedIndex
+        .deleteDocs(stored, deleted, "doc_id", "text",
+          dfThreshold = IdxDfThreshold, segmentWidth = IdxSegWidth)
+        .select(col("token"), col("segment"), col("df"),
+          concat_ws(",", col("postings").cast("array<string>")).as("postings"))
+        .orderBy("token", "segment")
+    },
+    Some(
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents WHERE doc_id % 10 <> 7),
+        |dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token),
+        |seg AS (SELECT t.token,
+        |CAST(CASE WHEN d.df > $IdxDfThreshold THEN t.doc_id // $IdxSegWidth ELSE -1 END AS BIGINT) AS segment,
+        |d.df, t.doc_id FROM toks t JOIN dfs d USING (token))
+        |SELECT token, segment, df,
+        |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY token, segment"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val invertedIndexIncrementalPos = Check("inverted_index_incremental_pos",
     (spark, dir) => {
       val d = docs(spark, dir)
@@ -1441,5 +1482,5 @@ object TextTier {
     qualityQuartiles, docFingerprint, chunkDocuments, corpusPrepPipeline,
     invertedIndexBuild, invertedIndexLookup, invertedIndexRank,
     invertedIndexPhrase, invertedIndexNear, invertedIndexIncremental,
-    invertedIndexIncrementalPos, invertedIndexStream)
+    invertedIndexIncrementalPos, invertedIndexStream, invertedIndexDelete)
 }

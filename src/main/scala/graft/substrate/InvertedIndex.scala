@@ -236,6 +236,67 @@ object InvertedIndex {
       .unionByName(rebuilt)
   }
 
+  /** Right-to-be-forgotten / retention enforcement on the stored index:
+    * remove `deletedDocs`' doc_ids touching ONLY their tokens — the
+    * INVERSE of [[mergeDelta]] under the same contract (the deleted rows
+    * carry the text that was indexed: a deployment deletes rows FROM the
+    * corpus it holds, so they are at hand — re-tokenizing them is what
+    * scopes the touched-token set without a full index scan). Untouched
+    * tokens pass through by anti-join; touched tokens' postings flatten,
+    * drop the deleted ids (broadcast anti join — deletion batches are
+    * bounded: consent revocations / retention windows, never the
+    * corpus), and re-segmentize. df re-derives, so a DOWNWARD threshold
+    * crossing re-coalesces a previously segmented token into one row,
+    * and a token whose every posting is deleted vanishes (empty groups
+    * produce no rows). Work is O(deleted docs' tokens + postings of
+    * touched tokens); result ≡ build(remaining docs), the
+    * `inverted_index_delete` oracle equivalence — Factor-5
+    * retention/consent DECIDE (`retention_policy`, `consent_coverage`)
+    * paired with an ACT on the serving artifact, the same decide→act
+    * completion the refresh loop got in `index_refresh_execute`.
+    */
+  def deleteDocs(index: DataFrame, deletedDocs: DataFrame, idCol: String,
+      textCol: String, dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val delTok = tokenized(deletedDocs, idCol, textCol).distinct()
+    val touched = delTok.select("token").distinct()
+    val delIds = deletedDocs
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    val untouched = index.join(touched, Seq("token"), "left_anti")
+    val kept = index.join(touched, Seq("token"), "left_semi")
+      .select(col("token"), explode(col("postings")).as("doc_id"))
+      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
+    untouched.select("token", "segment", "df", "postings")
+      .unionByName(
+        segmentize(kept.select("token", "doc_id"),
+          dfThreshold, segmentWidth, None))
+  }
+
+  /** [[deleteDocs]] for the POSITIONAL index — the phrase/proximity
+    * artifact forgets the same way: touched tokens' (doc_id, tf,
+    * positions) postings flatten, deleted ids drop, re-segmentize.
+    * Result ≡ buildPositional(remaining docs) (spec-pinned).
+    */
+  def deleteDocsPositional(index: DataFrame, deletedDocs: DataFrame,
+      idCol: String, textCol: String,
+      dfThreshold: Long = DefaultDfThreshold,
+      segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
+    val touched = tokenized(deletedDocs, idCol, textCol)
+      .select("token").distinct()
+    val delIds = deletedDocs
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    val untouched = index.join(touched, Seq("token"), "left_anti")
+    val kept = index.join(touched, Seq("token"), "left_semi")
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
+      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
+    untouched.select("token", "segment", "df", "postings")
+      .unionByName(
+        segmentize(kept, dfThreshold, segmentWidth,
+          Some(struct(col("doc_id"), col("tf"), col("positions")))))
+  }
+
   /** BM25 ranked retrieval (Robertson/Sparck-Jones, the Lucene-default
     * `ln(1 + (N-df+0.5)/(df+0.5))` idf form) over a [[buildWithTf]] index
     * plus a doc-length norms table — the two stored artifacts a search

@@ -280,6 +280,63 @@ class InvertedIndexSpec extends SparkSpec {
     assert(phrase("ebb", "tide") == (1L to 40L).toSet)
     assert(phrase("tide", "rises") == (41L to 60L).toSet)
   }
+  test("deleteDocs == rebuild on remaining, including the DOWNWARD threshold crossing") {
+    // full: "tide" in 60 docs (df=60 > threshold 50 → segmented);
+    // delete 20 → df=40 re-coalesces to the single -1 row; sole-occupant
+    // tokens (fresh<k>) vanish; untouched tokens pass through unchanged
+    val docs = ((1L to 40L).map(id => (id, s"tide unique$id")) ++
+      (41L to 60L).map(id => (id, s"tide fresh$id")))
+      .toDF("doc_id", "text")
+    val deleted = docs.filter(col("doc_id") > 40L)
+    val stored = InvertedIndex.build(docs, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val after = InvertedIndex.deleteDocs(stored, deleted, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val rebuilt = InvertedIndex.build(docs.filter(col("doc_id") <= 40L),
+      "doc_id", "text", dfThreshold = 50, segmentWidth = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), col("segment"), col("df"),
+        concat_ws(",", col("postings").cast("array<string>")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(canon(after) == canon(rebuilt))
+    assert(stored.filter(col("token") === "tide").count() > 1)
+    assert(after.filter(col("token") === "tide").count() == 1,
+      "df falling back under the threshold must re-coalesce the segments")
+    assert(after.filter(col("token").startsWith("fresh")).count() == 0,
+      "a token whose every posting is deleted must vanish")
+    assert(canon(after.filter(col("token").startsWith("unique"))) ==
+      canon(stored.filter(col("token").startsWith("unique"))))
+    // the forget proof: no deleted doc_id survives anywhere
+    assert(after.select(explode(col("postings")).as("doc_id"))
+      .filter(col("doc_id") > 40L).count() == 0)
+  }
+
+  test("deleteDocsPositional == positional rebuild on remaining; phrase serving forgets") {
+    val docs = ((1L to 40L).map(id => (id, s"ebb tide unique$id")) ++
+      (41L to 60L).map(id => (id, s"tide tide rises fresh$id")))
+      .toDF("doc_id", "text")
+    val deleted = docs.filter(col("doc_id") > 40L)
+    val stored = InvertedIndex.buildPositional(docs, "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    val after = InvertedIndex.deleteDocsPositional(stored, deleted,
+      "doc_id", "text", dfThreshold = 50, segmentWidth = 16)
+    val rebuilt = InvertedIndex.buildPositional(
+      docs.filter(col("doc_id") <= 40L), "doc_id", "text",
+      dfThreshold = 50, segmentWidth = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), col("segment"), col("df"),
+        expr("array_join(transform(postings, p -> concat(cast(p.doc_id as string), ':', " +
+          "cast(p.tf as string), ':', array_join(cast(p.positions as array<string>), '|'))), ',')").as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(canon(after) == canon(rebuilt))
+    def phrase(w1: String, w2: String) = InvertedIndex.lookupPhrase(after,
+      Seq((w1, 0L), (w2, 1L)).toDF("token", "offset"))
+      .as[Long].collect().toSet
+    assert(phrase("ebb", "tide") == (1L to 40L).toSet)
+    assert(phrase("tide", "rises") == Set.empty[Long],
+      "phrase hits over deleted docs must be forgotten")
+  }
+
   test("multi-batch mergeDelta fold == single rebuild (5 deterministic batches)") {
     // the streaming-ingest composition (inverted_index_stream folds
     // batch-wise): starting from an EMPTY-base build, fold 5 disjoint
