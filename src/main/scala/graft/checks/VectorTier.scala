@@ -1011,6 +1011,51 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Right-to-be-forgotten on the COMPRESSED vector index — the vector
+    * twin of `inverted_index_delete`, completing the governance
+    * decide→act symmetry across both serving-artifact families:
+    * deletion from a PQ index is dropping the deleted ids' CODE ROWS
+    * (one broadcast anti join against the bounded delete batch — the
+    * FAISS remove_ids shape); the codebook stays FROZEN, because it is
+    * a trained quantizer, not per-row state — retraining on deletion
+    * would be `index_refresh_decision`'s drift call, a separate policy.
+    * The oracle encodes the FULL corpus with the same full-trained
+    * codebook and ranks only non-deleted candidates, so the hash match
+    * proves the served top-K both forgets every deleted id and is
+    * exactly what a from-scratch scan over the remaining codes returns.
+    * At 100 TB the act is one anti join on a stored code table
+    * (partition-prunable if deletes cluster by cell), never a rebuild.
+    */
+  val vectorIndexDelete = Check("vector_index_delete",
+    (spark, dir) => {
+      import graft.substrate.PqIndex
+      val e = embeddingsD(spark, dir)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+      val deleted = e.filter(col("vec_id") % 10 === 7).select("vec_id")
+      val remaining = codes.join(broadcast(deleted), Seq("vec_id"),
+        "left_anti")
+      // queries sample vec_id % QuerySampleMod == 0 — disjoint from the
+      // deleted set (multiples of 50 are never ≡ 7 mod 10), so every
+      // query survives its own deletion batch
+      val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      PqIndex.topK(remaining, q, "qid", "qv", cb, dim = 64, topK = K)
+        .orderBy("qid", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand, SUM(l.d * l.d) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid AND co.vec_id % 10 <> 7 GROUP BY 1, 2)
+         |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Recall@k of the PQ compressed scan vs the exact euclidean oracle —
     * completes the recall symmetry across the retrieval geometries
     * (#19's BRP, retrieval_recall_ivf, now PQ): the quantization loss is
@@ -1863,5 +1908,6 @@ object VectorTier {
     embeddingQuantizeInt8, annPqTopk, annIvfPqTopk, retrievalRecallPq,
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
-    retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex)
+    retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
+    vectorIndexDelete)
 }
