@@ -254,6 +254,10 @@ object InvertedIndex {
     * retention/consent DECIDE (`retention_policy`, `consent_coverage`)
     * paired with an ACT on the serving artifact, the same decide→act
     * completion the refresh loop got in `index_refresh_execute`.
+    * Reference anchor: "defined and ENFORCED data retention and
+    * deletion schedules" (`factors/requirements.yaml:197-199`) — the
+    * enforcement half, applied to the derived index, not just the
+    * table.
     */
   def deleteDocs(index: DataFrame, deletedDocs: DataFrame, idCol: String,
       textCol: String, dfThreshold: Long = DefaultDfThreshold,

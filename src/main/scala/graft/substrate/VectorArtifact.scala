@@ -99,4 +99,28 @@ object VectorArtifact {
     require(vs.nonEmpty, s"no index versions published under $base")
     load(spark, base, vs.last)
   }
+
+  /** Retention on the index artifact itself (the SnapshotStore.vacuum
+    * discipline applied to versions): drop every published version
+    * except the newest `keepLatest`, returning what was removed.
+    * Refuses to remove everything — a serving tier must always have a
+    * version to dereference. Driver-side directory deletes,
+    * metadata-scale; pinned consumers of a dropped version fail loudly
+    * at load (missing directory), the same contract as a vacuumed
+    * snapshot. Anchor: "defined and ENFORCED data retention and
+    * deletion schedules" (`factors/requirements.yaml:197-199`) applied
+    * to the artifact store.
+    */
+  def vacuum(spark: SparkSession, base: String,
+      keepLatest: Int): Seq[Long] = {
+    require(keepLatest >= 1, "vacuum must keep at least one version")
+    val vs = versions(spark, base)
+    val drop = vs.dropRight(keepLatest)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/v=$v"), true)
+    }
+    drop
+  }
 }

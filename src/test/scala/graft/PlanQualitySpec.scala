@@ -228,6 +228,41 @@ class PlanQualitySpec extends SparkSpec {
       s"no anti-join pass-through in merge plan:\n$plan")
   }
 
+  test("deleteDocs: untouched rows pass by anti-join; deleted ids broadcast; no product") {
+    val docs = CheckDsl.table(spark, sf, "documents")
+    val deleted = docs.filter(col("doc_id") % 10 === 7)
+    val stored = graft.substrate.InvertedIndex
+      .build(docs, "doc_id", "text", dfThreshold = 100, segmentWidth = 200)
+      .localCheckpoint(true) // the stored table: delete may NOT re-scan the corpus
+    val plan = planOf(graft.substrate.InvertedIndex
+      .deleteDocs(stored, deleted, "doc_id", "text",
+        dfThreshold = 100, segmentWidth = 200))
+    assert(!plan.contains("CartesianProduct"), s"product in delete:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"no anti-join (pass-through / id drop) in delete plan:\n$plan")
+    // the bounded delete batch must broadcast into the exploded postings,
+    // never shuffle them
+    assert(plan.contains("BroadcastHashJoin"),
+      s"deleted-ids join does not broadcast:\n$plan")
+  }
+
+  test("vector index delete: code rows drop by broadcast anti join, scan stays the code table") {
+    import graft.substrate.PqIndex
+    val e = CheckDsl.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.substrate.VectorOps.toDoubleArr(col("embedding")).as("v"))
+    val cb = PqIndex.codebookArrays(
+      PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+    val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+      .localCheckpoint(true) // the stored code table
+    val deleted = e.filter(col("vec_id") % 10 === 7).select("vec_id")
+    val plan = planOf(codes.join(broadcast(deleted), Seq("vec_id"),
+      "left_anti"))
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"deletion is not a broadcast anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("refreshMinMax: touched set broadcasts into base; untouched pass by anti-join") {
     import spark.implicits._
     val mv = Seq(("a", 1L, 9L)).toDF("g", "mn", "mx")

@@ -79,6 +79,29 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops old versions, keeps the serving tail, refuses to empty the store") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+      Seq(0L, 1L, 2L).foreach(v =>
+        VectorArtifact.save(spark, tmp, v, Dim, cents, cb, codes))
+      intercept[IllegalArgumentException] {
+        VectorArtifact.vacuum(spark, tmp, keepLatest = 0)
+      }
+      assert(VectorArtifact.vacuum(spark, tmp, keepLatest = 2) == Seq(0L))
+      assert(VectorArtifact.versions(spark, tmp) == Seq(1L, 2L))
+      assert(VectorArtifact.loadLatest(spark, tmp).version == 2L)
+      // a pinned consumer of the dropped version fails loudly
+      intercept[Exception] { VectorArtifact.load(spark, tmp, 0L) }
+      // vacuuming more than exists keeps everything
+      assert(VectorArtifact.vacuum(spark, tmp, keepLatest = 5).isEmpty)
+      assert(VectorArtifact.versions(spark, tmp) == Seq(1L, 2L))
+    }
+  }
+
   test("a reloaded artifact serves identical rankings through the pruned residual path") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
