@@ -97,7 +97,12 @@ object Bench {
     "retrieval_recall_ivfpq_probes",
     // r11 late: stateful (blocking micro-batch loop) → serial-only
     "vector_ingest_stream", "dedup_ingest_stream",
-    "retrieval_serve_stream", "retrieval_serve_swap_stream")
+    "retrieval_serve_stream", "retrieval_serve_swap_stream",
+    // r11 late: the persisted-artifact entry (two demo codebook
+    // trainings + two encodes + parquet publish/reload) debuted in
+    // serial_extra at 2.9 s quiet — pinned on debut like every
+    // straggler before it
+    "ann_stored_index")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
