@@ -262,8 +262,8 @@ object InvertedIndex {
   def deleteDocs(index: DataFrame, deletedDocs: DataFrame, idCol: String,
       textCol: String, dfThreshold: Long = DefaultDfThreshold,
       segmentWidth: Long = DefaultSegmentWidth): DataFrame = {
-    val delTok = tokenized(deletedDocs, idCol, textCol).distinct()
-    val touched = delTok.select("token").distinct()
+    val touched = tokenized(deletedDocs, idCol, textCol)
+      .select("token").distinct()
     val delIds = deletedDocs
       .select(col(idCol).cast("long").as("doc_id")).distinct()
     val untouched = index.join(touched, Seq("token"), "left_anti")

@@ -59,6 +59,11 @@ object VectorArtifact {
     centroids.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    // meta is written LAST and its _SUCCESS marker is the COMMIT RECORD:
+    // versions() ignores v= directories without it, so a concurrent
+    // reader can never dereference a half-written publish, and a save()
+    // that crashes mid-write leaves an INVISIBLE orphan (re-publish the
+    // same version to repair) instead of wedging loadLatest.
     spark.range(1)
       .select(lit(version).as("version"), lit(dim).as("dim"),
         lit(cb.length).as("m"), lit(cb.head.length).as("k"))
@@ -66,15 +71,20 @@ object VectorArtifact {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
-  /** Published versions under `base`, ascending — a metadata-scale
-    * directory listing (one FileStatus per version, never a data read).
+  /** Published (= COMMITTED) versions under `base`, ascending — a
+    * metadata-scale directory listing, never a data read. Only v=N
+    * directories whose `meta/_SUCCESS` commit marker exists count
+    * (save() writes meta last); half-written publishes and stray
+    * non-numeric `v=` names are invisible rather than a crash.
     */
   def versions(spark: SparkSession, base: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+") &&
+        fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "meta/_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
 

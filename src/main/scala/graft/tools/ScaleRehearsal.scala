@@ -581,18 +581,26 @@ object ScaleRehearsal {
     Seq((1, "1x"), (10, "10x"), (100, "100x")).foreach { case (c, sc) =>
       val d = docsScaled(c).persist()
       val n = d.count()
+      // persist (not localCheckpoint) so the stored index can be FREED
+      // after this decade — a checkpointed RDD would stay resident and
+      // skew every later measured section's JVM
       val idx = graft.substrate.InvertedIndex.build(d, "doc_id", "text",
-        dfThreshold = segTh, segmentWidth = segW).localCheckpoint(true)
+        dfThreshold = segTh, segmentWidth = segW).persist()
       val totalEntries = idx.agg(sum(size(col("postings"))))
-        .head().getLong(0)
+        .head().getLong(0) // also forces the persist
       val touchedEntries = idx.join(delToks, Seq("token"), "left_semi")
         .agg(sum(size(col("postings")))).head().getLong(0)
+      // time agg(sum(size(postings))), NOT count(1): count references no
+      // aggregate output, so ColumnPruning drops the collect_list from
+      // the timed plan entirely — the count()-prunes-projections trap
+      // (memory: spark-timing-traps) — and the wall would exclude
+      // building the output postings arrays, a dominant real cost
       val sd = measured(s"invidx deleteDocs (batch=$delBatchN)", sc, n) {
-        val outRows = graft.substrate.InvertedIndex.deleteDocs(idx,
+        val outEntries = graft.substrate.InvertedIndex.deleteDocs(idx,
             delBatch, "doc_id", "text",
             dfThreshold = segTh, segmentWidth = segW)
-          .agg(count(lit(1))).head().getLong(0)
-        require(outRows > 0L, "delete produced an empty index")
+          .agg(sum(size(col("postings")))).head().getLong(0)
+        require(outEntries > 0L, "delete produced an empty index")
         touchedEntries
       }
       samples += sd.copy(op = sd.op + f" (touched=${
@@ -602,9 +610,10 @@ object ScaleRehearsal {
         graft.substrate.InvertedIndex.build(
             d.join(delBatch.select("doc_id"), Seq("doc_id"), "left_anti"),
             "doc_id", "text", dfThreshold = segTh, segmentWidth = segW)
-          .agg(count(lit(1))).head().getLong(0)
+          .agg(sum(size(col("postings")))).head().getLong(0)
       }
       samples += sr.copy(showRate = false)
+      idx.unpersist(true)
       if (c > 1) d.unpersist()
     }
     delToks.unpersist(); delBatch.unpersist()

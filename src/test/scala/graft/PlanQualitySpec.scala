@@ -240,10 +240,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"product in delete:\n$plan")
     assert(plan.contains("LeftAnti"),
       s"no anti-join (pass-through / id drop) in delete plan:\n$plan")
-    // the bounded delete batch must broadcast into the exploded postings,
-    // never shuffle them
-    assert(plan.contains("BroadcastHashJoin"),
-      s"deleted-ids join does not broadcast:\n$plan")
+    // BOTH small sides must broadcast — the touched-token semi join AND
+    // the deleted-ids anti join into the exploded postings (a single
+    // contains() would pass on the auto-broadcast semi join alone and
+    // miss the anti join regressing to a shuffle)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected the touched-token semi join AND the deleted-ids anti " +
+        s"join to broadcast:\n$plan")
   }
 
   test("vector index delete: code rows drop by broadcast anti join, scan stays the code table") {

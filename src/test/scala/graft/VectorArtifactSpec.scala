@@ -79,6 +79,24 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("half-written publishes and stray v= directories are invisible, never a crash") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb,
+        PqIndex.encode(e, "vec_id", "v", cb, dim = Dim))
+      // a publish that crashed before its meta commit marker: codes
+      // landed, meta/_SUCCESS did not — loadLatest must keep serving v0
+      new java.io.File(s"$tmp/v=9/codes").mkdirs()
+      // a stray non-numeric directory must not throw either
+      new java.io.File(s"$tmp/v=junk").mkdirs()
+      assert(VectorArtifact.versions(spark, tmp) == Seq(0L))
+      assert(VectorArtifact.loadLatest(spark, tmp).version == 0L)
+    }
+  }
+
   test("vacuum drops old versions, keeps the serving tail, refuses to empty the store") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
