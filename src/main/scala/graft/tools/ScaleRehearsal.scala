@@ -1054,8 +1054,8 @@ object ScaleRehearsal {
          |  row explodes, drops deleted ids, and re-aggregates WITHOUT
          |  leaving its partition (hash(token) satisfies the re-agg's
          |  clustered distribution), the same property a token-bucketed
-         |  stored table gives a cluster. Walls: 0.5/0.8/1.7 s vs the
-         |  from-scratch REBUILD's 0.7/2.6/16.1 s — ~9× at 100× and
+         |  stored table gives a cluster. Walls: 0.7/1.0/1.5 s vs the
+         |  from-scratch REBUILD's 0.9/2.7/15.8 s — ~10× at 100× and
          |  widening with the decade. On a real Zipf-tailed vocabulary
          |  the anti-join pass-through (PlanQualitySpec gates the plan
          |  shape) adds the saving this fixed word list cannot exhibit:
