@@ -120,6 +120,38 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("the durable hot swap: publish v1, repoint via loadLatest, answers change; pinned readers keep v0") {
+    // retrieval_serve_swap_stream's AtomicReference made durable: the
+    // swap IS "publish v=N+1 + loadLatest"; an in-flight reader that
+    // dereferenced v0 keeps serving v0 until it repoints
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      def cbFor(train: DataFrame) = PqIndex.codebookArrays(
+        PqIndex.codebooks(train, "vec_id", "v", dim = Dim))
+      def publish(v: Long, train: DataFrame): Unit = {
+        val cb = cbFor(train)
+        VectorArtifact.save(spark, tmp, v, Dim, cents, cb,
+          PqIndex.encode(e, "vec_id", "v", cb, dim = Dim))
+      }
+      publish(0L, e.filter(col("vec_id") % 2 === 0))
+      val pinned = VectorArtifact.loadLatest(spark, tmp) // reader in flight
+      val q = e.filter(col("vec_id") % 29 === 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def serve(a: VectorArtifact.Loaded) =
+        PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = Dim, topK = 5)
+          .orderBy("qid", "rank").collect().toSeq
+      val answersV0 = serve(pinned)
+      publish(1L, e) // the swap: one directory write
+      val repointed = VectorArtifact.loadLatest(spark, tmp)
+      assert(repointed.version == 1L && pinned.version == 0L)
+      assert(serve(repointed) != answersV0,
+        "the swap must be load-bearing: the full-trained codebook ranks differently")
+      assert(serve(pinned) == answersV0,
+        "a pinned reader must keep serving the version it dereferenced")
+    }
+  }
+
   test("a reloaded artifact serves identical rankings through the pruned residual path") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
