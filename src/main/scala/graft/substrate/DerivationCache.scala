@@ -54,6 +54,14 @@ object DerivationCache {
     // StackOverflowError deep in Spark planning. Naming the cycle here
     // preserves the loud diagnosis ConcurrentHashMap's "Recursive
     // update" guard used to give before evaluation moved out of the map.
+    //
+    // LOCK-ORDERING CONTRACT (cross-key nesting): a compute body may
+    // nest memo requests only along the fixed derivation DAG (fixture →
+    // index → knob) — two bodies must never request each other's keys,
+    // or threads A(key1→key2) and B(key2→key1) deadlock on the two
+    // lazy-val monitors with no diagnostic. Every substrate derivation
+    // nests strictly downward in that DAG, so the order is total today;
+    // a new derivation that nests must keep it acyclic.
     private var owner: Thread = null
     lazy val value: Any = {
       if (owner eq Thread.currentThread())
@@ -91,8 +99,13 @@ object DerivationCache {
       : org.apache.spark.sql.SparkSession =
     artifactSessions.computeIfAbsent(spark.sparkContext, _ => {
       val s = spark.newSession()
+      // pin from the FIRST creator's effective runtime SQL conf (covers
+      // spark.conf.set after builder time — ADVICE r11 low #4), falling
+      // back to the context conf; the first creator pins it for the JVM
       s.conf.set("spark.sql.shuffle.partitions",
-        spark.sparkContext.getConf.get("spark.sql.shuffle.partitions", "32"))
+        scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions"))
+          .getOrElse(spark.sparkContext.getConf
+            .get("spark.sql.shuffle.partitions", "32")))
       s
     })
 

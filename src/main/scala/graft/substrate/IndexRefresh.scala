@@ -93,11 +93,16 @@ object IndexRefresh {
       transform(array_sort(collect_list(struct(col("dim"), col("dm")))),
         p => p("dm")).as("dmv"),
       avg(abs(col("dm"))).as("shift"))
-    cents0.join(sv, Seq("cell"))
+    // LEFT join: a cell with no members in either snapshot (e.g. fully
+    // deleted in p1) has no shift row — it must PASS THROUGH unrefreshed
+    // rather than silently vanish and shrink the coarse quantizer
+    // (ADVICE r11 low #3); a missing shift coalesces to "no evidence".
+    cents0.join(sv, Seq("cell"), "left")
       .select(col("cell"),
-        when(col("shift") > Drift.MeanShiftBar,
+        when(coalesce(col("shift"), lit(0.0)) > Drift.MeanShiftBar,
           zip_with(col("cv"), col("dmv"), (c, d) => c + d))
           .otherwise(col("cv")).as("cv"),
-        (col("shift") > Drift.MeanShiftBar).as("refreshed"))
+        (coalesce(col("shift"), lit(0.0)) > Drift.MeanShiftBar)
+          .as("refreshed"))
   }
 }

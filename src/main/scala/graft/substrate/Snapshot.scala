@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Manifest-pinned snapshot reads over an immutable-file store — the
   * data-level mechanism behind Factor 4's version coverage (reference
   * `factors/requirements.yaml:136-138`, immutable version ids; cf.
-  * `4-traceable.md`'s reproducibility framing): a TABLE here is a set of
+  * `4-correlated.md`'s reproducibility framing): a TABLE here is a set of
   * immutable data files plus a MANIFEST of (version, file) rows naming
   * which files each version comprises. A commit appends manifest rows and
   * never mutates data files: an append commit pins the previous version's

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * (DerivationCache) and the serve-swap stream holds in an
   * AtomicReference. Reference anchor: "consumable" serving artifacts that
   * outlive the job that built them (`factors/2-consumable.md:9`) and
-  * version-pinned data (`factors/4-trustworthy`'s version coverage)
+  * version-pinned data (`factors/4-correlated.md`'s version coverage)
   * applied to the INDEX itself.
   *
   * Layout under `<base>/v=<version>/`:
@@ -52,6 +52,7 @@ object VectorArtifact {
       centroids: DataFrame, cb: Array[Array[Array[Double]]],
       codes: DataFrame): Unit = {
     val dir = s"$base/v=$version"
+    decommit(spark, dir)
     PqIndex.codebookDf(spark, cb)
       .select(col("sub"), col("cid_code").as("cid"), col("cv"))
       .coalesce(1)
@@ -69,6 +70,20 @@ object VectorArtifact {
         lit(cb.length).as("m"), lit(cb.head.length).as("k"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** DECOMMIT a version before (re)writing its data tables: delete the
+    * meta directory (the commit record) FIRST, so the version is
+    * invisible to [[versions]]/[[loadLatest]] for the whole rewrite and
+    * the reader-atomic publish contract holds for RE-publishes too, not
+    * just first-time publishes and crashed orphans (ADVICE r11 medium —
+    * previously the stale `meta/_SUCCESS` stayed visible while the data
+    * tables were overwritten underneath a concurrent load).
+    */
+  private def decommit(spark: SparkSession, dir: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) fs.delete(meta, true)
   }
 
   /** Published (= COMMITTED) versions under `base`, ascending — a

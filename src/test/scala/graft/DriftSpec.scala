@@ -277,4 +277,32 @@ class DriftSpec extends SparkSpec {
     assert(ms == 0.0 && !refresh)
     assert(serving eq aged, "no-drift window must keep the aged artifact")
   }
+
+  test("cellShiftCorrection: a cell absent from a snapshot passes through unrefreshed, never vanishes") {
+    // ADVICE r11 low #3: the inner joins silently DROPPED a cell whose
+    // members are missing from either snapshot (e.g. all deleted in p1),
+    // shrinking the coarse quantizer — it must pass through unrefreshed
+    import graft.substrate.IndexRefresh
+    val assigned = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L))
+      .toDF("vec_id", "cell")
+    val p0 = Seq((0L, Array(0.0, 0.0)), (1L, Array(2.0, 2.0)),
+      (2L, Array(5.0, 5.0)), (3L, Array(9.0, 9.0))).toDF("vec_id", "v")
+    // p1: cell 0 unchanged, cell 1 drifted by (+1,+2), cell 2 (vec 3)
+    // fully deleted
+    val p1 = Seq((0L, Array(0.0, 0.0)), (1L, Array(2.0, 2.0)),
+      (2L, Array(6.0, 7.0))).toDF("vec_id", "v")
+    val cents0 = Seq((0L, Array(1.0, 1.0)), (1L, Array(5.0, 5.0)),
+      (2L, Array(9.0, 9.0))).toDF("cell", "cv")
+    val out = IndexRefresh.cellShiftCorrection(p0, p1, assigned, cents0)
+      .orderBy("cell")
+      .as[(Long, Array[Double], Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L),
+      s"all three cells must survive, got ${out.map(_._1).toSeq}")
+    val byCell = out.map(r => r._1 -> r).toMap
+    assert(!byCell(0L)._3 && byCell(0L)._2.toSeq == Seq(1.0, 1.0))
+    assert(byCell(1L)._3 && byCell(1L)._2.toSeq == Seq(6.0, 7.0),
+      s"drifted cell must move by the measured shift, got ${byCell(1L)._2.toSeq}")
+    assert(!byCell(2L)._3 && byCell(2L)._2.toSeq == Seq(9.0, 9.0),
+      "the member-less cell must pass through with its centroid unchanged")
+  }
 }

@@ -120,6 +120,38 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("a re-publish decommits the version first: a crashed rewrite leaves an invisible orphan, not a torn read") {
+    // ADVICE r11 medium: save() used to overwrite the data tables while
+    // the old meta/_SUCCESS stayed visible — a concurrent loadLatest
+    // could read a torn mix. The guard deletes the commit record before
+    // touching data, so the reader-atomic contract holds for
+    // RE-publishes too: a rewrite that dies mid-way leaves the version
+    // DECOMMITTED (invisible, repairable by re-publishing).
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+      VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb, codes)
+      assert(VectorArtifact.versions(spark, tmp) == Seq(0L))
+      // re-publish whose codes write THROWS mid-way (after the commit
+      // record was dropped): raise_error fires during the parquet write
+      val poisoned = codes.select(col("vec_id"),
+        when(lit(true), col("codes"))
+          .otherwise(raise_error(lit("boom"))).as("codes"),
+        raise_error(lit("crash mid-rewrite")).as("poison"))
+      intercept[Exception] {
+        VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb, poisoned)
+      }
+      assert(VectorArtifact.versions(spark, tmp).isEmpty,
+        "a crashed RE-publish must leave the version decommitted/invisible")
+      // repair = re-publish the same version
+      VectorArtifact.save(spark, tmp, 0L, Dim, cents, cb, codes)
+      assert(VectorArtifact.loadLatest(spark, tmp).version == 0L)
+    }
+  }
+
   test("the durable hot swap: publish v1, repoint via loadLatest, answers change; pinned readers keep v0") {
     // retrieval_serve_swap_stream's AtomicReference made durable: the
     // swap IS "publish v=N+1 + loadLatest"; an in-flight reader that
