@@ -149,6 +149,32 @@ object MinHashLsh {
     pairs
   }
 
+  /** Right-to-be-forgotten on the STORED dedup index — the third serving
+    * artifact family to get a delete path (after the inverted index's
+    * postings and the PQ code table): drop the deleted docs' signature
+    * rows and shingle rows with one broadcast anti-join each (the
+    * vector_index_delete geometry — O(deleted) state touched, never a
+    * rebuild). Without this, a doc removed for consent/retention keeps
+    * matching future ingests against its RETAINED signatures — exactly
+    * the "deleted but still influencing AI processing" hazard the
+    * reference names for derived representations
+    * (`factors/5-compliant.md:9`, `factors/requirements.yaml:197-199`).
+    * Band rows need no separate treatment here: [[bandedKeys]] derives
+    * them from the signature table per batch, so dropping the signature
+    * row forgets every band; a deployment that MATERIALIZES band rows
+    * applies the same anti-join to that table.
+    *
+    * @param deleted one `doc_id` column naming the forget batch (bounded
+    *        — a governance batch, broadcast to both anti-joins).
+    * @return (signatures, shingles) with the deleted docs forgotten.
+    */
+  def deleteDocs(sigs: DataFrame, shingles: DataFrame,
+      deleted: DataFrame): (DataFrame, DataFrame) = {
+    val ids = deleted.select("doc_id")
+    (sigs.join(broadcast(ids), Seq("doc_id"), "left_anti"),
+      shingles.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+  }
+
   /** Delta-vs-STORED-INDEX near-dup: [[nearDupPairsAgainst]] with the
     * corpus side's signatures supplied as a PRECOMPUTED artifact (the
     * appended signature table a streaming ingester maintains — see

@@ -75,6 +75,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((101L, 1L)))
   }
 
+  test("deleteDocs: a forgotten doc never surfaces from the stored index; survivors still match; delete == rebuild") {
+    import graft.substrate.{MinHashLsh, TextOps}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet gray"))
+      .toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordTrigrams(col("text"))).as("shingle"))
+    val csh = sh(corpus).localCheckpoint(true)
+    val sigs = MinHashLsh.signatures(csh, 8).localCheckpoint(true)
+    // forget doc 1, then ingest near-dups of BOTH doc 1 (forgotten) and
+    // doc 2 (retained) — the re-upload-of-forgotten-content hazard
+    val (sigs2, csh2) = MinHashLsh.deleteDocs(sigs, csh,
+      Seq(1L).toDF("doc_id"))
+    val delta = Seq(
+      (101L, "beta gamma delta epsilon zeta eta theta"), // near-dup of 1
+      (102L, "two three four five six seven eight nine")) // near-dup of 2
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh.nearDupPairsAgainstIndex(sh(delta), sigs2, csh2,
+        numPerms = 8, bandRows = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((102L, 2L)),
+      s"forgotten doc 1 must never surface, survivor 2 must: $pairs")
+    // delete-from-index ≡ rebuilding the index from the remaining docs
+    val rebuilt = MinHashLsh.nearDupPairsAgainst(sh(delta),
+        sh(corpus.filter(col("doc_id") =!= 1L)),
+        numPerms = 8, bandRows = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == rebuilt)
+    // the stores really dropped the rows (O(deleted) state, not a mask)
+    assert(sigs2.filter(col("doc_id") === 1L).isEmpty &&
+      csh2.filter(col("doc_id") === 1L).isEmpty)
+  }
+
   test("incremental LSH: includeSameId surfaces a changed re-ingest under a stable id") {
     import graft.substrate.{MinHashLsh, TextOps}
     val corpus = Seq(
