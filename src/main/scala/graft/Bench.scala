@@ -102,7 +102,11 @@ object Bench {
     // trainings + two encodes + parquet publish/reload) debuted in
     // serial_extra at 2.9 s quiet — pinned on debut like every
     // straggler before it
-    "ann_stored_index")
+    "ann_stored_index",
+    // r12 debut: the incremental-publish entry (one training, two
+    // encodes, two clustered parquet publishes + manifest reload) —
+    // pinned on debut, the ann_stored_index treatment
+    "ann_stored_index_incremental")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

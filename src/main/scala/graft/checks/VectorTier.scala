@@ -1011,6 +1011,134 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** The INCREMENTAL durable publish (VERDICT r11 next #1 — the highest
+    * remaining scale item): v0 persists the full corpus CELL-CLUSTERED
+    * (VectorArtifact.saveClustered — one file per IVF cell, hive
+    * `pcell=` layout), then an update batch lands — every member of the
+    * cells whose id ≡ 0 (mod 5) under the frozen flat quantizer drifts
+    * by x → 1.125·x + 0.25 per dimension — and v1 is published with
+    * VectorArtifact.publishIncremental: ONLY the changed cells (the
+    * updated rows' old ∪ new cells, re-encoded with the FROZEN v0
+    * codebook) write files; every untouched cell's file is pinned from
+    * v=0 by the v1 manifest (the Iceberg/Delta file-sharing discipline).
+    * Serving runs from a fresh loadLatest THROUGH the manifest, and the
+    * oracle recomputes the ranking from a from-scratch FULL encode of
+    * the updated corpus — so the hash match proves the shared v0 files
+    * plus the rewritten cells reconstruct exactly the state a full
+    * rewrite would have produced (stale shared files, a missed moved
+    * row, or a wrong changed-cell set would all mis-rank). Spark-side
+    * requires pin that the publish really shared (>0 files from v=0,
+    * fewer new files than total — bytes written ∝ changed fraction) and
+    * that provenance rode along (source_version = 0). At 100 TB this is
+    * the difference between a drift-cadence refresh paying O(drifted
+    * cells) vs O(corpus) durable I/O per publish. Anchor:
+    * `factors/requirements.yaml:136-138` (immutable versions),
+    * `factors/2-consumable.md:9`.
+    *
+    * Tie discipline: at k=16 the demo codebook maps several corpus
+    * vectors to IDENTICAL code words, so top-K boundaries can hold
+    * mathematically-tied ADC pairs. Spark's partial agg sums each
+    * candidate's 8 lookup rows in posexplode emission (sub) order, so
+    * tied pairs come out bit-equal and the (adist, cid) window breaks
+    * them stably; DuckDB's PARALLEL agg sums in thread-arrival order
+    * and flapped tied pairs run-to-run (seen at sf0.001/0.1 debugging
+    * this entry) — the oracle pins `SUM(... ORDER BY l.sub)` so both
+    * engines sum the same multiset in the same order and the tie
+    * resolves identically.
+    */
+  val annStoredIndexIncremental = Check("ann_stored_index_incremental",
+    (spark, dir) => {
+      import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecinc")
+        .toString
+      try {
+        // frozen serving quantizer + codebook, both trained on v0's corpus
+        val cents = IvfPq.servingCentroids(e, centroidMod = 23)
+          .localCheckpoint(true)
+        val cb = PqIndex.codebookArrays(
+          PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+        def assign(df: DataFrame) =
+          IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
+            .select(col("qid").as("vec_id"), col("cell"))
+        val asg0 = assign(e).localCheckpoint(true)
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+            .join(asg0, Seq("vec_id")))
+        // the update batch: members of cells ≡ 0 (mod 5) drift by
+        // x → 1.125·x + 0.25 — MULTIPLICATIVE so the within-cell
+        // geometry distorts (a pure translation leaves updated docs'
+        // pairwise ADC distances near-identical and manufactures
+        // rank-boundary float ties — seen at sf0.001 before this form);
+        // both constants are exact binary fractions, so the updated
+        // vectors are bit-identical cross-engine
+        val eu = e.join(asg0, Seq("vec_id"))
+          .select(col("vec_id"),
+            when(col("cell") % 5 === 0,
+              transform(col("v"), x => x * lit(1.125) + lit(0.25)))
+              .otherwise(col("v")).as("v"))
+          .localCheckpoint(true)
+        val asg1 = assign(eu).localCheckpoint(true)
+        val updIds = asg0.filter(col("cell") % 5 === 0).select("vec_id")
+        val changedCells = asg0.filter(col("cell") % 5 === 0).select("cell")
+          .unionAll(asg1.join(updIds, Seq("vec_id")).select("cell"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        VectorArtifact.publishIncremental(spark, tmp, 1L, fromVersion = 0L,
+          dim = 64, cents, cb,
+          PqIndex.encode(eu, "vec_id", "v", cb, dim = 64)
+            .join(asg1, Seq("vec_id"))
+            .filter(col("cell").isin(changedCells: _*)),
+          changedCells)
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 1L && a.sourceVersion.contains(0L),
+          s"v1 must carry provenance source_version=0, got ${a.sourceVersion}")
+        val mf = VectorArtifact.readManifest(spark, tmp, 1L)
+        val (shared, fresh) = mf.partition(_._1.contains("/v=0/"))
+        require(shared.nonEmpty && fresh.nonEmpty && fresh.size < mf.size,
+          s"publish must SHARE unchanged files: shared=${shared.size} " +
+            s"fresh=${fresh.size} of ${mf.size}")
+        val q = eu.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
+            topK = K)
+          .select(lit(a.version).as("index_version"), col("qid"),
+            col("rank"), col("cid"))
+          .orderBy("qid", "rank")
+          .collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |fcents AS (SELECT vec_id AS cell, v AS cv FROM e0 WHERE vec_id % 23 = 0),
+         |asg0 AS (SELECT vec_id, cell FROM (SELECT a.vec_id, c.cell,
+         |row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cell) AS rn
+         |FROM e0 a, fcents c) WHERE rn = 1),
+         |e AS (SELECT a.vec_id, CASE WHEN g.cell % 5 = 0
+         |THEN list_transform(a.v, x -> x * 1.125 + 0.25) ELSE a.v END AS v
+         |FROM e0 a JOIN asg0 g ON g.vec_id = a.vec_id),
+         |${pqCodeCtesCfg("e", m = 8, k = 16, trainMod = 5, iters = 1,
+            trainSrc = Some("e0"))},
+         |adist AS (SELECT l.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT CAST(1 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
   /** Right-to-be-forgotten on the COMPRESSED vector index — the vector
     * twin of `inverted_index_delete`, completing the governance
     * decide→act symmetry across both serving-artifact families:
@@ -1909,5 +2037,6 @@ object VectorTier {
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
     retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
+    annStoredIndexIncremental,
     vectorIndexDelete)
 }

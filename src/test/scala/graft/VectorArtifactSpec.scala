@@ -184,6 +184,96 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("publishIncremental: shares unchanged cells' files, equals a full rewrite, survives vacuuming its ancestor") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      def assign(df: DataFrame) =
+        IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
+          .select(col("qid").as("vec_id"), col("cell"))
+      val asg0 = assign(e).localCheckpoint(true)
+      VectorArtifact.saveClustered(spark, tmp, 0L, Dim, cents, cb,
+        PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+          .join(asg0, Seq("vec_id")))
+      // v0 round-trips through its manifest, cell column intact
+      val v0 = VectorArtifact.load(spark, tmp, 0L)
+      assert(v0.codes.columns.toSet == Set("vec_id", "codes", "cell"))
+      assert(v0.codes.count() == 200)
+      // update: members of cells ≡ 0 (mod 5) drift; publish v1 sharing
+      // every untouched cell's file from v0
+      val eu = e.join(asg0, Seq("vec_id"))
+        .select(col("vec_id"),
+          when(col("cell") % 5 === 0,
+            transform(col("v"), x => x * lit(1.125) + lit(0.25)))
+            .otherwise(col("v")).as("v"))
+        .localCheckpoint(true)
+      val asg1 = assign(eu).localCheckpoint(true)
+      val updIds = asg0.filter(col("cell") % 5 === 0).select("vec_id")
+      val changedCells = asg0.filter(col("cell") % 5 === 0).select("cell")
+        .unionAll(asg1.join(updIds, Seq("vec_id")).select("cell"))
+        .distinct().as[Long].collect().toSeq
+      val full1 = PqIndex.encode(eu, "vec_id", "v", cb, dim = Dim)
+        .join(asg1, Seq("vec_id")).localCheckpoint(true)
+      VectorArtifact.publishIncremental(spark, tmp, 1L, fromVersion = 0L,
+        Dim, cents, cb,
+        full1.filter(col("cell").isin(changedCells: _*)), changedCells)
+      val v1 = VectorArtifact.loadLatest(spark, tmp)
+      assert(v1.version == 1L && v1.sourceVersion.contains(0L))
+      // the manifest really shares: >0 files pinned from v=0, and the
+      // fresh writes are a strict subset (bytes ∝ changed fraction)
+      val mf = VectorArtifact.readManifest(spark, tmp, 1L)
+      val (shared, fresh) = mf.partition(_._1.contains("/v=0/"))
+      assert(shared.nonEmpty && fresh.nonEmpty && fresh.size < mf.size,
+        s"shared=${shared.size} fresh=${fresh.size} of ${mf.size}")
+      // loaded v1 == a from-scratch full rewrite, row for row
+      def key(df: DataFrame) = df.select("vec_id", "codes", "cell")
+        .orderBy("vec_id").collect().toSeq
+      assert(key(v1.codes) == key(full1),
+        "incremental publish must reconstruct exactly the full-rewrite state")
+      // vacuum drops v0 the VERSION but keeps the files v1 still pins
+      assert(VectorArtifact.vacuum(spark, tmp, keepLatest = 1) == Seq(0L))
+      assert(VectorArtifact.versions(spark, tmp) == Seq(1L))
+      intercept[Exception] { VectorArtifact.load(spark, tmp, 0L) }
+      assert(key(VectorArtifact.load(spark, tmp, 1L).codes) == key(full1),
+        "shared files must survive vacuuming their home version")
+    }
+  }
+
+  test("appendPublish: v1 = v0's files (shared, zero data I/O) + the new batch's files") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val oldE = e.filter(col("vec_id") < 150).localCheckpoint(true)
+      val newE = e.filter(col("vec_id") >= 150).localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(oldE, centroidMod = 7)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(oldE, "vec_id", "v", dim = Dim))
+      def codesFor(df: DataFrame) =
+        PqIndex.encode(df, "vec_id", "v", cb, dim = Dim)
+          .join(IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
+            .select(col("qid").as("vec_id"), col("cell")), Seq("vec_id"))
+      VectorArtifact.saveClustered(spark, tmp, 0L, Dim, cents, cb,
+        codesFor(oldE))
+      VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L, Dim,
+        cents, cb, codesFor(newE))
+      val v1 = VectorArtifact.loadLatest(spark, tmp)
+      assert(v1.version == 1L && v1.sourceVersion.contains(0L))
+      assert(v1.codes.count() == 200)
+      val mf = VectorArtifact.readManifest(spark, tmp, 1L)
+      val mf0 = VectorArtifact.readManifest(spark, tmp, 0L)
+      assert(mf0.toSet.subsetOf(mf.toSet),
+        "append must pin EVERY v0 file unchanged")
+      // an appended corpus serves both old and new ids
+      val got = v1.codes.select("vec_id").as[Long].collect().toSet
+      assert(got == (0L until 200L).toSet)
+      // pinned v0 readers are untouched by the append
+      assert(VectorArtifact.load(spark, tmp, 0L).codes.count() == 150)
+    }
+  }
+
   test("a reloaded artifact serves identical rankings through the pruned residual path") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
