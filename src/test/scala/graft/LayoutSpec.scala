@@ -534,6 +534,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("durable manifest commits: crashed commit invisible, duplicate commit fails loudly, reads resolve from disk") {
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapdur")
+      .toString
+    try {
+      val df = spark.range(100)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df, s"$tmp/d1", "k", numFiles = 2)
+      val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
+      SnapshotStore.commit(spark, tmp, 1L, m1)
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(1L))
+      // reads resolve from the PERSISTED manifest — drop every session
+      // reference first
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L)
+      assert(SnapshotStore.manifest(spark, tmp).count() == 2L)
+      // a crashed commit = manifest dir without the job committer's
+      // _SUCCESS marker: invisible to versions/manifest/readAt
+      val crashed = new java.io.File(s"$tmp/_manifest/v=2")
+      crashed.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/_manifest/v=2/part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(1L),
+        "a commit without _SUCCESS must stay invisible")
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readAt(spark, tmp, 2L)
+      }
+      // repair = re-commit the same (uncommitted) version
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1")))
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(1L, 2L))
+      // versions are immutable: re-committing a COMMITTED version fails
+      intercept[IllegalArgumentException] {
+        SnapshotStore.commit(spark, tmp, 1L, m1)
+      }
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L,
+        "the failed duplicate commit must not have disturbed v1")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("snapshot store: time travel survives compaction; vacuum names exactly the dropped-only files") {
     import spark.implicits._
     import graft.substrate.SnapshotStore
