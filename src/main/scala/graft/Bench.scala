@@ -106,7 +106,9 @@ object Bench {
     // r12 debut: the incremental-publish entry (one training, two
     // encodes, two clustered parquet publishes + manifest reload) —
     // pinned on debut, the ann_stored_index treatment
-    "ann_stored_index_incremental")
+    "ann_stored_index_incremental",
+    // r12: stateful (blocking micro-batch loop) → serial-only
+    "vector_ingest_publish_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -126,7 +128,7 @@ object Bench {
       "inverted_index_stream", "corpus_drift_stream",
       "embedding_drift_stream", "vector_ingest_stream",
       "dedup_ingest_stream", "retrieval_serve_stream",
-      "retrieval_serve_swap_stream")
+      "retrieval_serve_swap_stream", "vector_ingest_publish_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

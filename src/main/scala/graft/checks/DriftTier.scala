@@ -917,6 +917,111 @@ object DriftTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Streaming ingest folded into the DURABLE artifact store (VERDICT
+    * r11 next #7 — the write-side twin of the serve-swap, closing the
+    * loop r12's publishIncremental opened): [[vectorIngestStream]]
+    * proved per-batch frozen-codebook encode; this entry makes each
+    * micro-batch an APPEND COMMIT on the versioned index artifact
+    * (VectorArtifact.appendPublish): v0 = the base corpus published
+    * cell-clustered, then every streamed wave publishes v=N+1 whose
+    * manifest pins v=N's ENTIRE file set untouched (zero data rewrite —
+    * the append writes only the batch's own files) plus the batch's new
+    * cell files. After the stream, the index is served from a fresh
+    * loadLatest THROUGH the manifest chain, and the output is the full
+    * per-row code assignment of everything the artifact now holds; the
+    * DuckDB oracle recomputes the codes of base ∪ delta from raw
+    * parquet (train on base, encode all), so the hash match pins
+    * append-publish ≡ full re-encode publish, row for row — a missed
+    * batch, a dropped shared file, or a stale manifest row would all
+    * surface as missing/wrong code rows. Spark-side requires pin the
+    * version chain (v2 ← v1 ← v0 provenance) and the zero-rewrite claim
+    * (every v_N manifest row survives verbatim into v_{N+1}).
+    * Stateless per-batch compute + metadata-scale commits: the 100 TB
+    * shape is a wider cluster and an object-store rename. Stateful
+    * fixture loop → serial-only bench.
+    */
+  val vectorIngestPublishStream = Check("vector_ingest_publish_stream",
+    (spark, dir) => {
+      import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val e = table(ss, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      val base = e.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+      // frozen serving artifacts, trained on the base population
+      val cents = IvfPq.servingCentroids(base, centroidMod = 23)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(base, "vec_id", "v", dim = 64))
+      def codesFor(df: org.apache.spark.sql.DataFrame) =
+        PqIndex.encode(df, "vec_id", "v", cb, dim = 64)
+          .join(IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
+            .select(col("qid").as("vec_id"), col("cell")), Seq("vec_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecpub")
+        .toString
+      try {
+        VectorArtifact.saveClustered(ss, tmp, 0L, dim = 64, cents, cb,
+          codesFor(base))
+        val streamed = col("vec_id") % 2 === 1 &&
+          col("vec_id") < DriftStreamCap
+        def wave(m: Int): Seq[(Long, Seq[Double])] =
+          e.filter(streamed && col("vec_id") % 4 === (2 * m + 1))
+            .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+            .collect().toSeq
+        var version = 0L
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Double])]
+        val q = input.toDF().toDF("vec_id", "v")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            VectorArtifact.appendPublish(ss, tmp, version + 1, version,
+              dim = 64, cents, cb, codesFor(batch))
+            version += 1
+          }
+          .start()
+        try {
+          Seq(wave(0), wave(1)).foreach { vs =>
+            input.addData(vs); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val a = VectorArtifact.loadLatest(ss, tmp)
+        require(a.version == 2L && a.sourceVersion.contains(1L),
+          s"append chain must end at v2 ← v1, got v${a.version} ← " +
+            s"${a.sourceVersion}")
+        // zero-rewrite: each commit pinned its ancestor's files verbatim
+        val mfs = (0L to 2L)
+          .map(v => VectorArtifact.readManifest(ss, tmp, v).toSet)
+        require(mfs(0).subsetOf(mfs(1)) && mfs(1).subsetOf(mfs(2)),
+          "an append commit must share its ancestor's entire file set")
+        val rows = a.codes
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "cid")))
+          .select(col("vec_id"), col("sub").cast("long").as("sub"),
+            col("cid").cast("long").as("cid"))
+          .orderBy("vec_id", "sub").collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        ss.createDataFrame(
+          ss.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("sub", LongType), StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         |pop AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0
+         |OR (vec_id % 2 = 1 AND vec_id < $DriftStreamCap)),
+         |${VectorTier.pqCodeCtesCfg("pop", m = 8, k = 16, trainMod = 5,
+            iters = 1, trainSrc = Some("base"), qWhere = Some("FALSE"))}
+         |SELECT vec_id, sub, cid FROM codes ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** Serving through an index HOT-SWAP — the missing edge of the
     * lifecycle triangle: [[indexRefreshExecute]] proves the refresh
     * loop PRODUCES a recovered artifact, `retrieval_serve_stream`
@@ -1041,5 +1146,6 @@ object DriftTier {
   val all: Seq[Check] = Seq(corpusDriftPsi, embeddingDriftMeans,
     numericDriftPsi, distributionCurrency, indexRefreshDecision,
     indexRefreshExecute, indexRefreshSelective, corpusDriftStream,
-    embeddingDriftStream, vectorIngestStream, retrievalServeSwapStream)
+    embeddingDriftStream, vectorIngestStream, vectorIngestPublishStream,
+    retrievalServeSwapStream)
 }
