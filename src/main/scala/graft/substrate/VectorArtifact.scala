@@ -353,6 +353,57 @@ object VectorArtifact {
     * deletion schedules" (`factors/requirements.yaml:197-199`) applied
     * to the artifact store.
     */
+  /** Phase 1 of the TWO-PHASE drop (VERDICT r11 next #8 — the grace
+    * contract real table formats give pinned readers): RETIRE every
+    * version except the newest `keepLatest` by deleting only its meta
+    * commit record. The version disappears from [[versions]]/
+    * [[loadLatest]] immediately — no NEW reader can dereference it —
+    * but its data files and manifest stay on disk, so an IN-FLIGHT
+    * reader holding a [[Loaded]] keeps serving to completion instead of
+    * failing mid-query. Phase 2 ([[purgeRetired]]) reclaims the bytes
+    * after the deployment's grace window. A one-shot [[vacuum]] remains
+    * the no-grace form.
+    */
+  def retire(spark: SparkSession, base: String,
+      keepLatest: Int): Seq[Long] = {
+    require(keepLatest >= 1, "retire must keep at least one version")
+    val vs = versions(spark, base)
+    val drop = vs.dropRight(keepLatest)
+    drop.foreach(v => decommit(spark, s"$base/v=$v"))
+    drop
+  }
+
+  /** Phase 2: reclaim every RETIRED (or crash-orphaned) version's
+    * storage — v= directories without a meta commit record — keeping
+    * any code file a still-committed version's manifest pins (the
+    * [[vacuum]] anti-join). Call after the grace window; in-flight
+    * readers of a purged version fail loudly from here on, the
+    * documented end of the contract.
+    */
+  def purgeRetired(spark: SparkSession, base: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val committed = versions(spark, base).toSet
+    val retired = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filterNot(committed).sorted
+    val pinned: Set[String] = committed.toSeq
+      .flatMap(v => readManifest(spark, base, v).map(_._1)).toSet
+    retired.foreach { v =>
+      val dir = s"$base/v=$v"
+      Seq("manifest", "codebook", "centroids").foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
+      }
+      val (keep, del) = listParquetFiles(spark, s"$dir/codes")
+        .partition(pinned.contains)
+      del.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    retired
+  }
+
   def vacuum(spark: SparkSession, base: String,
       keepLatest: Int): Seq[Long] = {
     require(keepLatest >= 1, "vacuum must keep at least one version")

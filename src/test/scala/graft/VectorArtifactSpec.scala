@@ -242,6 +242,53 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("two-phase drop: retire hides a version but in-flight readers keep serving; purge reclaims unshared bytes") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+      Seq(0L, 1L).foreach(v =>
+        VectorArtifact.save(spark, tmp, v, Dim, cents, cb, codes))
+      val pinnedReader = VectorArtifact.load(spark, tmp, 0L) // in flight
+      // phase 1: v0 disappears for NEW readers...
+      assert(VectorArtifact.retire(spark, tmp, keepLatest = 1) == Seq(0L))
+      assert(VectorArtifact.versions(spark, tmp) == Seq(1L))
+      intercept[Exception] { VectorArtifact.load(spark, tmp, 0L) }
+      // ...but the in-flight reader finishes its work unharmed (grace)
+      assert(pinnedReader.codes.count() == 200L)
+      // phase 2: bytes reclaimed; the in-flight reader now fails loudly
+      assert(VectorArtifact.purgeRetired(spark, tmp) == Seq(0L))
+      assert(!new java.io.File(s"$tmp/v=0").exists())
+      intercept[Exception] { pinnedReader.codes.count() }
+      assert(VectorArtifact.loadLatest(spark, tmp).version == 1L)
+    }
+  }
+
+  test("purgeRetired keeps a retired version's files that a committed incremental child still pins") {
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+        .select(col("qid").as("vec_id"), col("cell")).localCheckpoint(true)
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+        .join(asg, Seq("vec_id")).localCheckpoint(true)
+      VectorArtifact.saveClustered(spark, tmp, 0L, Dim, cents, cb, codes)
+      val oneCell = asg.select("cell").orderBy("cell").limit(1)
+        .as[Long].collect().toSeq
+      VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents, cb,
+        codes.filter(col("cell").isin(oneCell: _*)), oneCell)
+      VectorArtifact.retire(spark, tmp, keepLatest = 1)
+      VectorArtifact.purgeRetired(spark, tmp)
+      // v1 still serves its FULL corpus through the shared v0 files
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
+    }
+  }
+
   test("appendPublish: v1 = v0's files (shared, zero data I/O) + the new batch's files") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
