@@ -94,6 +94,35 @@ object SnapshotStore {
     readAt(spark, spark.read.parquet(mdir(base, version)), version)
   }
 
+  /** EXECUTE retention on the PERSISTED store — [[vacuum]]'s anti-join
+    * algebra, acted on (the VectorArtifact.vacuum discipline): every
+    * committed version outside `keep` is DECOMMITTED first (its
+    * `_manifest/v=N` dir deleted — the version disappears atomically for
+    * readers), then the data files no kept manifest references are
+    * deleted. A file shared between a dropped and a kept version
+    * survives by construction. Returns the deleted data-file paths.
+    */
+  def vacuumExecute(spark: SparkSession, base: String,
+      keep: Seq[Long]): Seq[String] = {
+    val vs = committedVersions(spark, base)
+    require(keep.nonEmpty, "vacuumExecute must keep at least one version")
+    require(keep.forall(vs.contains),
+      s"keep versions ${keep.filterNot(vs.contains)} are not committed")
+    val drop = vs.filterNot(keep.contains)
+    if (drop.isEmpty) return Seq.empty
+    // the deletable set is computed from the FULL manifest before any
+    // decommit (dropped versions' rows are the candidates)
+    val deletable = vacuum(manifest(spark, base), keep)
+      .collect().map(_.getString(0)).toSeq
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(mdir(base, v)), true))
+    deletable.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    deletable
+  }
+
   /** Manifest rows pinning `version` to the *.parquet files currently
     * under `paths` (full path per row — the manifest must stay valid if
     * read from elsewhere). List-once discipline: the caller commits the

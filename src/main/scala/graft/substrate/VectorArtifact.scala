@@ -329,6 +329,31 @@ object VectorArtifact {
       spark.read.parquet(s"$dir/centroids"), cb, codes, src)
   }
 
+  /** Manifest-level FILE PRUNING for the probed path — the Iceberg
+    * scan-planning shape: a manifest-resolved codes read is an
+    * explicit-path scan, so Spark's hive partition discovery cannot
+    * prune `pcell=` directories for it; pruning belongs where a table
+    * format does it — in the MANIFEST. Resolve only the probed cells'
+    * files (driver-side metadata filter over O(#files) rows) and scan
+    * exactly those: at 100 TB an nProbe-cell query touches nProbe
+    * files' worth of bytes regardless of corpus size. Fails loudly when
+    * no probed cell has a file — an empty scan cannot carry a schema;
+    * the caller short-circuits on empty probe sets.
+    */
+  def codesForCells(spark: SparkSession, base: String, version: Long,
+      cells: Seq[Long]): DataFrame = {
+    val mf = readManifest(spark, base, version)
+    require(mf.nonEmpty, s"v=$version has no manifest — cell pruning " +
+      "needs saveClustered/publishIncremental ancestry")
+    require(mf.forall(_._2.isDefined),
+      s"v=$version manifest carries cell-less files — not cell-clustered")
+    val cellSet = cells.toSet
+    val files = mf.collect { case (f, Some(c)) if cellSet(c) => f }
+    require(files.nonEmpty,
+      s"none of cells $cells have files in v=$version")
+    spark.read.parquet(files: _*)
+  }
+
   /** The serving tier's default dereference: the highest published
     * version — writing v=N+1 then serving loadLatest IS the durable hot
     * swap (in-flight readers keep the version they loaded).

@@ -529,15 +529,21 @@ object ScaleRehearsal {
     // ---- durable publish: bytes written ∝ drifted fraction (r12 #1) ---
     // the write-side twin of the selective-refresh rows above: after the
     // gated re-encode touches ~n/5 rows, the DURABLE publish must not
-    // quietly pay the full corpus again. `full clustered publish bytes`
-    // is the v0 baseline (whole code table, cell-partitioned);
-    // `incremental publish bytes` writes only the changed cells' files
-    // and manifest-shares the rest — its bytes must track the drifted
-    // fraction across the decades. Two decades: the 100× corpus has
-    // ~8.7k cells and local-FS directory churn dominates there (an
-    // object store shards cell prefixes; the CLAIM is the byte ratio,
-    // which two decades + the constant already pin). The `pairs` column
-    // carries BYTES for these rows.
+    // quietly pay the full corpus again. Rows measure the CODES dir
+    // only — the corpus-sized table the claim is about; the skinny
+    // per-version rewrites (codebook m·k rows, centroids |C|·dim,
+    // manifest #files rows, meta) are fixed metadata whose bytes at
+    // this toy scale are the same order as the 20k-row code table
+    // itself (at 100 TB they are ppm of it), so folding them in would
+    // measure the fixture, not the claim. `full clustered publish
+    // codes bytes` is the v0 baseline (whole code table,
+    // cell-partitioned); `incremental publish codes bytes` writes only
+    // the changed cells' files and manifest-shares the rest — its
+    // bytes must track the drifted fraction across the decades. Two
+    // decades: the 100× corpus has ~8.7k cells and local-FS directory
+    // churn dominates there (an object store shards cell prefixes; the
+    // CLAIM is the byte ratio, which two decades + the constant
+    // already pin). The `pairs` column carries BYTES for these rows.
     locally {
       import graft.substrate.VectorArtifact
       def dirBytes(path: String): Long = {
@@ -565,20 +571,21 @@ object ScaleRehearsal {
               .localCheckpoint(true)
             val codes = PqIndex.encode(e, "vec_id", "v", pubCb, dim = 64)
               .join(asg, Seq("vec_id")).localCheckpoint(true)
-            val s1 = measured("full clustered publish bytes", sc, n) {
+            val s1 = measured("full clustered publish codes bytes", sc, n) {
               VectorArtifact.saveClustered(spark, tmp, 0L, 64, cents,
                 pubCb, codes)
-              dirBytes(s"$tmp/v=0")
+              dirBytes(s"$tmp/v=0/codes")
             }
             samples += s1.copy(showRate = false)
             val changed = asg.filter(col("cell") % 5 === 0)
               .select("cell").distinct().collect().map(_.getLong(0)).toSeq
-            val s2 = measured("incremental publish bytes (cells%5 changed)",
+            val s2 = measured(
+              "incremental publish codes bytes (cells%5 changed)",
               sc, n) {
               VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, 64,
                 cents, pubCb,
                 codes.filter(col("cell").isin(changed: _*)), changed)
-              dirBytes(s"$tmp/v=1")
+              dirBytes(s"$tmp/v=1/codes")
             }
             samples += s2.copy(showRate = false)
           } finally {
@@ -1062,19 +1069,25 @@ object ScaleRehearsal {
          |  claim).
          |- **Incremental durable publish — bytes ∝ drifted fraction**
          |  (r12, `ann_stored_index_incremental`; decade rows above:
-         |  `full clustered publish bytes` vs `incremental publish bytes`,
-         |  the `pairs` column carrying BYTES): the selective refresh's
-         |  compute saving used to be followed by a 100% durable rewrite
-         |  (VERDICT r11 what's-missing #1) — now VectorArtifact keeps a
-         |  per-version FILE MANIFEST and `publishIncremental` writes only
-         |  the changed cells' files, pinning every untouched cell's file
-         |  from the ancestor version. The incremental rows must track the
-         |  ~1/5 changed fraction of the full-publish bytes at each decade
-         |  (small fixed overheads — the coalesced codebook/centroids/
-         |  manifest files — dilute as the corpus grows). Third decade
-         |  omitted by design: ~8.7k cells of local-FS directory churn
-         |  measures the filesystem, not the claim; at 100 TB the cells
-         |  are object-store prefixes and the byte ratio is what matters.
+         |  `full clustered publish codes bytes` vs `incremental publish
+         |  codes bytes`, the `pairs` column carrying BYTES): the
+         |  selective refresh's compute saving used to be followed by a
+         |  100% durable rewrite (VERDICT r11 what's-missing #1) — now
+         |  VectorArtifact keeps a per-version FILE MANIFEST and
+         |  `publishIncremental` writes only the changed cells' files,
+         |  pinning every untouched cell's file from the ancestor
+         |  version. The incremental rows must track the ~1/5 changed
+         |  fraction of the full codes bytes at each decade (per-file
+         |  parquet footers scale with the changed FILE count, so they
+         |  keep the ratio honest). Rows measure the codes dir only: the
+         |  per-version skinny rewrites (codebook, |C|·dim centroids,
+         |  manifest, meta) are fixed metadata that at this toy scale
+         |  rival the 20k-row code table itself — at 100 TB they are ppm
+         |  of it, and folding them in would measure the fixture. Third
+         |  decade omitted by design: ~8.7k cells of local-FS directory
+         |  churn measures the filesystem, not the claim; at 100 TB the
+         |  cells are object-store prefixes and the byte ratio is what
+         |  matters.
          |  Vacuum/retire stay safe under sharing (anti-join over retained
          |  manifests — VectorArtifactSpec pins a child serving through
          |  its vacuumed ancestor's files). The streaming twin

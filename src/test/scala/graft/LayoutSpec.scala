@@ -577,6 +577,53 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("vacuumExecute on the persisted store: dropped versions decommit, shared files survive, kept reads intact") {
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapvac")
+      .toString
+    try {
+      val df = spark.range(500)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      // v1 = head, v2 = v1's files + a delta (append), v3 = compaction
+      Layout.writeClustered(df.filter(col("k") < 300), s"$tmp/d1", "k",
+        numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(df.filter(col("k") >= 300), s"$tmp/d2", "k",
+        numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+      Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
+        s"$tmp/d3", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 3L,
+        SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
+      // keeping v2 and v3: v1's files are ALL shared with v2 → only the
+      // manifest commit vanishes, no data file may be deleted
+      assert(SnapshotStore.vacuumExecute(spark, tmp, Seq(2L, 3L)).isEmpty)
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(2L, 3L))
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 500L)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readAt(spark, tmp, 1L)
+      }
+      // keeping only v3: d1+d2's files are now unreferenced and go
+      val deleted = SnapshotStore.vacuumExecute(spark, tmp, Seq(3L))
+      assert(deleted.size == 3, s"expected d1's 2 + d2's 1, got $deleted")
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(3L))
+      assert(SnapshotStore.readAt(spark, tmp, 3L).count() == 500L,
+        "the kept compacted version must read intact after the purge")
+      // refuses to vacuum to nothing / to an uncommitted keep set
+      intercept[IllegalArgumentException] {
+        SnapshotStore.vacuumExecute(spark, tmp, Seq.empty)
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotStore.vacuumExecute(spark, tmp, Seq(9L))
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("snapshot store: time travel survives compaction; vacuum names exactly the dropped-only files") {
     import spark.implicits._
     import graft.substrate.SnapshotStore
