@@ -108,7 +108,11 @@ object Bench {
     // pinned on debut, the ann_stored_index treatment
     "ann_stored_index_incremental",
     // r12: stateful (blocking micro-batch loop) → serial-only
-    "vector_ingest_publish_stream")
+    "vector_ingest_publish_stream",
+    // r12 debut: the manifest-pruned durable serving path (one demo
+    // training + encode + clustered publish + manifest-pruned probed
+    // ADC) — pinned on debut, the ann_stored_index treatment
+    "ann_stored_index_pruned")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1139,6 +1139,96 @@ object VectorTier {
         .replaceAll(" AS \\(", " AS MATERIALIZED (")),
     isScore = false)
 
+  /** The deployed PROBED path served entirely from the DURABLE artifact
+    * with MANIFEST-level file pruning — what a 100 TB serving tier
+    * actually executes per query batch: publish the cell-clustered
+    * index once (VectorArtifact.saveClustered), reload fresh
+    * (loadLatest — centroids, codebook, manifest), probe nProbe=4 cells
+    * per query against the RELOADED centroids, resolve ONLY the probed
+    * cells' files through the manifest (VectorArtifact.codesForCells —
+    * an explicit-path read gets no hive discovery, so the manifest does
+    * the pruning a table format's scan planning does), and rank with
+    * the non-residual stored-artifact ADC (IvfPq.adcStored). The oracle
+    * recomputes the identical chain from raw parquet — flat
+    * nearest-centroid assignment, per-query probe lists, codes from the
+    * shared CTEs, ordered-sum ADC over probed cells only — so the hash
+    * match pins cell routing, manifest resolution, parquet round-trip,
+    * and ranking jointly. The query sample is SPARSER than the family
+    * default (vec_id % 200 — a point-lookup-sized batch) so the probe
+    * union covers a strict subset of cells at every SF and the
+    * Spark-side require genuinely pins that the pruned scan OPENED
+    * fewer files than the artifact holds. Scale shape: per query batch
+    * the scan touches |probed cells| files' bytes regardless of corpus
+    * size — the manifest filter is O(#files) driver-side metadata.
+    */
+  val annStoredIndexPruned = Check("ann_stored_index_pruned",
+    (spark, dir) => {
+      import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecprune")
+        .toString
+      try {
+        val cents = IvfPq.servingCentroids(e, centroidMod = 23)
+          .localCheckpoint(true)
+        val cb = PqIndex.codebookArrays(
+          PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+        val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+          .select(col("qid").as("vec_id"), col("cell"))
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+            .join(asg, Seq("vec_id")))
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        val q = e.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val probes = IvfPq.probeCellsFrom(a.centroids, q, "qid", "qv",
+          nProbe = 4).localCheckpoint(true)
+        val probedCells = probes.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq // bounded: ≤ min(|Q|·4, |C|)
+        val pruned = VectorArtifact.codesForCells(spark, tmp, 0L,
+          probedCells)
+        val totalFiles = VectorArtifact.readManifest(spark, tmp, 0L).size
+        require(pruned.inputFiles.length <= probedCells.size &&
+          pruned.inputFiles.length < totalFiles,
+          s"manifest pruning must bound the scan: opened " +
+            s"${pruned.inputFiles.length} of $totalFiles files for " +
+            s"${probedCells.size} probed cells")
+        val rows = IvfPq.adcStored(pruned, probes, a.cb, dim = 64, topK = K)
+          .orderBy("qid", "rank").collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("qid", LongType),
+            StructField("rank", LongType), StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtesCfg("e", m = 8, k = 16, trainMod = 5, iters = 1,
+            qWhere = Some("t.vec_id % 200 = 0"))},
+         |fcents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |asg AS (SELECT vec_id, cell FROM (SELECT a.vec_id, c.cell,
+         |row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cell) AS rn
+         |FROM e a, fcents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 200 = 0),
+         |probes AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
+         |row_number() OVER (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cell) AS rn
+         |FROM q, fcents c) WHERE rn <= 4),
+         |adist AS (SELECT p.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM probes p JOIN asg a ON a.cell = p.cell
+         |JOIN codes co ON co.vec_id = a.vec_id
+         |JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> p.qid GROUP BY 1, 2)
+         |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
   /** Right-to-be-forgotten on the COMPRESSED vector index — the vector
     * twin of `inverted_index_delete`, completing the governance
     * decide→act symmetry across both serving-artifact families:
@@ -2037,6 +2127,6 @@ object VectorTier {
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
     retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
-    annStoredIndexIncremental,
+    annStoredIndexIncremental, annStoredIndexPruned,
     vectorIndexDelete)
 }

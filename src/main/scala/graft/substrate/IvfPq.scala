@@ -141,6 +141,37 @@ object IvfPq {
       .select(col("qid"), col("qv"), col("cell"), col("cv"))
   }
 
+  /** NON-residual ADC top-k over an EXPLICIT stored code table + probe
+    * list — the serving form for a [[VectorArtifact]]-loaded index
+    * (codes came off disk; nothing re-derives): candidates are the
+    * `cell` equi-join of the code table against the broadcast probe
+    * list (on a manifest-pruned read — VectorArtifact.codesForCells —
+    * the scan never even OPENS unprobed cells' files), scoring is the
+    * per-query broadcast LUT sum of [[PqIndex.topK]], ranking the
+    * deterministic (adist, cid) window. [[topK]] is the from-corpus
+    * twin (it derives assignment + codes itself); this one consumes the
+    * stored artifact.
+    */
+  def adcStored(codesWithCell: DataFrame, probes: DataFrame,
+      cb: Array[Array[Array[Double]]], dim: Int, topK: Int): DataFrame = {
+    val lut = PqIndex.lutAdcTable(
+      probes.select(col("qid"), col("qv")).dropDuplicates("qid"),
+      "qid", "qv", cb, dim)
+    val cand = codesWithCell
+      .join(broadcast(probes.select("qid", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid_code")))
+    val scored = cand.join(broadcast(lut), Seq("qid", "sub", "cid_code"))
+      .select(col("qid"), col("vec_id").as("cid"), col("d"))
+      .groupBy("qid", "cid").agg(sum("d").as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("cid").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "cid")
+  }
+
   /** Residual-ADC top-k over probed cells — the deployed compressed
     * retrieval scan (`retrieval_recall_ivfpq_prod`): the LUT is keyed by
     * (qid, cell) because each probed cell's query residual differs
