@@ -112,7 +112,11 @@ object Bench {
     // r12 debut: the manifest-pruned durable serving path (one demo
     // training + encode + clustered publish + manifest-pruned probed
     // ADC) — pinned on debut, the ann_stored_index treatment
-    "ann_stored_index_pruned")
+    "ann_stored_index_pruned",
+    // r12 debut: the durable signature store lifecycle (md5 signature
+    // hashing + three manifest commits + a clustered file rewrite) —
+    // pinned on debut
+    "dedup_index_publish")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -23,6 +23,17 @@ object PipelineTier {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
 
+  /** Fixed doc_id cap on the dedup-store fixtures: bounds BOTH sides —
+    * the stored index (~cap/2 docs) and the ingested waves (~cap/10 +
+    * cap/50 docs) — so the MemoryStream driver-side collects and the md5
+    * portable hashing stay O(cap) at ANY scale factor (the
+    * inverted_index_stream IdxStreamCap discipline; binding from sf0.1
+    * up, whole-corpus below). Declared at the TOP of the object: entry
+    * vals interpolate it into oracle SQL, and a val referenced before
+    * its initializer silently reads 0 (hit building dedup_index_publish).
+    */
+  private val DedupStreamCap = 1000L
+
   /** Knuth-style multiplicative mix of a record id — the shared sampling
     * hash. Stays well inside Long (doc_id * 2.65e9 ≪ 2^63).
     */
@@ -364,6 +375,112 @@ object PipelineTier {
                      // cost is negligible next to the already-benched
                      // prod band algebra (dedup_incremental_prod)
 
+  /** The dedup signature index as a DURABLE, versioned lakehouse
+    * artifact — SnapshotStore's manifest-commit machinery applied to a
+    * SECOND artifact family (proving the r12 layer is generic, not
+    * vector-specific): v1 = the base corpus' signature table written
+    * CLUSTERED BY doc_id (4 files) and committed; v2 = an ingest wave's
+    * signatures appended as new files (every v1 file manifest-shared,
+    * zero rewrite); v3 = a governance DELETE batch (doc_id % 20 == 0
+    * below 100 — range-local by construction) executed as a file
+    * rewrite bounded by the clustering: only the files whose rows
+    * intersect the batch (found via input_file_name against the stored
+    * index itself) are rewritten minus the forgotten docs' rows, every
+    * other file — the whole wave dir and the untouched base files — is
+    * pinned verbatim from v2. The final state is read back THROUGH the
+    * persisted v3 manifest and the DuckDB oracle recomputes the
+    * signature table of (base ∪ wave) minus the forgotten docs from
+    * raw parquet, so the hash pins append ≡ recompute, forget ≡
+    * rebuild-without-deleted, and cross-session manifest resolution,
+    * jointly. Spark-side requires pin the bounded delete (affected ⊂
+    * total files) and real sharing. At 100 TB the affected-file set of
+    * a doc_id-range batch is the clustering's file-level prune — the
+    * delete touches O(affected files), never the corpus. Anchor:
+    * `factors/requirements.yaml:136-138` (immutable versions) composed
+    * with `:197-199` (enforced deletion).
+    */
+  val dedupIndexPublish = Check("dedup_index_publish",
+    (spark, dir) => {
+      import graft.substrate.{Layout, MinHashLsh, SnapshotStore}
+      import spark.implicits._
+      val d = docs(spark, dir)
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(wordTrigrams(col("text"))).as("shingle"))
+      def sigs(df: DataFrame) =
+        MinHashLsh.signatures(sh(df), 8, MinHashLsh.portableHash)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore")
+        .toString
+      try {
+        val base = d.filter(col("doc_id") % 2 === 0 &&
+          col("doc_id") < DedupStreamCap).select("doc_id", "text")
+        Layout.writeClustered(sigs(base), s"$tmp/s1", "doc_id",
+          numFiles = 4)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/s1")))
+        // v2: APPEND commit — the wave's signatures land as new files,
+        // every v1 file pinned untouched
+        val wave = d.filter(col("doc_id") % 10 === 7 &&
+          col("doc_id") < DedupStreamCap).select("doc_id", "text")
+        Layout.writeClustered(sigs(wave), s"$tmp/s2", "doc_id",
+          numFiles = 2)
+        SnapshotStore.commit(spark, tmp, 2L,
+          SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/s1", s"$tmp/s2")))
+        // v3: DELETE commit — rewrite ONLY the files holding the
+        // forgotten docs' rows (the doc_id clustering makes a
+        // range-local batch a file-level prune)
+        val forget = d.filter(col("doc_id") % 20 === 0 &&
+          col("doc_id") < 100).select("doc_id")
+        val affected = SnapshotStore.readAt(spark, tmp, 2L)
+          .withColumn("_f", input_file_name())
+          .join(broadcast(forget), Seq("doc_id"))
+          .select("_f").distinct().collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val m2Files = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === 2L).select("file").distinct()
+          .as[String].collect().toSeq
+        require(affected.nonEmpty && affected.size < m2Files.size,
+          s"the clustered delete must touch a strict subset of files: " +
+            s"${affected.size} of ${m2Files.size}")
+        val shared = m2Files.filterNot(affected)
+        require(shared.nonEmpty, "delete commit must share untouched files")
+        Layout.writeClustered(
+          spark.read.parquet(affected.toSeq: _*)
+            .join(broadcast(forget), Seq("doc_id"), "left_anti"),
+          s"$tmp/s3", "doc_id", numFiles = 1)
+        SnapshotStore.commit(spark, tmp, 3L,
+          shared.toDF("file")
+            .select(lit(3L).as("version"), col("file"))
+            .unionByName(
+              SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/s3"))))
+        // final state, resolved from the PERSISTED v3 manifest
+        val rows = SnapshotStore.readAt(spark, tmp, 3L)
+          .orderBy("doc_id").collect()
+        val schema = SnapshotStore.readAt(spark, tmp, 3L).schema
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      val sigCols = (0 until 8)
+        .map(p => s"MIN(md5(sh || ':$p')) AS m$p").mkString(", ")
+      s"""WITH pop AS (SELECT doc_id, text FROM documents
+         |WHERE doc_id < $DedupStreamCap AND (
+         |(doc_id % 2 = 0 AND NOT (doc_id % 20 = 0 AND doc_id < 100))
+         |OR doc_id % 10 = 7)),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos FROM pop),
+         |tri AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2)
+         |SELECT doc_id, $sigCols, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM tri GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   /** QUALITY-AWARE dedup retention — the decision layer production
     * curation actually runs: near-dup pairs → connected components →
     * keep the HIGHEST-QUALITY member per cluster (here: most tokens,
@@ -522,15 +639,6 @@ object PipelineTier {
         .orderBy("a", "b")
     },
     None, isScore = false)
-
-  /** Fixed doc_id cap on the streaming-dedup fixture: bounds BOTH sides —
-    * the stored index (~cap/2 docs) and the streamed waves (~cap/10 +
-    * cap/50 docs) — so the MemoryStream driver-side collects and the md5
-    * portable hashing stay O(cap) at ANY scale factor (the
-    * inverted_index_stream IdxStreamCap discipline; binding from sf0.1
-    * up, whole-corpus below).
-    */
-  private val DedupStreamCap = 1000L
 
   /** STREAMING dedup at ingest — the stream face of `dedup_incremental`:
     * documents arrive as real Structured Streaming micro-batches
@@ -1408,7 +1516,7 @@ object PipelineTier {
   val all: Seq[Check] = Seq(stratifiedSample, trainTestSplit,
     repetitionDetect, dedupMinhashBanded, dedupIncremental,
     dedupIncrementalProd, dedupIngestStream, dedupIndexDelete,
-    dedupRetainQuality,
+    dedupIndexPublish, dedupRetainQuality,
     sequencePack, eventsInRunWindow,
     sessionize, attributionJoin, attributionLatency,
     rollingDailyCounts, gapFillForward, splitContamination, ngramContamination,
