@@ -395,9 +395,14 @@ object PipelineTier {
     * jointly. Spark-side requires pin the bounded delete (affected ⊂
     * total files) and real sharing. At 100 TB the affected-file set of
     * a doc_id-range batch is the clustering's file-level prune — the
-    * delete touches O(affected files), never the corpus. Anchor:
-    * `factors/requirements.yaml:136-138` (immutable versions) composed
-    * with `:197-199` (enforced deletion).
+    * delete touches O(affected files), never the corpus. One honest
+    * nuance, spec-pinned (LayoutSpec "forget vs time travel"): v1/v2's
+    * manifests still pin files CONTAINING the forgotten rows — history
+    * keeps serving until retention drops those versions, and
+    * SnapshotStore.vacuumExecute is what makes the forget PHYSICAL
+    * (deletion completes at vacuum, the contract real table formats
+    * document). Anchor: `factors/requirements.yaml:136-138` (immutable
+    * versions) composed with `:197-199` (enforced deletion).
     */
   val dedupIndexPublish = Check("dedup_index_publish",
     (spark, dir) => {

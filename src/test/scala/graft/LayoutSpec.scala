@@ -624,6 +624,62 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("forget vs time travel: a delete commit hides rows going forward; vacuumExecute makes the forget physical") {
+    // the honest interaction right-to-be-forgotten has with immutable
+    // versions (the dedup_index_publish lifecycle): a DELETE commit
+    // removes the rows from v3 onward, but older manifests still pin
+    // files CONTAINING them — time travel keeps serving history until
+    // retention drops those versions, and only then is the forget
+    // physical (what real table formats document: deletion completes at
+    // vacuum)
+    import spark.implicits._
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget")
+      .toString
+    try {
+      val df = spark.range(100)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df, s"$tmp/d1", "k", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      // delete commit: k < 10 forgotten — rewrite only the files whose
+      // rows intersect (the clustering bounds it to one file)
+      val v1 = SnapshotStore.readAt(spark, tmp, 1L)
+        .withColumn("_f", input_file_name())
+      val affected = v1.filter(col("k") < 10).select("_f").distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      assert(affected.size == 1, s"clustered delete must prune: $affected")
+      val m1Files = SnapshotStore.manifest(spark, tmp)
+        .select("file").distinct().as[String].collect().toSeq
+      Layout.writeClustered(
+        spark.read.parquet(affected.toSeq: _*).filter(col("k") >= 10),
+        s"$tmp/d2", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 2L,
+        m1Files.filterNot(affected).toDF("file")
+          .select(lit(2L).as("version"), col("file"))
+          .unionByName(SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d2"))))
+      // forward reads forget; time travel still serves history
+      assert(SnapshotStore.readAt(spark, tmp, 2L)
+        .filter(col("k") < 10).isEmpty)
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L,
+        "pre-delete versions keep serving until retention drops them")
+      // retention completes the forget PHYSICALLY
+      SnapshotStore.vacuumExecute(spark, tmp, keep = Seq(2L))
+      val survivors = SnapshotStore.manifest(spark, tmp)
+        .select("file").distinct().as[String].collect()
+      assert(spark.read.parquet(survivors.toIndexedSeq: _*)
+        .filter(col("k") < 10).isEmpty,
+        "after vacuum no remaining file may contain a forgotten row")
+      // ...and the file that held them is gone from disk
+      assert(affected.forall(f => !new java.io.File(f).exists()),
+        "the forgotten rows' home file must be physically deleted")
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 90L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("snapshot store: time travel survives compaction; vacuum names exactly the dropped-only files") {
     import spark.implicits._
     import graft.substrate.SnapshotStore
