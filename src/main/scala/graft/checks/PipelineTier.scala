@@ -457,12 +457,13 @@ object PipelineTier {
             .select(lit(3L).as("version"), col("file"))
             .unionByName(
               SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/s3"))))
-        // final state, resolved from the PERSISTED v3 manifest
-        val rows = SnapshotStore.readAt(spark, tmp, 3L)
-          .orderBy("doc_id").collect()
-        val schema = SnapshotStore.readAt(spark, tmp, 3L).schema
+        // final state, resolved ONCE from the PERSISTED v3 manifest
+        // (schema comes off the same DataFrame — a second readAt would
+        // repeat the whole manifest resolution, code-review r12)
+        val v3 = SnapshotStore.readAt(spark, tmp, 3L)
+        val rows = v3.orderBy("doc_id").collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), v3.schema)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmp)).deleteRecursively()

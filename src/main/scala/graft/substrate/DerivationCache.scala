@@ -99,13 +99,20 @@ object DerivationCache {
       : org.apache.spark.sql.SparkSession =
     artifactSessions.computeIfAbsent(spark.sparkContext, _ => {
       val s = spark.newSession()
-      // pin from the FIRST creator's effective runtime SQL conf (covers
-      // spark.conf.set after builder time — ADVICE r11 low #4), falling
-      // back to the context conf; the first creator pins it for the JVM
+      // precedence (code-review r12 refining ADVICE r11 low #4): the
+      // CONTEXT conf wins when set — it is launch-time truth and immune
+      // to a sub-session's conf.set (a low-latency serving entry with
+      // shuffle.partitions=2 being the first memo-missing caller must
+      // not pin the shared artifact session at 2 for the whole JVM,
+      // the exact run-order hazard this session exists to prevent);
+      // only when the builder never set it do we consult the first
+      // caller's runtime conf (the ADVICE case: set via spark.conf.set
+      // after builder time — which then also covers Spark's own 200
+      // default if nobody set it anywhere).
       s.conf.set("spark.sql.shuffle.partitions",
-        scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions"))
-          .getOrElse(spark.sparkContext.getConf
-            .get("spark.sql.shuffle.partitions", "32")))
+        spark.sparkContext.getConf
+          .getOption("spark.sql.shuffle.partitions")
+          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions")))
       s
     })
 

@@ -56,10 +56,17 @@ object SnapshotStore {
     require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
       s"snapshot version $version is already committed under $base — " +
         "versions are immutable; commit the next version instead")
-    if (fs.exists(p)) fs.delete(p, true) // crashed-orphan repair
-    manifest.filter(col("version") === version)
+    val rows = manifest.filter(col("version") === version)
       .select(col("version").cast("long"), col("file"))
-      .coalesce(1).write.parquet(p.toString)
+    // a version-literal mismatch between the rows and the commit call
+    // would otherwise land an EMPTY manifest under a green _SUCCESS —
+    // and vacuumExecute would read 'this version pins no files' and
+    // delete the store (code-review r12); fail at commit time instead
+    require(!rows.isEmpty,
+      s"no manifest rows carry version $version — the rows passed to " +
+        "commit() must be tagged with the version being committed")
+    if (fs.exists(p)) fs.delete(p, true) // crashed-orphan repair
+    rows.coalesce(1).write.parquet(p.toString)
   }
 
   /** Versions with a completed commit marker, ascending — a

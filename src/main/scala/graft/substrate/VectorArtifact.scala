@@ -75,6 +75,7 @@ object VectorArtifact {
       centroids: DataFrame, cb: Array[Array[Array[Double]]],
       codes: DataFrame, sourceVersion: Option[Long] = None): Unit = {
     val dir = s"$base/v=$version"
+    requireUnreferenced(spark, base, version)
     decommit(spark, dir)
     writeSkinny(spark, dir, centroids, cb)
     codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
@@ -97,6 +98,7 @@ object VectorArtifact {
       dim: Int, centroids: DataFrame, cb: Array[Array[Array[Double]]],
       codes: DataFrame, sourceVersion: Option[Long] = None): Unit = {
     val dir = s"$base/v=$version"
+    requireUnreferenced(spark, base, version)
     decommit(spark, dir)
     writeSkinny(spark, dir, centroids, cb)
     writeCellFiles(spark, dir, codes)
@@ -137,6 +139,7 @@ object VectorArtifact {
       s"v=$fromVersion is not cell-clustered (manifest has cell-less " +
         "files) — incremental publish needs saveClustered ancestry")
     val dir = s"$base/v=$version"
+    requireUnreferenced(spark, base, version)
     decommit(spark, dir)
     writeSkinny(spark, dir, centroids, cb)
     writeCellFiles(spark, dir, changedCodes)
@@ -168,6 +171,7 @@ object VectorArtifact {
       s"v=$fromVersion is not cell-clustered — append needs " +
         "saveClustered ancestry")
     val dir = s"$base/v=$version"
+    requireUnreferenced(spark, base, version)
     decommit(spark, dir)
     writeSkinny(spark, dir, centroids, cb)
     writeCellFiles(spark, dir, newCodes)
@@ -287,6 +291,27 @@ object VectorArtifact {
     val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(meta)) fs.delete(meta, true)
+  }
+
+  /** Guard every (re)publish of `version`: a LATER committed version's
+    * manifest may pin files under `v=<version>/codes` (the sharing
+    * contract), and a rewrite would silently destroy them —
+    * loadLatest's scans would then throw FileNotFoundException
+    * mid-query with the child still listed as committed (code-review
+    * r12). The SnapshotStore.commit immutability discipline applied to
+    * the artifact store: repairing an orphan or rewriting a LEAF
+    * version is fine; rewriting a shared ancestor fails loudly
+    * (vacuum/retire the descendants first, or publish a NEW version).
+    */
+  private def requireUnreferenced(spark: SparkSession, base: String,
+      version: Long): Unit = {
+    val needle = s"/v=$version/"
+    val pinnedBy = versions(spark, base).filter(_ != version).filter(v =>
+      readManifest(spark, base, v).exists(_._1.contains(needle)))
+    require(pinnedBy.isEmpty,
+      s"cannot rewrite v=$version: committed version(s) " +
+        s"${pinnedBy.mkString(",")} manifest-share its files — " +
+        "vacuum them first or publish a new version")
   }
 
   /** Published (= COMMITTED) versions under `base`, ascending — a
@@ -431,32 +456,13 @@ object VectorArtifact {
 
   def vacuum(spark: SparkSession, base: String,
       keepLatest: Int): Seq[Long] = {
-    require(keepLatest >= 1, "vacuum must keep at least one version")
-    val vs = versions(spark, base)
-    val drop = vs.dropRight(keepLatest)
-    val kept = vs.takeRight(keepLatest)
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the SnapshotStore.vacuum anti-join, driver-side: a dropped
-    // version's code file survives iff a RETAINED version's manifest
-    // still pins it (file sharing makes old dirs a stash for newer
-    // versions) — metadata-scale set algebra over O(#files) paths
-    val pinned: Set[String] =
-      kept.flatMap(v => readManifest(spark, base, v).map(_._1)).toSet
-    drop.foreach { v =>
-      val dir = s"$base/v=$v"
-      // decommit FIRST: the version disappears atomically for readers,
-      // then its unshared files go
-      Seq("meta", "manifest", "codebook", "centroids").foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
-      }
-      val stillPinned = listParquetFiles(spark, s"$dir/codes")
-        .partition(pinned.contains)
-      stillPinned._2.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (stillPinned._1.isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    }
+    // the no-grace form IS the two-phase drop run back to back
+    // (code-review r12: one retention body, not two copies to keep in
+    // sync) — retire decommits atomically, purgeRetired reclaims every
+    // decommitted/orphaned version's unshared files behind the
+    // retained-manifest anti-join
+    val drop = retire(spark, base, keepLatest)
+    purgeRetired(spark, base)
     drop
   }
 }

@@ -571,6 +571,13 @@ class LayoutSpec extends SparkSpec {
       }
       assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L,
         "the failed duplicate commit must not have disturbed v1")
+      // a version-literal mismatch (rows tagged v1, committed as v3)
+      // must fail at commit time, not land an EMPTY manifest under a
+      // green _SUCCESS that vacuumExecute reads as 'pins no files'
+      intercept[IllegalArgumentException] {
+        SnapshotStore.commit(spark, tmp, 3L, m1)
+      }
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(1L, 2L))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()

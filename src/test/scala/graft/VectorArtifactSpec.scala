@@ -321,6 +321,42 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("rewriting a version whose files a committed child pins fails loudly; leaf/orphan re-publish stays allowed") {
+    // code-review r12: save/saveClustered's decommit+overwrite would
+    // silently destroy files a LATER version's manifest shares —
+    // loadLatest would keep listing the child as committed while every
+    // scan threw FileNotFoundException. The guard is the
+    // SnapshotStore.commit immutability discipline on the artifact
+    // store: rewrite of a shared ANCESTOR is rejected; a leaf (or a
+    // crashed orphan — the repair flow) still re-publishes fine.
+    withTmp { tmp =>
+      val e = corpus.localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+        .localCheckpoint(true)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = Dim))
+      val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+        .select(col("qid").as("vec_id"), col("cell")).localCheckpoint(true)
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = Dim)
+        .join(asg, Seq("vec_id")).localCheckpoint(true)
+      VectorArtifact.saveClustered(spark, tmp, 0L, Dim, cents, cb, codes)
+      val oneCell = asg.select("cell").orderBy("cell").limit(1)
+        .as[Long].collect().toSeq
+      VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents, cb,
+        codes.filter(col("cell").isin(oneCell: _*)), oneCell)
+      // v1 shares v0's files: rewriting v0 must be rejected...
+      intercept[IllegalArgumentException] {
+        VectorArtifact.saveClustered(spark, tmp, 0L, Dim, cents, cb, codes)
+      }
+      // ...and v1 must still serve, untouched by the refused rewrite
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
+      // a LEAF rewrite (nothing pins v1's files) is the repair flow
+      VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents, cb,
+        codes.filter(col("cell").isin(oneCell: _*)), oneCell)
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
+    }
+  }
+
   test("codesForCells prunes at the MANIFEST: only the probed cells' files are opened") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
