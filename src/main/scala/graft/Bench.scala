@@ -116,7 +116,12 @@ object Bench {
     // r12 debut: the durable signature store lifecycle (md5 signature
     // hashing + three manifest commits + a clustered file rewrite) —
     // pinned on debut
-    "dedup_index_publish")
+    "dedup_index_publish",
+    // r12 late: the snapshot entries grew 3 durable manifest commits +
+    // persisted-manifest reads in the rewire and snapshot_read surfaced
+    // in serial_extra (2.85 s) — promoted with its same-fixture twin
+    // per the promote-on-straggler policy
+    "snapshot_read", "snapshot_incremental_read")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
