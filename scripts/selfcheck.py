@@ -21,11 +21,28 @@ def compare_frames(o, t):
         a, b = o[c], t[c]
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             # exact where one side is integer-typed: the value IS exact,
-            # the float dtype is pandas NULL-promotion noise
+            # the float dtype is pandas NULL-promotion noise. Compare as
+            # INTEGERS, not float-promoted values — above 2^53 the float
+            # spacing exceeds 1 and a small integer slip would compare
+            # equal after promotion (ADVICE r12 low #4): round-trip the
+            # float side through int64, requiring it integral + in range.
             if a.dtype.kind in 'iu' or b.dtype.kind in 'iu':
-                af, bf = a.astype(float), b.astype(float)
-                eq = (af == bf) | (af.isna() & bf.isna())
-                if not eq.all():
+                mism = None
+                for x, y in zip(a.tolist(), b.tolist()):
+                    xna, yna = pd.isna(x), pd.isna(y)
+                    if xna or yna:
+                        if xna != yna:
+                            mism = True; break
+                        continue
+                    ok = True
+                    for v in (x, y):
+                        if isinstance(v, float) and (
+                                v != int(v) or not
+                                (-2**63 <= v < 2**63)):
+                            ok = False
+                    if not ok or int(x) != int(y):
+                        mism = True; break
+                if mism:
                     return f"col {c} (int-exact): {a.tolist()[:5]} vs {b.tolist()[:5]}"
             elif not np.allclose(a.astype(float), b.astype(float),
                                  rtol=1e-9, atol=1e-12, equal_nan=True):
@@ -45,6 +62,22 @@ def selftest():
     assert np.allclose(o["s"].astype(float), t["s"], rtol=1e-9, atol=1e-12), \
         "old tolerance should have (wrongly) passed this"
     assert compare_frames(o, t) is not None, "int-exact must catch the slip"
+    # ADVICE r12 low #4: above 2^53 a small integer slip vanishes under
+    # float promotion (spacing > 1) — the integer round-trip must catch it
+    o3 = pd.DataFrame({"s": np.array([2 ** 60 + 1], dtype=np.int64)})
+    t3 = pd.DataFrame({"s": np.array([float(2 ** 60)])})
+    assert (o3["s"].astype(float) == t3["s"]).all(), \
+        "float promotion should have (wrongly) equated these"
+    assert compare_frames(o3, t3) is not None, \
+        "int-exact must catch a sub-spacing slip at 2^60"
+    # ...while the true value at the same magnitude still passes
+    t4 = pd.DataFrame({"s": np.array([float(2 ** 60)])})
+    o4 = pd.DataFrame({"s": np.array([2 ** 60], dtype=np.int64)})
+    assert compare_frames(o4, t4) is None, "exact int at 2^60 must pass"
+    # a non-integral float against an int column is a mismatch, never a cast
+    o5 = pd.DataFrame({"s": np.array([3], dtype=np.int64)})
+    t5 = pd.DataFrame({"s": np.array([3.5])})
+    assert compare_frames(o5, t5) is not None, "non-integral float must fail"
     o2 = pd.DataFrame({"s": [0.1 + 0.2]})
     t2 = pd.DataFrame({"s": [0.3]})
     assert compare_frames(o2, t2) is None, "float tolerance must survive"

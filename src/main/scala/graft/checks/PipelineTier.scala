@@ -435,7 +435,11 @@ object PipelineTier {
         // range-local batch a file-level prune)
         val forget = d.filter(col("doc_id") % 20 === 0 &&
           col("doc_id") < 100).select("doc_id")
-        val affected = SnapshotStore.readAt(spark, tmp, 2L)
+        // manifest rows are fully-qualified URIs (r13); input_file_name
+        // emits its own URI form (file:///...) — normalize BOTH sides
+        // through URI.getPath at the comparison, keep the stored rows
+        // qualified (the ADVICE r12 discipline)
+        val affectedPaths = SnapshotStore.readAt(spark, tmp, 2L)
           .withColumn("_f", input_file_name())
           .join(broadcast(forget), Seq("doc_id"))
           .select("_f").distinct().collect()
@@ -443,13 +447,14 @@ object PipelineTier {
         val m2Files = SnapshotStore.manifest(spark, tmp)
           .filter(col("version") === 2L).select("file").distinct()
           .as[String].collect().toSeq
+        val (affected, shared) = m2Files.partition(f =>
+          affectedPaths(new java.net.URI(f).getPath))
         require(affected.nonEmpty && affected.size < m2Files.size,
           s"the clustered delete must touch a strict subset of files: " +
             s"${affected.size} of ${m2Files.size}")
-        val shared = m2Files.filterNot(affected)
         require(shared.nonEmpty, "delete commit must share untouched files")
         Layout.writeClustered(
-          spark.read.parquet(affected.toSeq: _*)
+          spark.read.parquet(affected: _*)
             .join(broadcast(forget), Seq("doc_id"), "left_anti"),
           s"$tmp/s3", "doc_id", numFiles = 1)
         SnapshotStore.commit(spark, tmp, 3L,

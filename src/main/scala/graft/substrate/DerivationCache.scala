@@ -99,20 +99,25 @@ object DerivationCache {
       : org.apache.spark.sql.SparkSession =
     artifactSessions.computeIfAbsent(spark.sparkContext, _ => {
       val s = spark.newSession()
-      // precedence (code-review r12 refining ADVICE r11 low #4): the
+      // precedence (ADVICE r12 low #3 refining the r11/r12 chain): the
       // CONTEXT conf wins when set — it is launch-time truth and immune
-      // to a sub-session's conf.set (a low-latency serving entry with
-      // shuffle.partitions=2 being the first memo-missing caller must
-      // not pin the shared artifact session at 2 for the whole JVM,
-      // the exact run-order hazard this session exists to prevent);
-      // only when the builder never set it do we consult the first
-      // caller's runtime conf (the ADVICE case: set via spark.conf.set
-      // after builder time — which then also covers Spark's own 200
-      // default if nobody set it anywhere).
+      // to a sub-session's conf.set. When the builder never set it, the
+      // first caller's RUNTIME conf is consulted (the harness that
+      // configures partitions only via spark.conf.set) — but only if it
+      // is at least the context's core width: a runtime value NARROWER
+      // than defaultParallelism is a latency-tuned sub-session knob
+      // (the serving entries pin partitions=2), and adopting it would
+      // pin the shared artifact session to the first caller's run order
+      // for the JVM lifetime — the exact hazard this session exists to
+      // prevent. The bounded fallback is the cluster width itself.
+      val width = spark.sparkContext.defaultParallelism
       s.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.getConf
           .getOption("spark.sql.shuffle.partitions")
-          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions")))
+          .getOrElse {
+            val runtime = spark.conf.get("spark.sql.shuffle.partitions")
+            if (runtime.toInt >= width) runtime else width.toString
+          })
       s
     })
 

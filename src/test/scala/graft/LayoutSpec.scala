@@ -509,8 +509,9 @@ class LayoutSpec extends SparkSpec {
         listing.crossJoin(broadcast(stats))
           .withColumn("target", expr("4 * (tb div nf)")).drop("tb", "nf"),
         col("target")).cache()
+      // plan parts are qualified URIs (r13) — key the expectation by leaf
       val binsPerPart = planned.groupBy("part").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
       assert(binsPerPart.size == 2, s"plan should span 2 parts: $binsPerPart")
       Layout.compactAll(spark, s"$tmp/out", planned, "l_orderkey")
       // bins land under their partition leaf — per-part bin-0s cannot
@@ -518,7 +519,7 @@ class LayoutSpec extends SparkSpec {
       Seq(0, 1).foreach { p =>
         val bins = new java.io.File(s"$tmp/out/p=$p").listFiles()
           .filter(_.getName.startsWith("bin=")).toSeq
-        assert(bins.size.toLong == binsPerPart(s"$tmp/in/p=$p"),
+        assert(bins.size.toLong == binsPerPart(s"p=$p"),
           s"p=$p bins: ${bins.map(_.getName)}")
         assert(bins.forall(
           _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
@@ -581,6 +582,79 @@ class LayoutSpec extends SparkSpec {
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("two racing committers of one snapshot version: exactly one claims it, the loser fails loudly, reads never tear") {
+    // VERDICT r12 next #1: commit() stages under _manifest/.stage-* and
+    // claims with one rename — two racers both pass the exists-check
+    // (the version is absent when both start), exactly one wins.
+    import graft.substrate.{CommitConflictException, SnapshotStore}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snaprace")
+      .toString
+    try {
+      val df = spark.range(100)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df, s"$tmp/d1", "k", numFiles = 2)
+      val m1 = SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1"))
+        .localCheckpoint(true)
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(): java.util.concurrent.Future[Option[Throwable]] = {
+        val task: java.util.concurrent.Callable[Option[Throwable]] =
+          () => {
+            gate.await(10, TimeUnit.SECONDS)
+            try { SnapshotStore.commit(spark, tmp, 1L, m1); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        pool.submit(task)
+      }
+      val (fa, fb) = (racer(), racer())
+      gate.countDown()
+      val losers = Seq(fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS)).flatten
+      pool.shutdown()
+      assert(losers.size == 1,
+        s"exactly one racer must lose, got ${losers.size}: $losers")
+      assert(losers.head.isInstanceOf[CommitConflictException],
+        s"the loser must get the NAMED conflict, got ${losers.head}")
+      // the store is intact and fully readable; no stage garbage
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(1L))
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L)
+      assert(!new java.io.File(s"$tmp/_manifest").listFiles()
+        .exists(_.getName.startsWith(".stage-")),
+        "both stage directories must be cleaned up")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("a snapshot store committed and reloaded through an explicitly-qualified file: base resolves") {
+    // VERDICT r12 what's-wrong #1: manifest rows carry fully-qualified
+    // URIs, so the store works when addressed by scheme (the object-store
+    // shape) and by raw path alike.
+    import graft.substrate.SnapshotStore
+    import spark.implicits._
+    val rawTmp = java.nio.file.Files.createTempDirectory("graft_snapq")
+      .toString
+    val tmp = s"file:$rawTmp"
+    try {
+      val df = spark.range(100)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df, s"$tmp/d1", "k", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      assert(SnapshotStore.manifest(spark, tmp).select("file")
+        .as[String].collect().forall(_.startsWith("file:")),
+        "manifest rows must be fully-qualified URIs")
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == 100L)
+      assert(SnapshotStore.readAt(spark, rawTmp, 1L).count() == 100L,
+        "the raw-path spelling addresses the same store")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(rawTmp)).deleteRecursively()
     }
   }
 
@@ -653,16 +727,21 @@ class LayoutSpec extends SparkSpec {
       // rows intersect (the clustering bounds it to one file)
       val v1 = SnapshotStore.readAt(spark, tmp, 1L)
         .withColumn("_f", input_file_name())
-      val affected = v1.filter(col("k") < 10).select("_f").distinct()
+      // manifest rows are qualified URIs (r13); input_file_name emits its
+      // own URI form — normalize both sides through URI.getPath
+      val affectedPaths = v1.filter(col("k") < 10).select("_f").distinct()
         .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-      assert(affected.size == 1, s"clustered delete must prune: $affected")
+      assert(affectedPaths.size == 1,
+        s"clustered delete must prune: $affectedPaths")
       val m1Files = SnapshotStore.manifest(spark, tmp)
         .select("file").distinct().as[String].collect().toSeq
+      val (affected, untouched) = m1Files.partition(f =>
+        affectedPaths(new java.net.URI(f).getPath))
       Layout.writeClustered(
-        spark.read.parquet(affected.toSeq: _*).filter(col("k") >= 10),
+        spark.read.parquet(affected: _*).filter(col("k") >= 10),
         s"$tmp/d2", "k", numFiles = 1)
       SnapshotStore.commit(spark, tmp, 2L,
-        m1Files.filterNot(affected).toDF("file")
+        untouched.toDF("file")
           .select(lit(2L).as("version"), col("file"))
           .unionByName(SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d2"))))
       // forward reads forget; time travel still serves history
@@ -678,7 +757,7 @@ class LayoutSpec extends SparkSpec {
         .filter(col("k") < 10).isEmpty,
         "after vacuum no remaining file may contain a forgotten row")
       // ...and the file that held them is gone from disk
-      assert(affected.forall(f => !new java.io.File(f).exists()),
+      assert(affectedPaths.forall(f => !new java.io.File(f).exists()),
         "the forgotten rows' home file must be physically deleted")
       assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 90L)
     } finally {
@@ -726,7 +805,8 @@ class LayoutSpec extends SparkSpec {
       val dropped = SnapshotStore.vacuum(manifest, Seq(3L))
         .as[String].collect()
       assert(dropped.forall(f => f.contains("/d1/") || f.contains("/d2/")))
-      dropped.foreach(f => assert(new java.io.File(f).delete(), f))
+      dropped.foreach(f => // rows are qualified URIs — File needs the path
+        assert(new java.io.File(new java.net.URI(f).getPath).delete(), f))
       assert(SnapshotStore.readAt(spark, manifest, 3L).count() == 1000L)
       // unknown version fails loudly, never an empty table
       intercept[IllegalArgumentException] {
