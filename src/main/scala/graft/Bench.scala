@@ -121,7 +121,13 @@ object Bench {
     // persisted-manifest reads in the rewire and snapshot_read surfaced
     // in serial_extra (2.85 s) — promoted with its same-fixture twin
     // per the promote-on-straggler policy
-    "snapshot_read", "snapshot_incremental_read")
+    "snapshot_read", "snapshot_incremental_read",
+    // r13 debuts, pinned on arrival (the ann_stored_index treatment):
+    // the durable forget (clustered publish + manifest-pruned rewrite
+    // publish + full-ADC serve) and the OPTIMIZE commit (clustered
+    // publish + append publish + scoped compact publish + full-ADC
+    // serve — three staged publishes, the registry's heaviest I/O entry)
+    "ann_stored_index_delete", "ann_stored_index_compact")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

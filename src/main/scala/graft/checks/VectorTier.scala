@@ -1110,14 +1110,19 @@ object VectorTier {
           .localCheckpoint(true)
         val asg1 = assign(eu).localCheckpoint(true)
         val updIds = asg0.filter(col("cell") % 5 === 0).select("vec_id")
+        // the changed-cell set stays a DATAFRAME end-to-end (r13 —
+        // VERDICT r12 next #4): at drift scale it is (drifted fraction ×
+        // #cells) ids, which must never become an isin literal tree or
+        // a driver collect; the share split inside publishIncremental is
+        // a broadcast anti-join against the ancestor's manifest table
         val changedCells = asg0.filter(col("cell") % 5 === 0).select("cell")
           .unionAll(asg1.join(updIds, Seq("vec_id")).select("cell"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+          .distinct().localCheckpoint(true)
         VectorArtifact.publishIncremental(spark, tmp, 1L, fromVersion = 0L,
           dim = 64, cents, cb,
           PqIndex.encode(eu, "vec_id", "v", cb, dim = 64)
             .join(asg1, Seq("vec_id"))
-            .filter(col("cell").isin(changedCells: _*)),
+            .join(changedCells, Seq("cell"), "left_semi"),
           changedCells)
         val a = VectorArtifact.loadLatest(spark, tmp)
         require(a.version == 1L && a.sourceVersion.contains(0L),
@@ -1248,6 +1253,186 @@ object VectorTier {
          |JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.cid = co.cid
          |WHERE co.vec_id <> p.qid GROUP BY 1, 2)
          |SELECT qid, rank, cid FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
+  /** DURABLE right-to-be-forgotten on the stored vector index (VERDICT
+    * r12 next #3 — the dedup store's forget-vs-time-travel contract
+    * applied to the vector family): publish the cell-clustered index as
+    * v0 (stamped with its training-corpus citation), then FORGET a
+    * governance batch — the odd-id members of every cell ≡ 0 (mod 5), a
+    * cell-local batch like a real deletion wave routed by the index's
+    * own clustering — via VectorArtifact.deletePublish: v1 rewrites ONLY
+    * the affected cells' files minus the forgotten vec_ids and
+    * manifest-shares every other cell verbatim. Serving runs from a
+    * fresh loadLatest through the v1 manifest; the oracle recomputes the
+    * ranking from raw parquet over exactly the SURVIVING ids (flat
+    * mod-23 assignment names the deleted set in SQL), so the hash match
+    * proves the forgotten ids never surface AND the survivors rank
+    * exactly as a rebuild-without-the-deleted would. Spark-side requires
+    * pin the bounded act (shared files from v=0 remain — the rewrite
+    * touched a strict subset) and the inherited corpus citation
+    * (provenance rides through derived publishes). Queries sample
+    * vec_id % 50 = 0 — even ids, disjoint from the odd-id forget batch
+    * by construction. At 100 TB the act reads O(affected cells) files
+    * through the manifest and anti-joins a broadcast batch — never the
+    * corpus; history keeps the rows until retire/purge makes the forget
+    * physical (spec-pinned in VectorArtifactSpec). Anchor:
+    * `factors/5-compliant.md:9`, `factors/requirements.yaml:197-199`.
+    */
+  val annStoredIndexDelete = Check("ann_stored_index_delete",
+    (spark, dir) => {
+      import graft.substrate.{PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecdel")
+        .toString
+      try {
+        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+            .join(asg, Seq("vec_id")),
+          corpus = Some((dir, 0L)))
+        val forget = asg.filter(col("cell") % 5 === 0 &&
+          col("vec_id") % 2 === 1).select("vec_id")
+        VectorArtifact.deletePublish(spark, tmp, 1L, fromVersion = 0L,
+          forget)
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 1L && a.sourceVersion.contains(0L),
+          s"v1 must carry provenance source_version=0, got ${a.sourceVersion}")
+        require(a.corpusBase.contains(dir) && a.corpusVersion.contains(0L),
+          "the training-corpus citation must ride through the delete " +
+            s"publish, got ${a.corpusBase}/${a.corpusVersion}")
+        val mf = VectorArtifact.readManifest(spark, tmp, 1L)
+        val (fresh, shared) = mf.partition(_._1.contains("/v=1/"))
+        require(shared.nonEmpty && fresh.nonEmpty && fresh.size < mf.size,
+          s"the forget must rewrite a strict subset: fresh=${fresh.size} " +
+            s"shared=${shared.size} of ${mf.size}")
+        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
+            topK = K)
+          .select(lit(a.version).as("index_version"), col("qid"),
+            col("rank"), col("cid"))
+          .orderBy("qid", "rank")
+          .collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtesCfg("e", m = 8, k = 16, trainMod = 5, iters = 1)},
+         |fcents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 23 = 0),
+         |asg AS (SELECT vec_id, cell FROM (SELECT a.vec_id, c.cell,
+         |row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(a.v, c.cv), c.cell) AS rn
+         |FROM e a, fcents c) WHERE rn = 1),
+         |adist AS (SELECT l.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM codes co JOIN asg g ON g.vec_id = co.vec_id
+         |JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid
+         |AND NOT (g.cell % 5 = 0 AND co.vec_id % 2 = 1) GROUP BY 1, 2)
+         |SELECT CAST(1 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
+  /** The OPTIMIZE commit on the artifact store (VERDICT r12 next #2):
+    * streaming ingest appends one-or-more files per cell PER BATCH
+    * (`vector_ingest_publish_stream`), so after K batches a hot cell's
+    * probed serve opens K files — the classic small-file proliferation a
+    * lakehouse maintenance pass exists to undo. v0 persists 3/4 of the
+    * corpus cell-clustered, v1 appends the remaining quarter
+    * (accumulating 2 files on every hot cell), and v2 is
+    * VectorArtifact.compactPublish scoped to the EVEN cells (the
+    * WHERE-predicate form a real OPTIMIZE takes): each targeted cell's
+    * files merge into one fresh file while every odd cell's v0+v1 files
+    * are manifest-shared verbatim. Serving runs full-ADC from a fresh
+    * loadLatest through the v2 manifest and the oracle recomputes the
+    * ranking of the WHOLE corpus from raw parquet — compaction must be
+    * exactly read-equivalent (a lost row, a duplicated row, or a wrong
+    * manifest split all mis-rank). Spark-side requires pin the file
+    * count genuinely shrank, the compacted cells hold one file each,
+    * and the untouched cells' files are pinned verbatim across both
+    * ancestor versions. At 100 TB the pass rewrites O(targeted cells)
+    * files and commits by manifest swap — serving latency returns to
+    * one-file-per-cell without touching the corpus. Anchor:
+    * `factors/2-consumable.md:9`.
+    */
+  val annStoredIndexCompact = Check("ann_stored_index_compact",
+    (spark, dir) => {
+      import graft.substrate.{PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_veccomp")
+        .toString
+      try {
+        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+          .join(asg, Seq("vec_id"))
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          codes.filter(col("vec_id") % 4 < 3), corpus = Some((dir, 0L)))
+        VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L,
+          dim = 64, cents, cb, codes.filter(col("vec_id") % 4 === 3))
+        val mf1 = VectorArtifact.readManifest(spark, tmp, 1L)
+        val evens = mf1.flatMap(_._2).filter(_ % 2 == 0).distinct
+        VectorArtifact.compactPublish(spark, tmp, 2L, fromVersion = 1L,
+          onlyCells = Some(evens))
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 2L && a.sourceVersion.contains(1L) &&
+          a.corpusVersion.contains(0L),
+          s"v2 must chain provenance v1 and inherit the corpus citation")
+        val mf2 = VectorArtifact.readManifest(spark, tmp, 2L)
+        require(mf2.size < mf1.size,
+          s"OPTIMIZE must shrink the file count: ${mf2.size} vs ${mf1.size}")
+        val freshByCell = mf2.filter(_._1.contains("/v=2/"))
+          .flatMap(_._2).groupBy(identity)
+        require(freshByCell.nonEmpty &&
+          freshByCell.forall { case (c, fs) => c % 2 == 0 && fs.size == 1 },
+          "each compacted (even) cell must hold exactly one fresh file")
+        require(mf2.exists(_._1.contains("/v=0/")) &&
+          mf2.exists(_._1.contains("/v=1/")),
+          "untouched cells' files must stay pinned from BOTH ancestors")
+        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
+            topK = K)
+          .select(lit(a.version).as("index_version"), col("qid"),
+            col("rank"), col("cid"))
+          .orderBy("qid", "rank")
+          .collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT CAST(2 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM (SELECT qid, cand AS cid,
          |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
          |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
         .stripMargin.replace("\n", " ")
@@ -2152,6 +2337,6 @@ object VectorTier {
     retrievalRecallPqRerank, annIvfIncremental, retrievalRecallIvfPqRerank,
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
     retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
-    annStoredIndexIncremental, annStoredIndexPruned,
-    vectorIndexDelete)
+    annStoredIndexIncremental, annStoredIndexPruned, annStoredIndexDelete,
+    annStoredIndexCompact, vectorIndexDelete)
 }

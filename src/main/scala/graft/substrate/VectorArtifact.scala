@@ -258,7 +258,26 @@ object VectorArtifact {
     require(!cellsDf.isEmpty,
       "publishIncremental with no changed cells — re-point readers at " +
         s"v=$fromVersion instead of publishing an identical version")
-    requireClusteredAncestor(spark, base, version, fromVersion)
+    // the ancestry gate stays RELATIONAL here (the Seq form's
+    // requireClusteredAncestor collects the manifest to the driver —
+    // exactly what this overload exists to avoid): committed ancestor,
+    // manifest present, zero cell-less rows, strictly-forward version
+    require(version > fromVersion,
+      s"derived publish must move the version FORWARD: v=$version from " +
+        s"v=$fromVersion — file sharing points strictly backward")
+    require(versions(spark, base).contains(fromVersion),
+      s"v=$fromVersion is not a committed version under $base")
+    val prevManifest = new org.apache.hadoop.fs.Path(
+      s"$base/v=$fromVersion/manifest")
+    require(prevManifest
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(prevManifest),
+      s"v=$fromVersion has no manifest under $base (legacy layout) — " +
+        "a derived publish needs saveClustered ancestry")
+    require(spark.read.parquet(prevManifest.toString)
+        .filter(col("cell").isNull).isEmpty,
+      s"v=$fromVersion is not cell-clustered (manifest has cell-less " +
+        "files) — a derived publish needs saveClustered ancestry")
     val corpus = corpusOf(spark, base, fromVersion)
     requireUnreferenced(spark, base, version)
     stagedPublish(spark, base, version) { (stage, finalize) =>

@@ -539,11 +539,14 @@ object ScaleRehearsal {
     // codes bytes` is the v0 baseline (whole code table,
     // cell-partitioned); `incremental publish codes bytes` writes only
     // the changed cells' files and manifest-shares the rest — its
-    // bytes must track the drifted fraction across the decades. Two
-    // decades: the 100× corpus has ~8.7k cells and local-FS directory
-    // churn dominates there (an object store shards cell prefixes; the
-    // CLAIM is the byte ratio, which two decades + the constant
-    // already pin). The `pairs` column carries BYTES for these rows.
+    // bytes must track the drifted fraction across ALL THREE decades
+    // (r13, VERDICT r12 next #7; the 100× decade pays ~8.7k cells of
+    // local-FS directory churn in WALL time, but the byte ratio — the
+    // claim — is churn-free). The changed-cell set rides as a
+    // DATAFRAME through the r13 publishIncremental overload (VERDICT
+    // r12 next #4): at the 100× cell count the share split is an
+    // anti-join against the manifest table, never an isin literal
+    // tree. The `pairs` column carries BYTES for these rows.
     locally {
       import graft.substrate.VectorArtifact
       def dirBytes(path: String): Long = {
@@ -559,7 +562,8 @@ object ScaleRehearsal {
       }
       val pubCb = PqIndex.codebookArrays(
         PqIndex.codebooks(emb1, "vec_id", "v", dim = 64))
-      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x")).foreach {
+      Seq((emb1, nEmb1, "1x"), (emb10, nEmb10, "10x"),
+        (emb100, nEmb100, "100x")).foreach {
         case (e, n, sc) =>
           val tmp = java.nio.file.Files
             .createTempDirectory("graft_scalepub").toString
@@ -578,13 +582,13 @@ object ScaleRehearsal {
             }
             samples += s1.copy(showRate = false)
             val changed = asg.filter(col("cell") % 5 === 0)
-              .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+              .select("cell").distinct().localCheckpoint(true)
             val s2 = measured(
               "incremental publish codes bytes (cells%5 changed)",
               sc, n) {
               VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, 64,
                 cents, pubCb,
-                codes.filter(col("cell").isin(changed: _*)), changed)
+                codes.join(changed, Seq("cell"), "left_semi"), changed)
               dirBytes(s"$tmp/v=1/codes")
             }
             samples += s2.copy(showRate = false)
@@ -1083,11 +1087,15 @@ object ScaleRehearsal {
          |  per-version skinny rewrites (codebook, |C|·dim centroids,
          |  manifest, meta) are fixed metadata that at this toy scale
          |  rival the 20k-row code table itself — at 100 TB they are ppm
-         |  of it, and folding them in would measure the fixture. Third
-         |  decade omitted by design: ~8.7k cells of local-FS directory
-         |  churn measures the filesystem, not the claim; at 100 TB the
-         |  cells are object-store prefixes and the byte ratio is what
-         |  matters.
+         |  of it, and folding them in would measure the fixture. The
+         |  100× decade (r13) pays ~8.7k cells of local-FS directory
+         |  churn in WALL time — at 100 TB the cells are object-store
+         |  prefixes — but the byte RATIO is churn-free and must hold
+         |  ≈0.2 there too. Since r13 the changed-cell set rides as a
+         |  DataFrame (the publishIncremental overload): the share split
+         |  is an anti-join against the manifest table, so the 100×
+         |  cell count never becomes an isin literal tree or an O(F·C)
+         |  driver scan.
          |  Vacuum/retire stay safe under sharing (anti-join over retained
          |  manifests — VectorArtifactSpec pins a child serving through
          |  its vacuumed ancestor's files). The streaming twin
