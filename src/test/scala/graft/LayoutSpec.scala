@@ -832,4 +832,120 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("commitNext: two racing committers both land, at distinct versions — the loser retries instead of aborting") {
+    // VERDICT r12 next #1's second clause on the snapshot store: the
+    // append-ingest client shape. Both writers observe the same latest
+    // (barrier-forced), both try version 1, exactly one claims it and
+    // the loser's retry claims 2 with rows re-tagged for the new
+    // candidate (rowsFor(version) is re-invoked per attempt).
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapnext")
+      .toString
+    try {
+      val df = spark.range(100)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df, s"$tmp/d1", "k", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 0L,
+        SnapshotStore.manifestFor(spark, 0L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(df.select(col("k") + 100 as "k", col("v")),
+        s"$tmp/d2", "k", numFiles = 1)
+      import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+      val gate = new CyclicBarrier(2)
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = Executors.newFixedThreadPool(2)
+      def committer(dirs: Seq[String]) =
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotStore.commitNext(spark, tmp) { v =>
+            attempts.incrementAndGet()
+            if (v == 1L) gate.await(60, TimeUnit.SECONDS)
+            SnapshotStore.manifestFor(spark, v, dirs)
+          }
+        })
+      val (fa, fb) = (committer(Seq(s"$tmp/d1", s"$tmp/d2")),
+        committer(Seq(s"$tmp/d1")))
+      val claimed = Set(fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(claimed == Set(1L, 2L),
+        s"winner at 1, loser retried at 2 — got $claimed")
+      assert(attempts.get == 3,
+        s"two firsts + exactly one retry, got ${attempts.get}")
+      assert(SnapshotStore.committedVersions(spark, tmp) ==
+        Seq(0L, 1L, 2L))
+      // every landed version reads intact — rows were re-tagged per
+      // attempt, so no version carries a mismatched tag
+      Seq(0L, 1L, 2L).foreach(v =>
+        assert(SnapshotStore.readAt(spark, tmp, v).count() >= 100L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("snapshot two-phase drop: retire hides a version from new readers, in-flight reads finish, purge reclaims unshared bytes") {
+    // the VectorArtifact retire/purge grace contract, now symmetric on
+    // the snapshot store (r13): phase 1 removes only the commit marker —
+    // the manifest rows survive so phase 2 can compute what the retired
+    // version pinned; a file shared with a kept version survives purge.
+    import spark.implicits._
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapretire")
+      .toString
+    try {
+      val df = spark.range(500)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(df.filter(col("k") < 300), s"$tmp/d1", "k",
+        numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(df.filter(col("k") >= 300), s"$tmp/d2", "k",
+        numFiles = 1)
+      // v2 shares d1's files with v1 and adds d2's
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+      // an in-flight reader resolves v1's file list BEFORE the retire
+      val inFlight = SnapshotStore.readAt(spark, tmp, 1L)
+      assert(SnapshotStore.retire(spark, tmp, keep = Seq(2L)) == Seq(1L))
+      // new readers can no longer pin v1...
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(2L))
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readAt(spark, tmp, 1L)
+      }
+      // ...but the in-flight reader finishes unharmed (grace: its files
+      // are still on disk until purge)
+      assert(inFlight.count() == 300L)
+      // purge: v1's files are ALL shared with the kept v2 → nothing to
+      // delete, but the retired manifest directory is reclaimed
+      assert(SnapshotStore.purgeRetired(spark, tmp).isEmpty)
+      assert(!new java.io.File(s"$tmp/_manifest/v=1").exists(),
+        "the retired manifest directory must be reclaimed")
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 500L)
+      // now retire v2 after a compaction commit that shares nothing
+      Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
+        s"$tmp/d3", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 3L,
+        SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
+      SnapshotStore.retire(spark, tmp, keep = Seq(3L))
+      val purged = SnapshotStore.purgeRetired(spark, tmp)
+      assert(purged.size == 3,
+        s"d1's 2 + d2's 1 exclusive files must go, got $purged")
+      purged.foreach(f => assert(
+        !new java.io.File(new java.net.URI(f).getPath).exists(), f))
+      assert(SnapshotStore.readAt(spark, tmp, 3L).count() == 500L,
+        "the kept version serves intact after the purge")
+      // a fresh stage dir survives the sweep inside the grace window
+      new java.io.File(s"$tmp/_manifest/.stage-v=9-x").mkdirs()
+      SnapshotStore.purgeRetired(spark, tmp)
+      assert(new java.io.File(s"$tmp/_manifest/.stage-v=9-x").exists(),
+        "an in-flight commit's stage must survive the maintenance pass")
+      assert(SnapshotStore.purgeRetired(spark, tmp,
+        stageGraceMs = -1L).isEmpty)
+      assert(!new java.io.File(s"$tmp/_manifest/.stage-v=9-x").exists(),
+        "past the grace window, crashed stage garbage is swept")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }

@@ -358,7 +358,24 @@ class VectorArtifactSpec extends SparkSpec {
       }
       // ...and v1 must still serve, untouched by the refused rewrite
       assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
-      // a LEAF rewrite (nothing pins v1's files) is the repair flow
+      // a derived re-publish of the COMMITTED leaf is a conflict, not a
+      // repair (post-ann_stored_index_concurrent: a derived writer
+      // cannot distinguish its own deliberate rewrite from having lost
+      // a race — only save/saveClustered carry re-publish intent)
+      intercept[graft.substrate.CommitConflictException] {
+        VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents,
+          cb, codes.filter(col("cell").isin(oneCell: _*)), oneCell)
+      }
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
+      // the repair flow proper: a CRASHED publish left no commit record
+      // (simulate by dropping v1's meta) — the orphan is invisible and a
+      // derived re-publish of the now-uncommitted version succeeds
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(s"$tmp/v=1/meta"))
+          .deleteRecursively()
+      }
+      assert(VectorArtifact.versions(spark, tmp) == Seq(0L))
       VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents, cb,
         codes.filter(col("cell").isin(oneCell: _*)), oneCell)
       assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 200L)
@@ -801,6 +818,137 @@ class VectorArtifactSpec extends SparkSpec {
         .limit(2).as[Long].collect().toSeq
       assert(VectorArtifact.codesForCells(spark, tmp, 0L, probed)
         .count() > 0)
+    }
+  }
+
+  test("retryPublish: the CAS loser retries at N+1 and its intent composes with the winner's") {
+    // VERDICT r12 next #1, second clause: the protocol's client half —
+    // a losing racer re-derives against the winner's commit instead of
+    // aborting. Two appenders race the same next version from the same
+    // observed latest (barrier-forced); exactly one conflict happens,
+    // the loser lands at N+1, and the final version holds BOTH batches.
+    withTmp { tmp =>
+      val (cents, cb, codes, _) = clusteredV0(tmp) // publishes v0 (200 rows)
+      val batchA = codes.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000).localCheckpoint(true)
+      val batchB = codes.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 2000).localCheckpoint(true)
+      import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+      val gate = new CyclicBarrier(2)
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = Executors.newFixedThreadPool(2)
+      def appender(batch: DataFrame) =
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            VectorArtifact.retryPublish(spark, tmp) { (from, v) =>
+              attempts.incrementAndGet()
+              if (v == 1L) gate.await(60, TimeUnit.SECONDS)
+              VectorArtifact.appendPublish(spark, tmp, v, from, Dim,
+                cents, cb, batch)
+            }
+        })
+      val (fa, fb) = (appender(batchA), appender(batchB))
+      val claimed = Set(fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(claimed == Set(1L, 2L),
+        s"winner at 1, loser retried at 2 — got $claimed")
+      assert(attempts.get == 3,
+        s"two firsts + exactly one retry, got ${attempts.get}")
+      assert(VectorArtifact.versions(spark, tmp) == Seq(0L, 1L, 2L))
+      val served = VectorArtifact.loadLatest(spark, tmp).codes
+      assert(served.count() == 300L,
+        "the retried append must COMPOSE with the winner's: both batches present")
+      assert(served.select("vec_id").distinct().count() == 300L)
+    }
+  }
+
+  test("a LATE-arriving derived publish of an already-committed version conflicts — never a silent clobber") {
+    // Found by ann_stored_index_concurrent's requires on its first run:
+    // the r13 first-cut CAS measured committedAtStart at stage entry for
+    // EVERY publish form, so a racer that reached stagedPublish after
+    // the winner's claim classified itself as a deliberate re-publish
+    // and silently replaced the winner's commit — a lost update under a
+    // green commit. Re-publish is now the caller's explicit intent
+    // (save/saveClustered only); a derived publish finding its target
+    // committed gets the named, RETRYABLE conflict whenever it arrives.
+    import graft.substrate.CommitConflictException
+    withTmp { tmp =>
+      val (cents, cb, codes, _) = clusteredV0(tmp) // publishes v0
+      val batchA = codes.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val batchB = codes.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 2000)
+      VectorArtifact.appendPublish(spark, tmp, 1L, 0L, Dim, cents, cb,
+        batchA)
+      // a second writer whose intent was derived from v0 arrives AFTER
+      // the first writer's claim, still targeting v1
+      intercept[CommitConflictException] {
+        VectorArtifact.appendPublish(spark, tmp, 1L, 0L, Dim, cents, cb,
+          batchB)
+      }
+      // the winner's commit is untouched: batchA present, batchB absent
+      val served = VectorArtifact.loadLatest(spark, tmp).codes
+      assert(served.count() == 250L)
+      assert(served.filter(col("vec_id") >= 2000).isEmpty,
+        "the stale intent must not have landed anywhere")
+      // ...and the conflict is what retryPublish turns into an N+1 retry
+      val v = VectorArtifact.retryPublish(spark, tmp) { (from, ver) =>
+        VectorArtifact.appendPublish(spark, tmp, ver, from, Dim, cents,
+          cb, batchB)
+      }
+      assert(v == 2L)
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 300L)
+      // a deliberate LEAF re-publish via save stays available (orphan
+      // repair / rewrite), unreferenced-guarded as before
+      VectorArtifact.save(spark, tmp, 3L, Dim, cents, cb, codes)
+      VectorArtifact.save(spark, tmp, 3L, Dim, cents, cb,
+        codes.filter(col("vec_id") < 100))
+      assert(VectorArtifact.load(spark, tmp, 3L).codes.count() == 100L)
+    }
+  }
+
+  test("retryPublish propagates a non-conflict failure immediately — a broken intent is never retried") {
+    withTmp { tmp =>
+      val (cents, cb, codes, _) = clusteredV0(tmp)
+      var calls = 0
+      intercept[IllegalArgumentException] {
+        VectorArtifact.retryPublish(spark, tmp) { (_, _) =>
+          calls += 1
+          throw new IllegalArgumentException("broken intent")
+        }
+      }
+      assert(calls == 1, s"no retry on a non-conflict failure, got $calls")
+      // and with no committed ancestor there is nothing to derive from
+      intercept[IllegalArgumentException] {
+        VectorArtifact.retryPublish(spark, s"$tmp/empty") { (_, _) => () }
+      }
+    }
+  }
+
+  test("maintenanceDecision flags exactly the cells whose committed file count exceeds the threshold") {
+    // the decide half of the OPTIMIZE pairing: pure manifest algebra —
+    // after an append the appended cells hold 2 files, the rest 1; the
+    // acted-on store flags nothing on re-decision (the policy converges)
+    withTmp { tmp =>
+      val (cents, cb, codes, asg) = clusteredV0(tmp)
+      val hotCells = asg.filter(col("vec_id") >= 150).select("cell")
+        .distinct().as[Long].collect().toSeq.sorted
+      VectorArtifact.appendPublish(spark, tmp, 1L, 0L, Dim, cents, cb,
+        codes.filter(col("vec_id") >= 150)
+          .withColumn("vec_id", col("vec_id") + 1000))
+      assert(VectorArtifact.maintenanceDecision(spark, tmp, 1L,
+        maxFilesPerCell = 1) == hotCells,
+        "decision must flag exactly the appended (multi-file) cells")
+      assert(VectorArtifact.maintenanceDecision(spark, tmp, 1L,
+        maxFilesPerCell = 2).isEmpty,
+        "a laxer threshold flags nothing at 2 files per cell")
+      VectorArtifact.compactPublish(spark, tmp, 2L, 1L,
+        onlyCells = Some(VectorArtifact.maintenanceDecision(spark, tmp, 1L)))
+      assert(VectorArtifact.maintenanceDecision(spark, tmp, 2L).isEmpty,
+        "after the act, the decision converges to nothing-to-do")
+      assert(VectorArtifact.loadLatest(spark, tmp).codes.count() == 250L,
+        "compaction is read-equivalent: all rows survive")
     }
   }
 }
