@@ -153,7 +153,13 @@ object Bench {
       "inverted_index_stream", "corpus_drift_stream",
       "embedding_drift_stream", "vector_ingest_stream",
       "dedup_ingest_stream", "retrieval_serve_stream",
-      "retrieval_serve_swap_stream", "vector_ingest_publish_stream")
+      "retrieval_serve_swap_stream", "vector_ingest_publish_stream",
+      // not a stream, but the same blocking shape: the entry drives its
+      // OWN 2-thread writer pool synchronized by a CyclicBarrier — in
+      // the fair-pool concurrent suite the barrier wait occupies pool
+      // workers for the entry's full span (r13 first bench: 30.4 s
+      // concurrent vs 13.7 s serial)
+      "ann_stored_index_concurrent")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

@@ -1475,13 +1475,19 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vecrace")
         .toString
       try {
+        // the protocol is the subject, not the corpus size: the served
+        // set is the EVEN-id half (the codebook/centroids stay the
+        // memoized FULL-trained demo artifact — the incremental entry's
+        // trainSrc discipline, mirrored by the oracle's e0-trained CTEs)
+        // so the entry's four staged publishes move half the bytes
         val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
-        val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+        val eh = e.filter(col("vec_id") % 2 === 0)
+        val codes = PqIndex.encode(eh, "vec_id", "v", cb, dim = 64)
           .join(asg, Seq("vec_id")).localCheckpoint(true)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
-          codes.filter(col("vec_id") % 4 < 2), corpus = Some((dir, 0L)))
+          codes.filter(col("vec_id") % 8 < 3), corpus = Some((dir, 0L)))
         VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L,
-          dim = 64, cents, cb, codes.filter(col("vec_id") % 4 === 2))
+          dim = 64, cents, cb, codes.filter(col("vec_id") % 8 === 4))
         // both writers compute their intent against v=1 before either
         // claims — the barrier makes the conflict deterministic, the
         // retry loop makes its RESOLUTION deterministic
@@ -1498,7 +1504,7 @@ object VectorTier {
               VectorArtifact.retryPublish(spark, tmp) { (from, v) =>
                 sync(v)
                 VectorArtifact.appendPublish(spark, tmp, v, from, dim = 64,
-                  cents, cb, codes.filter(col("vec_id") % 4 === 3))
+                  cents, cb, codes.filter(col("vec_id") % 8 === 6))
               }
           })
           val compactor = pool.submit(new java.util.concurrent.Callable[Long] {
@@ -1526,7 +1532,7 @@ object VectorTier {
             s"${a.sourceVersion}")
         require(a.corpusBase.contains(dir) && a.corpusVersion.contains(0L),
           "the corpus citation must survive both racing publish paths")
-        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+        val q = eh.filter(col("vec_id") % QuerySampleMod === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val rows = PqIndex.topK(a.codes, q, "qid", "qv", a.cb, dim = 64,
             topK = K)
@@ -1546,8 +1552,10 @@ object VectorTier {
       }
     },
     Some(
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${pqCodeCtes("e")},
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM e0 WHERE vec_id % 2 = 0),
+         |${pqCodeCtesCfg("e", m = 8, k = 16, trainMod = 5, iters = 1,
+            trainSrc = Some("e0"))},
          |adist AS (SELECT l.qid, co.vec_id AS cand,
          |SUM(l.d * l.d ORDER BY l.sub) AS ad
          |FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
