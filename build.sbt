@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench suite runs ~35 pinned serial queries ×3 then
+  // ~180 concurrent ones in ONE JVM — at 8g the concurrent phase ran in
+  // old-gen pressure and unrelated entries inflated 3-6× (r13 bench
+  // forensics); the box has 128 GiB, local[32] with a fair-pool suite
+  // deserves a server-sized heap. SPARK_DRIVER_MEM still overrides
+  // (ScaleRehearsal's 100× pass uses 48g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

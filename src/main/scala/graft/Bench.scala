@@ -133,7 +133,11 @@ object Bench {
     // CAS conflict + retry) — four staged publishes total; running it
     // inside the fair-pool concurrent suite would nest thread pools and
     // contend the barrier window
-    "ann_stored_index_concurrent")
+    "ann_stored_index_concurrent",
+    // r13: surfaced once in the concurrent top-8 under the heavier
+    // 191-entry suite (5.5 s contended vs 0.52 s quiet) — pinned per
+    // the promote-on-straggler policy so serial_extra ships empty
+    "serving_latency_compliance")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -953,7 +953,8 @@ object VectorTier {
   private final case class FlatArtifact(
       cents: org.apache.spark.sql.DataFrame,
       cb: Array[Array[Array[Double]]],
-      asg: org.apache.spark.sql.DataFrame)
+      asg: org.apache.spark.sql.DataFrame,
+      codes: org.apache.spark.sql.DataFrame)
 
   private def demoFlatArtifact(spark: SparkSession,
       dir: String): FlatArtifact =
@@ -969,7 +970,14 @@ object VectorTier {
       val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
         .select(col("qid").as("vec_id"), col("cell"))
         .localCheckpoint(true)
-      FlatArtifact(cents, cb, asg)
+      // the encoded+assigned corpus codes too (r13 bench forensics): five
+      // stored-index entries each re-ran the encode shuffle per bench
+      // repeat for the identical deterministic result — the entries'
+      // measured subject is PUBLISH + SERVE, not re-deriving the fixture
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
+        .join(asg, Seq("vec_id"))
+        .localCheckpoint(true)
+      FlatArtifact(cents, cb, asg, codes)
     }
 
   /** The index as a PERSISTED, version-stamped artifact
@@ -1088,13 +1096,13 @@ object VectorTier {
         // frozen serving quantizer + codebook + v0 assignment — the
         // shared memoized artifact (built once per corpus; this entry's
         // measured cost is the publishes + the serve)
-        val FlatArtifact(cents, cb, asg0) = demoFlatArtifact(spark, dir)
+        val FlatArtifact(cents, cb, asg0, codes0) =
+          demoFlatArtifact(spark, dir)
         def assign(df: DataFrame) =
           IvfPq.probeCellsFrom(cents, df, "vec_id", "v", nProbe = 1)
             .select(col("qid").as("vec_id"), col("cell"))
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
-          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
-            .join(asg0, Seq("vec_id")))
+          codes0)
         // the update batch: members of cells ≡ 0 (mod 5) drift by
         // x → 1.125·x + 0.25 — MULTIPLICATIVE so the within-cell
         // geometry distorts (a pure translation leaves updated docs'
@@ -1203,10 +1211,9 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vecprune")
         .toString
       try {
-        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        val FlatArtifact(cents, cb, _, codes) = demoFlatArtifact(spark, dir)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
-          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
-            .join(asg, Seq("vec_id")))
+          codes)
         val a = VectorArtifact.loadLatest(spark, tmp)
         val q = e.filter(col("vec_id") % 200 === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1290,11 +1297,10 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vecdel")
         .toString
       try {
-        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        val FlatArtifact(cents, cb, asg, codes) =
+          demoFlatArtifact(spark, dir)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
-          PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
-            .join(asg, Seq("vec_id")),
-          corpus = Some((dir, 0L)))
+          codes, corpus = Some((dir, 0L)))
         val forget = asg.filter(col("cell") % 5 === 0 &&
           col("vec_id") % 2 === 1).select("vec_id")
         VectorArtifact.deletePublish(spark, tmp, 1L, fromVersion = 0L,
@@ -1379,9 +1385,7 @@ object VectorTier {
       val tmp = java.nio.file.Files.createTempDirectory("graft_veccomp")
         .toString
       try {
-        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
-        val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 64)
-          .join(asg, Seq("vec_id"))
+        val FlatArtifact(cents, cb, _, codes) = demoFlatArtifact(spark, dir)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
           codes.filter(col("vec_id") % 4 < 3), corpus = Some((dir, 0L)))
         VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L,
@@ -1480,10 +1484,10 @@ object VectorTier {
         // memoized FULL-trained demo artifact — the incremental entry's
         // trainSrc discipline, mirrored by the oracle's e0-trained CTEs)
         // so the entry's four staged publishes move half the bytes
-        val FlatArtifact(cents, cb, asg) = demoFlatArtifact(spark, dir)
+        val FlatArtifact(cents, cb, _, codesAll) =
+          demoFlatArtifact(spark, dir)
         val eh = e.filter(col("vec_id") % 2 === 0)
-        val codes = PqIndex.encode(eh, "vec_id", "v", cb, dim = 64)
-          .join(asg, Seq("vec_id")).localCheckpoint(true)
+        val codes = codesAll.filter(col("vec_id") % 2 === 0)
         VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
           codes.filter(col("vec_id") % 8 < 3), corpus = Some((dir, 0L)))
         VectorArtifact.appendPublish(spark, tmp, 1L, fromVersion = 0L,

@@ -175,11 +175,19 @@ object SnapshotStore {
     spark.read.parquet(vs.map(v => mdir(base, v)): _*)
   }
 
-  /** [[readAt]] resolving through the PERSISTED manifest. */
+  /** [[readAt]] resolving through the PERSISTED manifest. The file list
+    * resolves DRIVER-SIDE without a Spark job (MetaIo — a table
+    * format's scan planning reads manifests with plain file I/O); only
+    * the data scan itself is cluster work.
+    */
   def readAt(spark: SparkSession, base: String, version: Long): DataFrame = {
     require(committedVersions(spark, base).contains(version),
       s"snapshot version $version has no completed commit under $base")
-    readAt(spark, spark.read.parquet(mdir(base, version)), version)
+    val files = MetaIo.groups(spark.sparkContext.hadoopConfiguration,
+        mdir(base, version))
+      .flatMap(g => MetaIo.optString(g, "file")).distinct
+    require(files.nonEmpty, s"snapshot version $version unknown or empty")
+    spark.read.parquet(files: _*)
   }
 
   /** EXECUTE retention on the PERSISTED store — [[vacuum]]'s anti-join
@@ -253,13 +261,14 @@ object SnapshotStore {
           s.getPath.getName.stripPrefix("v=").toLong))
       .map(_.getPath)
     if (retiredDirs.isEmpty) return Seq.empty
-    val retiredFiles = spark.read
-      .parquet(retiredDirs.map(_.toString): _*)
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    val keptFiles: Set[String] =
-      if (committed.isEmpty) Set.empty
-      else manifest(spark, base).select("file").distinct()
-        .collect().map(_.getString(0)).toSet
+    // both file sets are commit metadata — driver-side reads (MetaIo),
+    // no cluster jobs on the maintenance path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def filesOf(dirs: Seq[String]): Set[String] = dirs
+      .flatMap(d => MetaIo.groups(conf, d)
+        .flatMap(g => MetaIo.optString(g, "file"))).toSet
+    val retiredFiles = filesOf(retiredDirs.map(_.toString))
+    val keptFiles = filesOf(committed.toSeq.map(v => mdir(base, v)))
     val deletable = (retiredFiles -- keptFiles).toSeq.sorted
     deletable.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))

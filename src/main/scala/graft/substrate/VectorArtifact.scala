@@ -564,14 +564,24 @@ object VectorArtifact {
     */
   private[substrate] def corpusOf(spark: SparkSession, base: String,
       version: Long): Option[(String, Long)] = {
-    val r = spark.read.parquet(s"$base/v=$version/meta").collect().head
-    val names = r.schema.fieldNames
-    if (names.contains("corpus_base") &&
-      !r.isNullAt(r.fieldIndex("corpus_base")) &&
-      !r.isNullAt(r.fieldIndex("corpus_version")))
-      Some((r.getString(r.fieldIndex("corpus_base")),
-        r.getLong(r.fieldIndex("corpus_version"))))
-    else None
+    val g = metaRow(spark, base, version)
+    for (cb <- MetaIo.optString(g, "corpus_base");
+         cv <- MetaIo.optLong(g, "corpus_version")) yield (cb, cv)
+  }
+
+  /** The committed meta row, read DRIVER-SIDE without a Spark job
+    * (MetaIo) — every derived publish consults it (provenance
+    * inheritance) and every load dereferences it; as cluster jobs these
+    * metadata lookups dominated the publish wall (r13 bench forensics)
+    * and at scale they would queue commit planning behind running
+    * queries.
+    */
+  private def metaRow(spark: SparkSession, base: String,
+      version: Long): org.apache.parquet.example.data.Group = {
+    val gs = MetaIo.groups(spark.sparkContext.hadoopConfiguration,
+      s"$base/v=$version/meta")
+    require(gs.nonEmpty, s"v=$version under $base has no meta row")
+    gs.head
   }
 
   /** Every (corpus_base, corpus_version) a COMMITTED version of the
@@ -600,12 +610,13 @@ object VectorArtifact {
     */
   def readManifest(spark: SparkSession, base: String,
       version: Long): Seq[(String, Option[Long])] = {
-    val p = new org.apache.hadoop.fs.Path(s"$base/v=$version/manifest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else spark.read.parquet(p.toString).collect().toSeq
-      .map(r => (r.getString(0),
-        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // driver-side, no Spark job (MetaIo): the manifest is O(#files)
+    // commit metadata — a table format reads it with plain file I/O
+    MetaIo.groups(spark.sparkContext.hadoopConfiguration,
+        s"$base/v=$version/manifest")
+      .map(g => (MetaIo.optString(g, "file").getOrElse(
+        throw new IllegalStateException("manifest row without a file")),
+        MetaIo.optLong(g, "cell")))
   }
 
   /** Recursive *.parquet listing under `path` — the same driver-side
@@ -708,9 +719,11 @@ object VectorArtifact {
 
   def load(spark: SparkSession, base: String, version: Long): Loaded = {
     val dir = s"$base/v=$version"
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val m = meta.getAs[Int]("m")
-    val k = meta.getAs[Int]("k")
+    val meta = metaRow(spark, base, version) // driver-side, no Spark job
+    def num(name: String): Long = MetaIo.optLong(meta, name).getOrElse(
+      throw new IllegalStateException(s"meta row missing $name"))
+    val m = num("m").toInt
+    val k = num("k").toInt
     val cb = PqIndex.codebookArrays(
       spark.read.parquet(s"$dir/codebook"), m = m, k = k)
     // codes resolve through the version's MANIFEST when present (files
@@ -720,19 +733,11 @@ object VectorArtifact {
     val codes =
       if (mf.nonEmpty) spark.read.parquet(mf.map(_._1): _*)
       else spark.read.parquet(s"$dir/codes")
-    def optLong(name: String): Option[Long] =
-      if (meta.schema.fieldNames.contains(name) &&
-        !meta.isNullAt(meta.fieldIndex(name)))
-        Some(meta.getAs[Long](name))
-      else None
-    val corpusBase =
-      if (meta.schema.fieldNames.contains("corpus_base") &&
-        !meta.isNullAt(meta.fieldIndex("corpus_base")))
-        Some(meta.getAs[String]("corpus_base"))
-      else None
-    Loaded(meta.getAs[Long]("version"), meta.getAs[Int]("dim"),
+    Loaded(num("version"), num("dim").toInt,
       spark.read.parquet(s"$dir/centroids"), cb, codes,
-      optLong("source_version"), corpusBase, optLong("corpus_version"))
+      MetaIo.optLong(meta, "source_version"),
+      MetaIo.optString(meta, "corpus_base"),
+      MetaIo.optLong(meta, "corpus_version"))
   }
 
   /** Manifest-level FILE PRUNING for the probed path — the Iceberg
