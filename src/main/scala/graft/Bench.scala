@@ -137,7 +137,11 @@ object Bench {
     // r13: surfaced once in the concurrent top-8 under the heavier
     // 191-entry suite (5.5 s contended vs 0.52 s quiet) — pinned per
     // the promote-on-straggler policy so serial_extra ships empty
-    "serving_latency_compliance")
+    "serving_latency_compliance",
+    // r13 debut, pinned on arrival and inherently serial (own
+    // 2-thread committer pool + barrier — the ann_stored_index_concurrent
+    // treatment on the snapshot store)
+    "snapshot_concurrent_commit")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -158,12 +162,12 @@ object Bench {
       "embedding_drift_stream", "vector_ingest_stream",
       "dedup_ingest_stream", "retrieval_serve_stream",
       "retrieval_serve_swap_stream", "vector_ingest_publish_stream",
-      // not a stream, but the same blocking shape: the entry drives its
+      // not streams, but the same blocking shape: each entry drives its
       // OWN 2-thread writer pool synchronized by a CyclicBarrier — in
       // the fair-pool concurrent suite the barrier wait occupies pool
       // workers for the entry's full span (r13 first bench: 30.4 s
       // concurrent vs 13.7 s serial)
-      "ann_stored_index_concurrent")
+      "ann_stored_index_concurrent", "snapshot_concurrent_commit")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

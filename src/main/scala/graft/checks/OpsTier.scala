@@ -1020,11 +1020,108 @@ object OpsTier {
     },
     isScore = false)
 
+  /** TWO WRITERS RACING one SNAPSHOT STORE under optimistic concurrency
+    * — the CAS-client witness on the TABLE family, completing the
+    * symmetry with `ann_stored_index_concurrent` on the index family
+    * (every commit-protocol feature now has a data-level witness on
+    * BOTH durable stores). Two append-ingest writers race
+    * SnapshotStore.commitNext from the same observed latest (v0, the
+    * l_orderkey % 4 ∈ {0,1} base): a CyclicBarrier holds both until
+    * each has derived its manifest rows against v0, so both stage v1
+    * and exactly one rename claims it; the loser's retry RE-DERIVES —
+    * `rowsFor(v)` is re-invoked and pins the NEW latest's files plus
+    * its own delta — and lands v2. The punchline the oracle hashes:
+    * append ∘ append commutes on row content, so v2 = base + both
+    * deltas = the WHOLE lineitem population in either commit order,
+    * even though v1's content is order-dependent (deliberately not
+    * emitted — only the deterministic v0 and v2 aggregates are).
+    * Spark-side requires pin the protocol: versions {1,2} split across
+    * the writers, attempts exactly 3, the version chain gapless. The
+    * integer-cents sums are order-independent (the compaction_execute
+    * lesson). At 100 TB this is concurrent ingest against one table
+    * with no lost update and bounded retries — the property that lets
+    * two pipelines share a sink unscheduled. Anchor:
+    * `factors/requirements.yaml:136-138` (immutable versions under
+    * concurrency).
+    */
+  val snapshotConcurrentCommit = Check("snapshot_concurrent_commit",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snaprace2")
+        .toString
+      try {
+        val li = table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+          s"$tmp/d1", "l_orderkey", numFiles = 4)
+        SnapshotStore.commit(spark, tmp, 0L,
+          SnapshotStore.manifestFor(spark, 0L, Seq(s"$tmp/d1")))
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+          s"$tmp/d2", "l_orderkey", numFiles = 2)
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 3),
+          s"$tmp/d3", "l_orderkey", numFiles = 2)
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+        // an append commit's rows = the CURRENT latest's files + the
+        // delta's — re-derived per attempt, so a retried intent pins
+        // the winner's files instead of silently dropping them
+        def appendRows(v: Long, delta: String): DataFrame = {
+          attempts.incrementAndGet()
+          if (v == 1L)
+            gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          val latest = SnapshotStore.committedVersions(spark, tmp).last
+          SnapshotStore.manifest(spark, tmp)
+            .filter(col("version") === latest)
+            .select(lit(v).as("version"), col("file"))
+            .unionByName(SnapshotStore.manifestFor(spark, v, Seq(delta)))
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (va, vb) = try {
+          def committer(delta: String) =
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = SnapshotStore.commitNext(spark, tmp)(
+                v => appendRows(v, delta))
+            })
+          val (fa, fb) = (committer(s"$tmp/d2"), committer(s"$tmp/d3"))
+          (fa.get(300, java.util.concurrent.TimeUnit.SECONDS),
+            fb.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+        require(Set(va, vb) == Set(1L, 2L),
+          s"both writers must land, at 1 and 2: got $va/$vb")
+        require(attempts.get == 3,
+          s"two firsts + exactly one retry, got ${attempts.get}")
+        require(SnapshotStore.committedVersions(spark, tmp) ==
+          Seq(0L, 1L, 2L),
+          "the claim race must never produce a gap or a lost version")
+        val rows = Seq(
+          snapAgg(SnapshotStore.readAt(spark, tmp, 0L), 0L),
+          snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L))
+          .reduce(_ unionByName _).orderBy("version").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg(where: String) =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem WHERE $where""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(0 AS BIGINT) AS version, ${agg("l_orderkey % 4 <= 1")}
+         |UNION ALL SELECT CAST(2 AS BIGINT), ${agg("1 = 1")}
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
     zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
-    snapshotIncrementalRead)
+    snapshotIncrementalRead, snapshotConcurrentCommit)
 }
