@@ -122,9 +122,9 @@ object VectorArtifact {
     val finalDir = s"$base/v=$version"
     val fp = new org.apache.hadoop.fs.Path(finalDir)
     val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committedAtStart =
-      allowRepublish && versions(spark, base).contains(version)
-    if (!allowRepublish && versions(spark, base).contains(version))
+    val committedAtEntry = versions(spark, base).contains(version)
+    val committedAtStart = allowRepublish && committedAtEntry
+    if (!allowRepublish && committedAtEntry)
       throw new CommitConflictException(
         s"v=$version under $base is already committed — a derived " +
           "publish claims a NEW version; this intent is stale (a " +
