@@ -36,9 +36,12 @@ def compare_frames(o, t):
                         continue
                     ok = True
                     for v in (x, y):
+                        # finiteness first: int(inf) raises instead of
+                        # reporting the mismatch (code-review r13)
                         if isinstance(v, float) and (
-                                v != int(v) or not
-                                (-2**63 <= v < 2**63)):
+                                not np.isfinite(v) or
+                                not (-2**63 <= v < 2**63) or
+                                v != int(v)):
                             ok = False
                     if not ok or int(x) != int(y):
                         mism = True; break

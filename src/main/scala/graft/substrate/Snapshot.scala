@@ -95,10 +95,15 @@ object SnapshotStore {
         "commit() must be tagged with the version being committed")
     val stage = new org.apache.hadoop.fs.Path(
       s"$base/_manifest/.stage-v=$version-${java.util.UUID.randomUUID()}")
-    rows.coalesce(1).write.parquet(stage.toString)
     val lock = commitLocks
       .computeIfAbsent(s"$base#v=$version", _ => new Object)
-    try lock.synchronized {
+    // the stage write sits INSIDE the cleanup scope (code-review r13):
+    // a mid-write crash must delete its partial stage immediately, the
+    // same invariant VectorArtifact.stagedPublish keeps — not wait for
+    // a purgeRetired mtime sweep
+    try {
+      rows.coalesce(1).write.parquet(stage.toString)
+      lock.synchronized {
       if (fs.exists(marker))
         throw new CommitConflictException(
           s"snapshot version $version under $base was committed by a " +
@@ -111,6 +116,7 @@ object SnapshotStore {
         throw new CommitConflictException(
           s"claiming snapshot version $version under $base failed: a " +
             "concurrent committer won the rename race")
+      }
     } finally {
       if (fs.exists(stage)) fs.delete(stage, true)
     }
@@ -225,6 +231,15 @@ object SnapshotStore {
     require(keep.nonEmpty, "retention must keep at least one version")
     require(keep.forall(vs.contains),
       s"keep versions ${keep.filterNot(vs.contains)} are not committed")
+    // the HEAD id must never become re-mintable: dropping the latest
+    // version would let commitNext hand its id to a different commit
+    // (an immutable-version violation for any consumer pinned to it)
+    // and let commit()'s orphan repair destroy the retired manifest dir
+    // purge still needs (code-review r13) — real table formats retain
+    // the serving head unconditionally, so retention here does too
+    require(keep.contains(vs.max),
+      s"retention must keep the latest version (v=${vs.max}): dropping " +
+        "the head would free its id for a DIFFERENT commit to claim")
     val drop = vs.filterNot(keep.contains)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -269,7 +284,15 @@ object SnapshotStore {
         .flatMap(g => MetaIo.optString(g, "file"))).toSet
     val retiredFiles = filesOf(retiredDirs.map(_.toString))
     val keptFiles = filesOf(committed.toSeq.map(v => mdir(base, v)))
-    val deletable = (retiredFiles -- keptFiles).toSeq.sorted
+    // sharing detection normalizes both sides through URI.getPath
+    // (code-review r13): a store whose older commits wrote raw paths
+    // and whose newer ones write qualified URIs must still recognize
+    // the two spellings as the same file — a missed match here DELETES
+    // a file a kept version pins
+    def norm(f: String): String = new java.net.URI(f).getPath
+    val keptNorm = keptFiles.map(norm)
+    val deletable =
+      retiredFiles.filterNot(f => keptNorm(norm(f))).toSeq.sorted
     deletable.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
     retiredDirs.foreach(d => fs.delete(d, true))
@@ -291,9 +314,20 @@ object SnapshotStore {
   def vacuumExecute(spark: SparkSession, base: String, keep: Seq[Long],
       guardIndexes: Seq[String]): Seq[String] = {
     val drop = committedVersions(spark, base).filterNot(keep.contains)
+    // citation matching canonicalizes BOTH spellings through the
+    // filesystem (code-review r13): an index stamped with the qualified
+    // base ("file:/data/corpus") must still guard a vacuum addressed by
+    // the raw path ("/data/corpus") — the two name the same store, and
+    // an exact-string match would silently bypass the guard
+    def canon(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val cBase = canon(base)
     val cited = guardIndexes
       .flatMap(ib => VectorArtifact.citedCorpora(spark, ib)
-        .filter(_._1 == base).map(c => (ib, c._2)))
+        .filter(c => canon(c._1) == cBase).map(c => (ib, c._2)))
     val conflicts = drop.flatMap(v =>
       cited.collect { case (ib, cv) if cv == v => s"v=$v (cited by $ib)" })
     require(conflicts.isEmpty,

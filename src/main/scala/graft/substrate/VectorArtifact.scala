@@ -836,15 +836,19 @@ object VectorArtifact {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
       .filterNot(committed).sorted
+    // pin detection normalizes both sides through URI.getPath
+    // (code-review r13): legacy raw-path manifest rows and qualified
+    // listings must compare equal — a missed match DELETES a pinned file
     val pinned: Set[String] = committed.toSeq
-      .flatMap(v => readManifest(spark, base, v).map(_._1)).toSet
+      .flatMap(v => readManifest(spark, base, v).map(_._1))
+      .map(f => new java.net.URI(f).getPath).toSet
     retired.foreach { v =>
       val dir = s"$base/v=$v"
       Seq("manifest", "codebook", "centroids").foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
       }
       val (keep, del) = listParquetFiles(spark, s"$dir/codes")
-        .partition(pinned.contains)
+        .partition(f => pinned(new java.net.URI(f).getPath))
       del.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
       if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }

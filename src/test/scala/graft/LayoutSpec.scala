@@ -906,6 +906,13 @@ class LayoutSpec extends SparkSpec {
         SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
       // an in-flight reader resolves v1's file list BEFORE the retire
       val inFlight = SnapshotStore.readAt(spark, tmp, 1L)
+      // the HEAD id is never re-mintable: retention refuses to drop the
+      // latest version (code-review r13 — a freed head id could be
+      // claimed by a DIFFERENT commit, and commit()'s orphan repair
+      // would destroy the retired manifest dir purge still needs)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.retire(spark, tmp, keep = Seq(1L))
+      }
       assert(SnapshotStore.retire(spark, tmp, keep = Seq(2L)) == Seq(1L))
       // new readers can no longer pin v1...
       assert(SnapshotStore.committedVersions(spark, tmp) == Seq(2L))
