@@ -141,7 +141,16 @@ object Bench {
     // r13 debut, pinned on arrival and inherently serial (own
     // 2-thread committer pool + barrier — the ann_stored_index_concurrent
     // treatment on the snapshot store)
-    "snapshot_concurrent_commit")
+    "snapshot_concurrent_commit",
+    // r13 debuts, pinned on arrival: same-fixture twins of the pinned
+    // snapshot_read (3 clustered writes + 3 stats-bearing manifest
+    // commits each), plus the schema-evolution store (2 writes + 2
+    // commits + a merged read) — the snapshot_read treatment
+    "snapshot_read_pruned", "snapshot_count_meta",
+    "snapshot_schema_evolution",
+    // r13 debut, pinned on arrival: the stats-bounded governance delete
+    // (clustered write + stats commit + pruned rewrite commit + vacuum)
+    "snapshot_delete_commit")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1117,11 +1117,279 @@ object OpsTier {
     },
     isScore = false)
 
+  /** The 3-version snapshot fixture with PER-FILE STATISTICS in every
+    * committed manifest (SnapshotStore.manifestForStats on l_orderkey):
+    * same store lifecycle as `snapshotFixture` — v1 initial clustered
+    * load (l_orderkey % 4 ∈ {0,1}, 4 files), v2 append (+ the % 4 = 2
+    * delta, 2 files), v3 compaction (one file) — but each commit
+    * records row counts and l_orderkey bounds read from the parquet
+    * footers, driver-side. Shared by `snapshot_read_pruned` and
+    * `snapshot_count_meta` so both witness the same stats-bearing
+    * store.
+    */
+  private def snapshotStatsFixture(spark: SparkSession, dir: String,
+      tmp: String): Unit = {
+    import graft.substrate.{Layout, SnapshotStore}
+    val li = table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val statsCols = Seq("l_orderkey")
+    Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+      s"$tmp/d1", "l_orderkey", numFiles = 4)
+    SnapshotStore.commit(spark, tmp, 1L,
+      SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"), statsCols))
+    Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+      s"$tmp/d2", "l_orderkey", numFiles = 2)
+    SnapshotStore.commit(spark, tmp, 2L,
+      SnapshotStore.manifestForStats(spark, 2L,
+        Seq(s"$tmp/d1", s"$tmp/d2"), statsCols))
+    Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
+      s"$tmp/d3", "l_orderkey", numFiles = 1)
+    SnapshotStore.commit(spark, tmp, 3L,
+      SnapshotStore.manifestForStats(spark, 3L, Seq(s"$tmp/d3"), statsCols))
+  }
+
+  /** FILE SKIPPING through committed manifest statistics — the scan-
+    * planning half of the clustered layout story (check #9's
+    * `requirements.yaml:42-44` clustering keys; Iceberg/Delta's
+    * manifest-bounds pruning as the public design): the store's commits
+    * carry per-file l_orderkey bounds read from parquet footers
+    * (`manifestForStats`), and a selective key-range read of v2 plans
+    * DRIVER-SIDE to the files whose bounds intersect [100, 400] — the
+    * clustered layout makes those bounds disjoint, so most of the
+    * version's 6 files are exonerated without opening them. The plan
+    * gate REQUIRES the prune (opened < total, and an impossible range
+    * plans to ZERO files); the oracle requires the pruned scan still
+    * returns exactly the predicate's rows (file skipping must never
+    * change results — the residual filter handles survivors'
+    * non-matching rows). At 100 TB this is the difference between a
+    * key-range query reading one file and reading the table: pruning
+    * rides in the manifest, so it needs no directory listing, no
+    * footer I/O at query time, and no engine-specific index. Integer-
+    * cents sums (order-independent across the surviving files).
+    */
+  val snapshotReadPruned = Check("snapshot_read_pruned",
+    (spark, dir) => {
+      import graft.substrate.SnapshotStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapstat")
+        .toString
+      try {
+        snapshotStatsFixture(spark, dir, tmp)
+        val (surv, total) =
+          SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", 100L, 400L)
+        require(surv.nonEmpty && surv.size < total,
+          s"committed bounds must prune the range scan: opened " +
+            s"${surv.size} of $total files")
+        val (none, _) =
+          SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", -100L, -1L)
+        require(none.isEmpty,
+          "an impossible range must exonerate every file at planning")
+        val rows = snapAgg(SnapshotStore.readAtWhere(spark, tmp, 2L,
+          "l_orderkey", 100L, 400L), 2L).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+        |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+        |FROM lineitem
+        |WHERE l_orderkey % 4 <= 2 AND l_orderkey BETWEEN 100 AND 400"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** METADATA-ONLY COUNT — every version's row count answered from the
+    * manifest's committed per-file counts (`SnapshotStore.countAt`),
+    * with ZERO data files opened: the catalog-lookup aggregate every
+    * table format serves from its manifests, and at 100 TB the
+    * difference between a millisecond planning read and a full scan.
+    * The oracle recomputes each version's count from the source
+    * parquet with the fixture's modulus predicates — the manifest
+    * numbers must equal the data's, including across the v3 compaction
+    * rewrite (count is rewrite-invariant). The store build dominates
+    * the entry's cost; the measured aggregate itself never leaves the
+    * driver (MetaIo).
+    */
+  val snapshotCountMeta = Check("snapshot_count_meta",
+    (spark, dir) => {
+      import graft.substrate.SnapshotStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapcnt")
+        .toString
+      try {
+        snapshotStatsFixture(spark, dir, tmp)
+        val counts = Seq(1L, 2L, 3L)
+          .map(v => (v, SnapshotStore.countAt(spark, tmp, v)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(counts.toIndexedSeq, 1)
+            .map(c => org.apache.spark.sql.Row(c._1, c._2)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def cnt(where: String) =
+        s"CAST((SELECT COUNT(*) FROM lineitem WHERE $where) AS BIGINT)"
+      s"""SELECT CAST(1 AS BIGINT) AS version, ${cnt("l_orderkey % 4 <= 1")} AS n_rows
+         |UNION ALL SELECT CAST(2 AS BIGINT), ${cnt("l_orderkey % 4 <= 2")}
+         |UNION ALL SELECT CAST(3 AS BIGINT), ${cnt("l_orderkey % 4 <= 2")}
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
+  /** ADDITIVE SCHEMA EVOLUTION on the durable snapshot store — the
+    * data-level witness for Factor 3's schema-change tracking
+    * (`requirements.yaml:112-114`; check #28 scores the declaration,
+    * this entry proves the store SERVES an evolved schema): v1 commits
+    * 2-column order files; v2 appends delta files carrying a NEW
+    * column (o_orderpriority) WITHOUT rewriting v1's immutable files —
+    * exactly how a table format widens a schema. The merged read of v2
+    * (`readAt(..., mergeSchema = true)`) surfaces the new column as
+    * null on every pre-evolution row; requires pin that v1's schema
+    * does NOT have the column and v2's merged schema DOES (evolution
+    * is versioned, not retroactive). The output splits v2 by
+    * null-ness of the new column — the oracle reproduces the split
+    * from the append predicate (odd keys carry the column), so a
+    * wrong merge (column dropped, or nulls on the wrong side) hash-
+    * fails. Integer-cents sums.
+    */
+  val snapshotSchemaEvolution = Check("snapshot_schema_evolution",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapevo")
+        .toString
+      try {
+        val orders = table(spark, dir, "orders")
+        Layout.writeClustered(
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_totalprice"),
+          s"$tmp/d1", "o_orderkey", numFiles = 2)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+        Layout.writeClustered(
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          s"$tmp/d2", "o_orderkey", numFiles = 2)
+        SnapshotStore.commit(spark, tmp, 2L,
+          SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+        require(!SnapshotStore.readAt(spark, tmp, 1L)
+          .schema.fieldNames.contains("o_orderpriority"),
+          "v1 must still serve the pre-evolution schema")
+        val merged = SnapshotStore.readAt(spark, tmp, 2L,
+          mergeSchema = true)
+        require(merged.schema.fieldNames.contains("o_orderpriority"),
+          "the merged v2 read must surface the evolved column")
+        val rows = merged
+          .groupBy(col("o_orderpriority").isNotNull.cast("long")
+            .as("has_priority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("o_totalprice")).cast("long")).as("sum_price_i"))
+          .orderBy("has_priority").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("has_priority",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_price_i",
+              org.apache.spark.sql.types.LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(o_orderkey % 2 AS BIGINT) AS has_priority,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+        |FROM orders GROUP BY 1 ORDER BY has_priority"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** GOVERNANCE DELETE on the snapshot store, FILE-BOUNDED BY COMMITTED
+    * STATS — the right-to-be-forgotten contract (Factor 5 retention,
+    * `5-compliant.md:9`, `requirements.yaml:197-199`) on the TABLE
+    * family, composing this round's two storage features: the deleted
+    * key range [100, 400] plans through the manifest's bounds
+    * (`filesWhere`), so `deleteCommit` REWRITES ONLY the intersecting
+    * files of the clustered v1 and carries every exonerated file's
+    * manifest row verbatim — write I/O ∝ the deleted range, never the
+    * table (requires pin rewritten < total AND the shared files appear
+    * in both versions' manifests by the same path). The forget-vs-time-
+    * travel contract is then exercised PHYSICALLY: v1 still serves the
+    * deleted rows (requires pin > 0 — that IS time travel), and
+    * `vacuumExecute(keep v2)` retires v1 and reclaims the pre-delete
+    * files while the kept manifest's references protect everything v2
+    * pins. The OUTPUT aggregates v2 AFTER the vacuum — hash-matching
+    * the oracle's NOT-BETWEEN recompute proves the survivors' bytes are
+    * intact once the forget went physical. At 100 TB a forget batch
+    * over a clustered key touches O(matching range) files; the vector
+    * store's deletePublish is the cell-bounded twin of this
+    * stats-bounded geometry.
+    */
+  val snapshotDeleteCommit = Check("snapshot_delete_commit",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapdel")
+        .toString
+      try {
+        val li = table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+          s"$tmp/d1", "l_orderkey", numFiles = 4)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+            Seq("l_orderkey")))
+        val (rewritten, total) = SnapshotStore.deleteCommit(spark, tmp,
+          2L, 1L, "l_orderkey", 100L, 400L, s"$tmp/d_del2")
+        require(rewritten >= 1 && rewritten < total,
+          s"the delete must be file-bounded: rewrote $rewritten of $total")
+        def filesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === v).select("file")
+          .collect().map(_.getString(0)).toSet
+        require((filesOf(1L) intersect filesOf(2L)).size == total - rewritten,
+          "every exonerated file must be shared verbatim across versions")
+        require(SnapshotStore.readAt(spark, tmp, 1L)
+          .filter(col("l_orderkey").between(100, 400)).count() > 0,
+          "time travel: the pre-delete version still serves the rows")
+        val reclaimed = SnapshotStore.vacuumExecute(spark, tmp, Seq(2L))
+        require(reclaimed.nonEmpty,
+          "retiring the pre-delete version must reclaim its unshared files")
+        val rows = snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L)
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+        |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+        |FROM lineitem
+        |WHERE l_orderkey % 4 <= 1 AND l_orderkey NOT BETWEEN 100 AND 400"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
     skewSaltedAgg, hotkeySplitJoin, valuePercentiles, orphanCheck,
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
     zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
-    snapshotIncrementalRead, snapshotConcurrentCommit)
+    snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
+    snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit)
 }

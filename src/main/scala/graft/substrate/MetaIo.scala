@@ -64,4 +64,53 @@ private[substrate] object MetaIo {
     if (g.getFieldRepetitionCount(name) == 0) return None
     Some(g.getString(name, 0))
   }
+
+  /** Per-FILE statistics read from the parquet FOOTER, driver-side —
+    * row count plus min/max for each requested INTEGRAL column: the
+    * stats a table format's commit records per data file (Iceberg
+    * manifests carry per-file column bounds; Delta collects per-file
+    * min/max into its log) so scan PLANNING can skip files without
+    * touching row data. The writer already computed these — every
+    * parquet row group carries column statistics — so collecting them
+    * costs one footer read per file (O(#files) driver I/O, the same
+    * budget as the manifest listing itself), never a cluster job.
+    *
+    * A column's bounds are `None` — unknown, so pruning must keep the
+    * file — when the column is missing from the file schema, is not
+    * INT32/INT64, or any row group recorded no non-null values for it
+    * (min-of-mins over a block with empty stats would understate the
+    * range). Row count is exact regardless: it comes from block
+    * metadata, not column stats.
+    */
+  def footerStats(conf: Configuration, file: String, cols: Seq[String])
+      : (Long, Map[String, (Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val bounds = cols.flatMap { c =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            .flatMap { s =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.toLong, mx.toLong))
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.toLong, mx.toLong))
+                case _ => None // non-integral: out of scope, unknown
+              }
+            }
+        }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else Some(c -> perBlock.flatten
+          .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2))))
+      }.toMap
+      (rows, bounds)
+    } finally reader.close()
+  }
 }

@@ -84,8 +84,14 @@ object SnapshotStore {
     require(!fs.exists(marker),
       s"snapshot version $version is already committed under $base — " +
         "versions are immutable; commit the next version instead")
+    // (version, file) is the manifest's REQUIRED core; any further
+    // columns — [[manifestForStats]]' row_count and min_/max_ bounds —
+    // ride along verbatim, the way a table format's manifest carries
+    // per-file stats next to the path it pins
+    val extras = manifest.columns.toSeq
+      .filterNot(Set("version", "file")).map(col)
     val rows = manifest.filter(col("version") === version)
-      .select(col("version").cast("long"), col("file"))
+      .select(col("version").cast("long") +: col("file") +: extras: _*)
     // a version-literal mismatch between the rows and the commit call
     // would otherwise land an EMPTY manifest under a green _SUCCESS —
     // and vacuumExecute would read 'this version pins no files' and
@@ -178,7 +184,24 @@ object SnapshotStore {
   def manifest(spark: SparkSession, base: String): DataFrame = {
     val vs = committedVersions(spark, base)
     require(vs.nonEmpty, s"no committed snapshot versions under $base")
-    spark.read.parquet(vs.map(v => mdir(base, v)): _*)
+    // mergeSchema: a store whose older versions committed plain
+    // (version, file) rows and whose newer ones carry stats columns
+    // ([[manifestForStats]]) must still read as ONE manifest table —
+    // stats surface as nulls on the legacy rows
+    spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(v => mdir(base, v)): _*)
+  }
+
+  /** One committed version's manifest rows as parquet Groups —
+    * driver-side, no Spark job (the MetaIo discipline: manifests are
+    * commit metadata). Fails loudly on an uncommitted version.
+    */
+  private def versionGroups(spark: SparkSession, base: String,
+      version: Long): Seq[org.apache.parquet.example.data.Group] = {
+    require(committedVersions(spark, base).contains(version),
+      s"snapshot version $version has no completed commit under $base")
+    MetaIo.groups(spark.sparkContext.hadoopConfiguration,
+      mdir(base, version))
   }
 
   /** [[readAt]] resolving through the PERSISTED manifest. The file list
@@ -186,14 +209,188 @@ object SnapshotStore {
     * format's scan planning reads manifests with plain file I/O); only
     * the data scan itself is cluster work.
     */
-  def readAt(spark: SparkSession, base: String, version: Long): DataFrame = {
-    require(committedVersions(spark, base).contains(version),
-      s"snapshot version $version has no completed commit under $base")
-    val files = MetaIo.groups(spark.sparkContext.hadoopConfiguration,
-        mdir(base, version))
+  def readAt(spark: SparkSession, base: String, version: Long): DataFrame =
+    readAt(spark, base, version, mergeSchema = false)
+
+  /** [[readAt]] with parquet schema MERGING — the read side of ADDITIVE
+    * schema evolution on the durable store (reference
+    * `factors/requirements.yaml:112-114`, schema-change tracking —
+    * `3-current.md`'s evolving-shape framing): an append commit whose
+    * delta files carry NEW columns still reads as one table, the new
+    * columns null on every pre-evolution file, exactly how real table
+    * formats serve a widened schema over immutable old files (no
+    * rewrite — the old files ARE still the old versions' data).
+    * Off by default: schema union costs a footer read per file at
+    * planning, and a non-evolving store shouldn't pay it.
+    */
+  def readAt(spark: SparkSession, base: String, version: Long,
+      mergeSchema: Boolean): DataFrame = {
+    val files = versionGroups(spark, base, version)
       .flatMap(g => MetaIo.optString(g, "file")).distinct
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
+  }
+
+  /** [[manifestFor]] extended with PER-FILE STATISTICS — row count plus
+    * min/max bounds for each integral column in `statsCols`, read from
+    * the parquet FOOTERS driver-side (MetaIo.footerStats: the writer
+    * already computed them; collecting costs one footer read per file,
+    * never a cluster job — how Iceberg fills its manifest bounds and
+    * Delta its log stats at commit time). Output columns: (version,
+    * file, row_count, min_<col>, max_<col>...), bounds null when a
+    * file cannot prove them (column absent, non-integral, or a row
+    * group with no non-null values) — null means UNKNOWN, and
+    * [[filesWhere]] keeps unknown files, so stats can only ever prune
+    * files they positively exonerate. [[commit]] carries these columns
+    * verbatim; stores mixing stats and plain commits stay readable
+    * ([[manifest]] merges schemas).
+    *
+    * Same list-once discipline as [[manifestFor]]: commit the returned
+    * rows immediately; files added later belong to later versions.
+    */
+  def manifestForStats(spark: SparkSession, version: Long,
+      paths: Seq[String], statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = paths.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => fs.makeQualified(s.getPath).toString)
+    }.sorted
+    val rows = files.map { f =>
+      val (n, bounds) = MetaIo.footerStats(conf, f, statsCols)
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(version, f, n) ++ statsCols.flatMap(c =>
+          bounds.get(c) match {
+            case Some((lo, hi)) => Seq(lo, hi)
+            case None => Seq(null, null)
+          }))
+    }
+    val schema = StructType(
+      Seq(StructField("version", LongType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("row_count", LongType, nullable = false)) ++
+      statsCols.flatMap(c => Seq(
+        StructField(s"min_$c", LongType, nullable = true),
+        StructField(s"max_$c", LongType, nullable = true))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** SCAN PLANNING with file skipping: the files of `version` that MAY
+    * hold rows with `c` in [lo, hi], decided from the manifest's
+    * committed min/max bounds — driver-side metadata, no data I/O (the
+    * Iceberg/Delta planning shape: a selective predicate on a
+    * clustered column opens O(matching range) files out of the whole
+    * version). Conservative by construction: a file whose bounds are
+    * null (unknown — plain [[manifestFor]] commit, non-integral or
+    * all-null column) survives planning and is filtered by the scan
+    * instead. Returns (surviving files, total files) so callers can
+    * pin the prune as a plan property.
+    */
+  def filesWhere(spark: SparkSession, base: String, version: Long,
+      c: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val rows = versionGroups(spark, base, version).flatMap { g =>
+      MetaIo.optString(g, "file").map(f =>
+        (f, MetaIo.optLong(g, s"min_$c"), MetaIo.optLong(g, s"max_$c")))
+    }.distinct
+    require(rows.nonEmpty, s"snapshot version $version unknown or empty")
+    val survivors = rows.collect {
+      case (f, mn, mx)
+          if mn.isEmpty || mx.isEmpty || !(mx.get < lo || mn.get > hi) => f
+    }
+    (survivors, rows.size)
+  }
+
+  /** The rows of `version` with `c` in [lo, hi], scanning ONLY the
+    * files [[filesWhere]] could not exonerate — the residual predicate
+    * still applies (pruning is file-granular; parquet row-group stats
+    * skip within the survivors). When the bounds exonerate EVERY file
+    * the result is empty without reading any data file's rows: the
+    * scan is planned over one file with a false-folded predicate so
+    * the schema survives.
+    */
+  def readAtWhere(spark: SparkSession, base: String, version: Long,
+      c: String, lo: Long, hi: Long): DataFrame = {
+    val (survivors, total) = filesWhere(spark, base, version, c, lo, hi)
+    if (survivors.isEmpty) {
+      val any = versionGroups(spark, base, version)
+        .flatMap(g => MetaIo.optString(g, "file")).head
+      spark.read.parquet(any).filter(lit(false))
+    } else
+      spark.read.parquet(survivors: _*)
+        .filter(col(c).between(lit(lo), lit(hi)))
+  }
+
+  /** GOVERNANCE DELETE as a stats-bounded commit — the right-to-be-
+    * forgotten contract on the TABLE family (reference `5-compliant.md:9`,
+    * `requirements.yaml:197-199`), composing the manifest's committed
+    * bounds with the CAS commit protocol: version `version` = `fromVersion`
+    * minus every row with `c` in [lo, hi]. Only the files whose bounds
+    * INTERSECT the deleted range are rewritten ([[filesWhere]] — on a
+    * clustered table that is O(matching range) files, the same
+    * file-bounded delete geometry the vector store's cell-bounded
+    * deletePublish has); every exonerated file's manifest row is carried
+    * VERBATIM, stats included, so the commit's write I/O ∝ the deleted
+    * range, never the table. The share/rewrite split is a broadcast
+    * anti-join on the manifest (metadata-scale relational algebra — no
+    * isin literal trees at many-files scale). Rewritten files re-cluster
+    * on `c` and carry fresh footer stats.
+    *
+    * Forget vs time travel (the dedup_index_publish contract, here on
+    * the table): `fromVersion` still serves the deleted rows — that IS
+    * time travel — until retention retires it; [[retire]]/[[purgeRetired]]
+    * (or [[vacuumExecute]]) then make the forget physical, the rewritten
+    * survivors protected by the kept manifest's references. Rows with a
+    * NULL key are never deleted (a range cannot name them).
+    *
+    * Returns (files rewritten, files total in `fromVersion`) for plan
+    * gates. The rewrite lands under `rewriteDir` (caller-owned, store-
+    * adjacent); with no intersecting file the commit is metadata-only.
+    */
+  def deleteCommit(spark: SparkSession, base: String, version: Long,
+      fromVersion: Long, c: String, lo: Long, hi: Long,
+      rewriteDir: String, numFiles: Int = 1): (Int, Int) = {
+    val (hit, total) = filesWhere(spark, base, fromVersion, c, lo, hi)
+    val prev = manifest(spark, base).filter(col("version") === fromVersion)
+    import spark.implicits._
+    val hitDf = hit.toDF("file")
+    val shared = prev.join(broadcast(hitDf), Seq("file"), "left_anti")
+      .withColumn("version", lit(version))
+    val rows = if (hit.isEmpty) shared else {
+      val survivors = spark.read.parquet(hit: _*)
+        // coalesce(true): a NULL key is outside any range — keep it
+        .filter(coalesce(!col(c).between(lit(lo), lit(hi)), lit(true)))
+      Layout.writeClustered(survivors, rewriteDir, c, numFiles)
+      shared.unionByName(
+        manifestForStats(spark, version, Seq(rewriteDir), Seq(c)),
+        allowMissingColumns = true)
+    }
+    commit(spark, base, version, rows)
+    (hit.size, total)
+  }
+
+  /** COUNT(*) of `version` answered from the manifest's row counts —
+    * zero data files opened (the metadata-only aggregate every table
+    * format serves from its manifests; at 100 TB the difference
+    * between a catalog lookup and a full scan). Fails loudly when any
+    * file lacks a committed row_count (a plain [[manifestFor]] commit)
+    * — a partial sum would silently undercount, and the caller should
+    * read-and-count instead.
+    */
+  def countAt(spark: SparkSession, base: String, version: Long): Long = {
+    val rows = versionGroups(spark, base, version).flatMap { g =>
+      MetaIo.optString(g, "file").map(f =>
+        (f, MetaIo.optLong(g, "row_count")))
+    }.distinct
+    require(rows.nonEmpty, s"snapshot version $version unknown or empty")
+    require(rows.forall(_._2.isDefined),
+      s"snapshot version $version has files without committed row " +
+        "counts (plain manifestFor commit) — count via readAt instead")
+    rows.map(_._2.get).sum
   }
 
   /** EXECUTE retention on the PERSISTED store — [[vacuum]]'s anti-join

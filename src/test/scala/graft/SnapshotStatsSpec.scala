@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.substrate.{Layout, SnapshotStore}
+
+/** File-level statistics in the snapshot manifest (r13): footer-read
+  * bounds equal the data's, planning prunes conservatively and never
+  * changes results, counts answer from metadata, and an appended
+  * column serves through a merged read without touching old files.
+  */
+class SnapshotStatsSpec extends SparkSpec {
+
+  private def withStore(f: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("snapstats").toString
+    try f(tmp)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select("l_orderkey", "l_quantity")
+
+  test("committed footer stats equal the data's per-file count/min/max") {
+    withStore { tmp =>
+      Layout.writeClustered(li, s"$tmp/d1", "l_orderkey", numFiles = 4)
+      val m = SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+        Seq("l_orderkey"))
+      SnapshotStore.commit(spark, tmp, 1L, m)
+      // ground truth per physical file, from the data itself
+      def norm(u: String) = new java.net.URI(u).getPath
+      val actual = spark.read.parquet(s"$tmp/d1")
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+          max("l_orderkey").as("mx"))
+        .collect()
+        .map(r => norm(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val committed = SnapshotStore.manifest(spark, tmp)
+        .select("file", "row_count", "min_l_orderkey", "max_l_orderkey")
+        .collect()
+        .map(r => norm(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(committed.keySet == actual.keySet)
+      assert(committed == actual)
+      assert(SnapshotStore.countAt(spark, tmp, 1L) == li.count())
+    }
+  }
+
+  test("pruned range read equals full read + filter; impossible range " +
+      "plans to zero files but keeps the schema") {
+    withStore { tmp =>
+      Layout.writeClustered(li, s"$tmp/d1", "l_orderkey", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      val (surv, total) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "l_orderkey", 50L, 200L)
+      assert(surv.nonEmpty && surv.size < total,
+        s"clustered bounds must prune: ${surv.size}/$total")
+      val pruned = SnapshotStore.readAtWhere(spark, tmp, 1L,
+        "l_orderkey", 50L, 200L)
+      val full = SnapshotStore.readAt(spark, tmp, 1L)
+        .filter(col("l_orderkey").between(50, 200))
+      assert(pruned.count() == full.count())
+      assert(pruned.agg(sum("l_quantity")).head.getDouble(0) ==
+        full.agg(sum("l_quantity")).head.getDouble(0))
+      val empty = SnapshotStore.readAtWhere(spark, tmp, 1L,
+        "l_orderkey", -10L, -1L)
+      assert(empty.count() == 0L)
+      assert(empty.schema.fieldNames.toSet ==
+        Set("l_orderkey", "l_quantity"))
+    }
+  }
+
+  test("unknown bounds are conservative: a plain commit prunes nothing " +
+      "and countAt fails loudly instead of undercounting") {
+    withStore { tmp =>
+      Layout.writeClustered(li, s"$tmp/d1", "l_orderkey", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      val (surv, total) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "l_orderkey", -10L, -1L)
+      assert(surv.size == total,
+        "files without committed bounds must survive every prune")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.countAt(spark, tmp, 1L)
+      }
+      assert(e.getMessage.contains("row counts"))
+      // stats on a column the files don't have: unknown, kept
+      val m = SnapshotStore.manifestForStats(spark, 2L, Seq(s"$tmp/d1"),
+        Seq("no_such_col"))
+      assert(m.filter(col("min_no_such_col").isNotNull).count() == 0L)
+    }
+  }
+
+  test("a store mixing plain and stats commits reads as one manifest") {
+    withStore { tmp =>
+      Layout.writeClustered(li.filter(col("l_orderkey") % 2 === 0),
+        s"$tmp/d1", "l_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(li.filter(col("l_orderkey") % 2 === 1),
+        s"$tmp/d2", "l_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestForStats(spark, 2L,
+          Seq(s"$tmp/d1", s"$tmp/d2"), Seq("l_orderkey")))
+      val m = SnapshotStore.manifest(spark, tmp)
+      assert(m.schema.fieldNames.contains("row_count"))
+      assert(m.filter(col("version") === 1 &&
+        col("row_count").isNotNull).count() == 0L)
+      assert(SnapshotStore.countAt(spark, tmp, 2L) == li.count())
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == li.count())
+    }
+  }
+
+  test("deleteCommit rewrites only intersecting files, never null-key " +
+      "rows, and a miss commits metadata-only") {
+    withStore { tmp =>
+      // plant null keys: every 50th key nulled, outside the deleted range
+      val planted = li.withColumn("k",
+        when(col("l_orderkey") % 50 === 0, lit(null))
+          .otherwise(col("l_orderkey")))
+      Layout.writeClustered(planted, s"$tmp/d1", "k", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"), Seq("k")))
+      val nulls = planted.filter(col("k").isNull).count()
+      val inRange = planted.filter(col("k").between(50, 200)).count()
+      assert(nulls > 0 && inRange > 0)
+      val (rw, total) = SnapshotStore.deleteCommit(spark, tmp, 2L, 1L,
+        "k", 50L, 200L, s"$tmp/dd2")
+      assert(rw >= 1 && rw < total)
+      val v2 = SnapshotStore.readAt(spark, tmp, 2L)
+      assert(v2.filter(col("k").between(50, 200)).count() == 0L)
+      assert(v2.filter(col("k").isNull).count() == nulls,
+        "a range delete must never forget null-key rows")
+      assert(v2.count() == planted.count() - inRange)
+      // v1 still serves the deleted rows until retention retires it
+      assert(SnapshotStore.readAt(spark, tmp, 1L)
+        .filter(col("k").between(50, 200)).count() == inRange)
+      // a range outside every bound commits metadata-only: same files
+      val (rw3, _) = SnapshotStore.deleteCommit(spark, tmp, 3L, 2L,
+        "k", -100L, -1L, s"$tmp/dd3")
+      assert(rw3 == 0)
+      def filesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === v).select("file")
+        .collect().map(_.getString(0)).toSet
+      assert(filesOf(3L) == filesOf(2L))
+      // physical forget: retire v1/v2, purge, v3 reads complete
+      val reclaimed = SnapshotStore.vacuumExecute(spark, tmp, Seq(3L))
+      assert(reclaimed.nonEmpty)
+      assert(SnapshotStore.readAt(spark, tmp, 3L).count() ==
+        planted.count() - inRange)
+    }
+  }
+
+  test("additive schema evolution: the merged read serves the new " +
+      "column, null exactly on pre-evolution files' rows") {
+    withStore { tmp =>
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      Layout.writeClustered(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"),
+        s"$tmp/d1", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        s"$tmp/d2", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+      assert(!SnapshotStore.readAt(spark, tmp, 1L)
+        .schema.fieldNames.contains("o_orderpriority"))
+      val merged = SnapshotStore.readAt(spark, tmp, 2L, mergeSchema = true)
+      assert(merged.schema.fieldNames.contains("o_orderpriority"))
+      // nulls land exactly on the old (even-key) files' rows
+      assert(merged.filter(col("o_orderpriority").isNull &&
+        col("o_orderkey") % 2 === 1).count() == 0L)
+      assert(merged.filter(col("o_orderpriority").isNotNull &&
+        col("o_orderkey") % 2 === 0).count() == 0L)
+      assert(merged.count() == orders.count())
+    }
+  }
+}
