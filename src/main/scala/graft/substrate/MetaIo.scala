@@ -94,6 +94,21 @@ private[substrate] object MetaIo {
       val bounds = cols.flatMap { c =>
         val perBlock = blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c)
+            // the LOGICAL type must be a plain signed integer
+            // (code-review r13 round 2): DECIMAL-backed INT64 stores
+            // UNSCALED values and unsigned ints reorder above 2^63 —
+            // bounds recorded in a different value domain than the
+            // caller's [lo, hi] would wrongly EXONERATE files. Unknown
+            // beats wrong: anything else reports no bounds.
+            .filter { cc =>
+              cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                case null => true
+                case i: org.apache.parquet.schema
+                    .LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              }
+            }
             .map(_.getStatistics)
             .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
             .flatMap { s =>

@@ -43,13 +43,21 @@ object SnapshotStore {
   private def mdir(base: String, v: Long) = s"$base/_manifest/v=$v"
 
   /** In-JVM claim serialization for [[commit]]'s stage-then-claim
-    * protocol, one monitor per (base, version). The FS rename is the
-    * cross-process claim; this lock closes the same-JVM
-    * check-then-rename window completely (the shape a streaming
-    * ingester racing a maintenance job in one driver actually has).
+    * protocol. The FS rename is the cross-process claim; this lock
+    * closes the same-JVM check-then-rename window completely (the shape
+    * a streaming ingester racing a maintenance job in one driver
+    * actually has). STRIPED (code-review r13): a map keyed by
+    * (base, version) grows one monitor per commit for the JVM lifetime
+    * — an unbounded leak under a per-micro-batch committer; 64 hash
+    * stripes bound the memory at the cost of occasionally serializing
+    * two unrelated commits (held only across an exists + rename).
+    * [[purgeRetired]] takes the same stripe before destroying a
+    * version's remains, so a same-JVM maintenance pass can never race a
+    * committer's claim of that id.
     */
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val commitLocks = Array.fill(64)(new Object)
+  private def lockFor(base: String, version: Long): Object =
+    commitLocks(math.floorMod(s"$base#v=$version".hashCode, 64))
 
   /** COMMIT `version`'s manifest rows durably under
     * `<base>/_manifest/v=<version>/` — the missing half of r11's
@@ -84,6 +92,14 @@ object SnapshotStore {
     require(!fs.exists(marker),
       s"snapshot version $version is already committed under $base — " +
         "versions are immutable; commit the next version instead")
+    // version ids are MONOTONIC (code-review r13): a commit below the
+    // head would re-mint an id retention deliberately dropped — a
+    // consumer pinned to the old v=N would silently resolve different
+    // content. The head is always committed (retire keeps it), so any
+    // replayed/crashed intent at ≤ head is stale by construction.
+    require(committedVersions(spark, base).lastOption.forall(_ < version),
+      s"snapshot commits are monotonic: v=$version is at or below the " +
+        s"committed head under $base — version ids are never re-minted")
     // (version, file) is the manifest's REQUIRED core; any further
     // columns — [[manifestForStats]]' row_count and min_/max_ bounds —
     // ride along verbatim, the way a table format's manifest carries
@@ -101,8 +117,7 @@ object SnapshotStore {
         "commit() must be tagged with the version being committed")
     val stage = new org.apache.hadoop.fs.Path(
       s"$base/_manifest/.stage-v=$version-${java.util.UUID.randomUUID()}")
-    val lock = commitLocks
-      .computeIfAbsent(s"$base#v=$version", _ => new Object)
+    val lock = lockFor(base, version)
     // the stage write sits INSIDE the cleanup scope (code-review r13):
     // a mid-write crash must delete its partial stage immediately, the
     // same invariant VectorArtifact.stagedPublish keeps — not wait for
@@ -152,10 +167,16 @@ object SnapshotStore {
       catch {
         case e: CommitConflictException => last = e; i += 1
         case e: IllegalArgumentException
-            if committedVersions(spark, base).contains(next) =>
+            if e.getMessage != null &&
+              e.getMessage.contains("already committed") &&
+              committedVersions(spark, base).contains(next) =>
           // the fail-fast immutability require fired because a racer
           // claimed `next` between the read and the stage — the same
-          // logical conflict, one roundtrip earlier
+          // logical conflict, one roundtrip earlier. Pinned to THAT
+          // require's message (code-review r13): a broken rowsFor
+          // manifest whose own require happened to coincide with a
+          // racer's commit must propagate, not be retried into a
+          // different version
           last = new CommitConflictException(e.getMessage); i += 1
       }
     }
@@ -314,14 +335,16 @@ object SnapshotStore {
     * the schema survives.
     */
   def readAtWhere(spark: SparkSession, base: String, version: Long,
-      c: String, lo: Long, hi: Long): DataFrame = {
+      c: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val (survivors, total) = filesWhere(spark, base, version, c, lo, hi)
     if (survivors.isEmpty) {
       val any = versionGroups(spark, base, version)
         .flatMap(g => MetaIo.optString(g, "file")).head
       spark.read.parquet(any).filter(lit(false))
     } else
-      spark.read.parquet(survivors: _*)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(survivors: _*)
         .filter(col(c).between(lit(lo), lit(hi)))
   }
 
@@ -355,19 +378,45 @@ object SnapshotStore {
       fromVersion: Long, c: String, lo: Long, hi: Long,
       rewriteDir: String, numFiles: Int = 1): (Int, Int) = {
     val (hit, total) = filesWhere(spark, base, fromVersion, c, lo, hi)
-    val prev = manifest(spark, base).filter(col("version") === fromVersion)
+    // fromVersion's rows only — one version-dir read, not the whole
+    // store's manifest table (code-review r13 round 2: governance
+    // commits must not pay O(all versions) metadata I/O each)
+    val prev = spark.read.option("mergeSchema", "true")
+      .parquet(mdir(base, fromVersion))
     import spark.implicits._
     val hitDf = hit.toDF("file")
     val shared = prev.join(broadcast(hitDf), Seq("file"), "left_anti")
       .withColumn("version", lit(version))
     val rows = if (hit.isEmpty) shared else {
-      val survivors = spark.read.parquet(hit: _*)
+      // mergeSchema on the rewrite scan (code-review r13 round 2): on a
+      // schema-evolved store the hit files can mix pre- and
+      // post-evolution schemas, and a single-footer inference could
+      // silently DROP the evolved column from the surviving rows — a
+      // durable data loss under a green commit
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(hit: _*)
         // coalesce(true): a NULL key is outside any range — keep it
         .filter(coalesce(!col(c).between(lit(lo), lit(hi)), lit(true)))
       Layout.writeClustered(survivors, rewriteDir, c, numFiles)
-      shared.unionByName(
-        manifestForStats(spark, version, Seq(rewriteDir), Seq(c)),
-        allowMissingColumns = true)
+      val written = {
+        val p = new org.apache.hadoop.fs.Path(rewriteDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      }
+      if (!written && hit.size == total)
+        // every file hit and nothing survived: the "delete" empties the
+        // table — an empty version cannot be committed; name the real
+        // situation instead of failing on commit's version-tag require
+        throw new IllegalArgumentException(
+          s"deleteCommit removes every row of v=$fromVersion under " +
+            s"$base — an empty version cannot be committed; retire the " +
+            "table instead")
+      if (written)
+        shared.unionByName(
+          manifestForStats(spark, version, Seq(rewriteDir), Seq(c)),
+          allowMissingColumns = true)
+      else shared
     }
     commit(spark, base, version, rows)
     (hit.size, total)
@@ -414,13 +463,24 @@ object SnapshotStore {
   /** Phase 1 of the TWO-PHASE drop on the snapshot store (the
     * VectorArtifact retire/purge grace contract applied here — r13
     * symmetry): DECOMMIT every committed version outside `keep` by
-    * deleting only its `_SUCCESS` commit marker. The version disappears
-    * from [[committedVersions]]/[[manifest]]/[[readAt]] immediately — no
+    * RENAMING its manifest directory to a `.retired-v=N-<uuid>`
+    * tombstone. The version disappears from
+    * [[committedVersions]]/[[manifest]]/[[readAt]] immediately — no
     * NEW reader can pin it — but its manifest rows and data files stay
     * on disk, so an IN-FLIGHT reader that already resolved its file list
     * keeps scanning to completion instead of failing mid-query. Phase 2
     * ([[purgeRetired]]) reclaims the bytes after the deployment's grace
     * window; [[vacuumExecute]] remains the no-grace composition.
+    *
+    * Tombstone, not marker-deletion (code-review r13 round 2): a
+    * marker-less `v=N` directory is indistinguishable from a crashed
+    * commit, so [[commit]]'s orphan repair on a replayed intent at N
+    * would DESTROY the retired manifest purge still needs — leaking the
+    * version's exclusive data files forever — while re-minting the
+    * dropped id under different content. The rename moves the remains
+    * out of the version namespace entirely: orphan repair can no longer
+    * confuse them, and the monotonic-commit guard keeps every dropped
+    * id dead.
     */
   def retire(spark: SparkSession, base: String,
       keep: Seq[Long]): Seq[Long] = {
@@ -430,18 +490,23 @@ object SnapshotStore {
       s"keep versions ${keep.filterNot(vs.contains)} are not committed")
     // the HEAD id must never become re-mintable: dropping the latest
     // version would let commitNext hand its id to a different commit
-    // (an immutable-version violation for any consumer pinned to it)
-    // and let commit()'s orphan repair destroy the retired manifest dir
-    // purge still needs (code-review r13) — real table formats retain
-    // the serving head unconditionally, so retention here does too
+    // (an immutable-version violation for any consumer pinned to it) —
+    // real table formats retain the serving head unconditionally, so
+    // retention here does too
     require(keep.contains(vs.max),
       s"retention must keep the latest version (v=${vs.max}): dropping " +
         "the head would free its id for a DIFFERENT commit to claim")
     val drop = vs.filterNot(keep.contains)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    drop.foreach(v => fs.delete(
-      new org.apache.hadoop.fs.Path(mdir(base, v) + "/_SUCCESS"), false))
+    drop.foreach { v =>
+      val src = new org.apache.hadoop.fs.Path(mdir(base, v))
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$base/_manifest/.retired-v=$v-${java.util.UUID.randomUUID()}")
+      require(fs.rename(src, dst),
+        s"retiring snapshot version $v under $base failed: could not " +
+          "tombstone its manifest directory")
+    }
     drop
   }
 
@@ -466,11 +531,18 @@ object SnapshotStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")
         && now - s.getModificationTime > stageGraceMs)
       .foreach(s => fs.delete(s.getPath, true))
-    val committed = committedVersions(spark, base).toSet
+    // reclaimable remains: retire()'s tombstones, plus legacy/crashed
+    // marker-less v=N dirs. The marker is checked PER DIRECTORY, fresh
+    // — not against a pre-listing committed-set snapshot (code-review
+    // r13 round 2: a committer's rename can land v=N between that
+    // snapshot and the listing, and a stale set would classify the
+    // freshly-COMMITTED version as retired and destroy it)
+    def isOrphan(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getPath.getName.matches("v=\\d+") && !fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
     val retiredDirs = fs.listStatus(mroot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+") &&
-        !committed.contains(
-          s.getPath.getName.stripPrefix("v=").toLong))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".retired-") || isOrphan(s)))
       .map(_.getPath)
     if (retiredDirs.isEmpty) return Seq.empty
     // both file sets are commit metadata — driver-side reads (MetaIo),
@@ -479,8 +551,28 @@ object SnapshotStore {
     def filesOf(dirs: Seq[String]): Set[String] = dirs
       .flatMap(d => MetaIo.groups(conf, d)
         .flatMap(g => MetaIo.optString(g, "file"))).toSet
-    val retiredFiles = filesOf(retiredDirs.map(_.toString))
-    val keptFiles = filesOf(committed.toSeq.map(v => mdir(base, v)))
+    // claim the DIRS first: tombstones unconditionally, marker-less
+    // v=N orphans under the committer's stripe with a marker re-check —
+    // a same-JVM commit repairing/claiming that id between the listing
+    // and here must win, not be swept. File deletion happens only for
+    // dirs actually claimed, against pins RECOMPUTED after the claims,
+    // so a concurrently-committed version's files survive no matter
+    // which side of the listing its rename landed on.
+    val claimed = retiredDirs.flatMap { d =>
+      val files = filesOf(Seq(d.toString))
+      if (d.getName.startsWith(".retired-")) {
+        fs.delete(d, true); files
+      } else {
+        val v = d.getName.stripPrefix("v=").toLong
+        lockFor(base, v).synchronized {
+          if (fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+            Set.empty[String]
+          else { fs.delete(d, true); files }
+        }
+      }
+    }.toSet
+    val keptFiles = filesOf(
+      committedVersions(spark, base).map(v => mdir(base, v)))
     // sharing detection normalizes both sides through URI.getPath
     // (code-review r13): a store whose older commits wrote raw paths
     // and whose newer ones write qualified URIs must still recognize
@@ -489,10 +581,9 @@ object SnapshotStore {
     def norm(f: String): String = new java.net.URI(f).getPath
     val keptNorm = keptFiles.map(norm)
     val deletable =
-      retiredFiles.filterNot(f => keptNorm(norm(f))).toSeq.sorted
+      claimed.filterNot(f => keptNorm(norm(f))).toSeq.sorted
     deletable.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    retiredDirs.foreach(d => fs.delete(d, true))
     deletable
   }
 

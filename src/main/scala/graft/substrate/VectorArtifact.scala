@@ -80,11 +80,15 @@ object VectorArtifact {
       corpusBase: Option[String] = None,
       corpusVersion: Option[Long] = None)
 
-  /** In-JVM claim serialization for [[stagedPublish]], one monitor per
-    * (base, version) — see SnapshotStore.commitLocks for the contract.
+  /** In-JVM claim serialization for [[stagedPublish]] — see
+    * SnapshotStore.commitLocks for the contract. STRIPED (code-review
+    * r13): a per-(base, version) map grows a monitor per publish for
+    * the JVM lifetime; 64 hash stripes bound the memory. [[purgeRetired]]
+    * takes the same stripe before destroying a version's remains.
     */
-  private val claimLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val claimLocks = Array.fill(64)(new Object)
+  private def lockFor(base: String, version: Long): Object =
+    claimLocks(math.floorMod(s"$base#v=$version".hashCode, 64))
 
   /** The stage-then-claim publish protocol every publish form commits
     * through (VERDICT r12 next #1 — optimistic concurrency): `write`
@@ -135,8 +139,7 @@ object VectorArtifact {
     val qFinal = fs.makeQualified(fp).toString
     val finalize = (f: String) =>
       if (f.startsWith(qStage)) qFinal + f.stripPrefix(qStage) else f
-    val lock = claimLocks
-      .computeIfAbsent(s"$base#v=$version", _ => new Object)
+    val lock = lockFor(base, version)
     try {
       write(stage.toString, finalize)
       lock.synchronized {
@@ -831,28 +834,55 @@ object VectorArtifact {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-")
         && now - s.getModificationTime > stageGraceMs)
       .foreach(s => fs.delete(s.getPath, true))
-    val committed = versions(spark, base).toSet
-    val retired = fs.listStatus(p).toSeq
+    // retired = meta-less v= dirs, the commit marker checked PER
+    // VERSION under the committer's stripe (code-review r13 round 2: a
+    // stale committed-set snapshot would classify a version whose
+    // publish rename landed between the snapshot and the listing as
+    // retired and destroy it). The claim deletes the skinny tables and
+    // records the codes files as they stood at claim time; a later
+    // re-publish of the id writes fresh uuid-named part files the
+    // recorded list cannot touch.
+    val candidates = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filterNot(committed).sorted
-    // pin detection normalizes both sides through URI.getPath
-    // (code-review r13): legacy raw-path manifest rows and qualified
-    // listings must compare equal — a missed match DELETES a pinned file
-    val pinned: Set[String] = committed.toSeq
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+    val claimed: Seq[(Long, Seq[String])] = candidates.flatMap { v =>
+      lockFor(base, v).synchronized {
+        val dir = s"$base/v=$v"
+        if (fs.exists(
+            new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"))) None
+        else {
+          val codes = listParquetFiles(spark, s"$dir/codes")
+          Seq("manifest", "codebook", "centroids").foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
+          }
+          Some(v -> codes)
+        }
+      }
+    }
+    if (claimed.isEmpty) return Seq.empty
+    // pins recomputed AFTER the claims — any concurrently committed
+    // version is visible here, so its manifest-shared files survive no
+    // matter which side of the listing its rename landed on. Pin
+    // detection normalizes both sides through URI.getPath (code-review
+    // r13): legacy raw-path manifest rows and qualified listings must
+    // compare equal — a missed match DELETES a pinned file.
+    val pinned: Set[String] = versions(spark, base)
       .flatMap(v => readManifest(spark, base, v).map(_._1))
       .map(f => new java.net.URI(f).getPath).toSet
-    retired.foreach { v =>
+    claimed.foreach { case (v, codes) =>
       val dir = s"$base/v=$v"
-      Seq("manifest", "codebook", "centroids").foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
-      }
-      val (keep, del) = listParquetFiles(spark, s"$dir/codes")
+      val (keep, del) = codes
         .partition(f => pinned(new java.net.URI(f).getPath))
       del.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      if (keep.isEmpty) lockFor(base, v).synchronized {
+        // the dir may have been re-claimed by a committer since —
+        // re-check before removing it wholesale
+        if (!fs.exists(
+            new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS")))
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
     }
-    retired
+    claimed.map(_._1)
   }
 
   def vacuum(spark: SparkSession, base: String,

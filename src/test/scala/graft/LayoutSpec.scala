@@ -955,4 +955,47 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("retired version ids stay dead: a replayed commit at or below " +
+      "the head fails loudly and the tombstone survives for purge") {
+    // code-review r13 round 2: retire() used to delete only the marker,
+    // so commit()'s orphan repair on a replayed intent at the retired id
+    // destroyed the tombstoned manifest purge still needed — leaking the
+    // version's exclusive files forever while re-minting the id under
+    // different content. Retire now tombstone-renames and commits are
+    // monotonic: both halves pinned here.
+    import graft.substrate.SnapshotStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapmono")
+      .toString
+    try {
+      val df = spark.range(200)
+        .select(col("id").as("k"), (col("id") % 5).as("v"))
+      Layout.writeClustered(df.filter(col("k") < 100), s"$tmp/d1", "k",
+        numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(df.filter(col("k") >= 100), s"$tmp/d2", "k",
+        numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d2")))
+      assert(SnapshotStore.retire(spark, tmp, keep = Seq(2L)) == Seq(1L))
+      // a replayed commit intent at the dropped id must NOT be treated
+      // as orphan repair — the id is dead
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d2")))
+      }
+      assert(e.getMessage.contains("monotonic"))
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(2L))
+      // the tombstone still carries what v1 pinned: purge reclaims its
+      // exclusive file (d1's), and the kept version is untouched
+      val purged = SnapshotStore.purgeRetired(spark, tmp)
+      assert(purged.size == 1 && purged.head.contains("/d1/"),
+        s"v1's exclusive file must be reclaimed, got $purged")
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 100L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }

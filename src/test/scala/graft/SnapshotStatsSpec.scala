@@ -156,6 +156,44 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("deleteCommit on a schema-evolved store keeps the evolved " +
+      "column through the rewrite") {
+    // code-review r13 round 2: the rewrite scan reads the hit files
+    // with mergeSchema — a single-footer inference could pick a
+    // pre-evolution file and silently DROP the evolved column from
+    // surviving rows (durable loss under a green commit)
+    withStore { tmp =>
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      Layout.writeClustered(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"),
+        s"$tmp/d1", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      Layout.writeClustered(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        s"$tmp/d2", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+      // v2's manifest has no bounds (plain commit) → every file is a
+      // conservative hit; the rewrite must still carry the new column
+      val (rw, total) = SnapshotStore.deleteCommit(spark, tmp, 3L, 2L,
+        "o_orderkey", 1L, 10L, s"$tmp/dd3")
+      assert(rw == total, "unknown bounds must rewrite conservatively")
+      val v3 = SnapshotStore.readAt(spark, tmp, 3L, mergeSchema = true)
+      assert(v3.schema.fieldNames.contains("o_orderpriority"),
+        "the evolved column must survive the delete rewrite")
+      val expectOdd = orders
+        .filter(col("o_orderkey") % 2 === 1 &&
+          !col("o_orderkey").between(1, 10)).count()
+      assert(v3.filter(col("o_orderpriority").isNotNull).count() ==
+        expectOdd)
+      assert(v3.count() ==
+        orders.filter(!col("o_orderkey").between(1, 10)).count())
+    }
+  }
+
   test("additive schema evolution: the merged read serves the new " +
       "column, null exactly on pre-evolution files' rows") {
     withStore { tmp =>
