@@ -150,7 +150,11 @@ object Bench {
     "snapshot_schema_evolution",
     // r13 debut, pinned on arrival: the stats-bounded governance delete
     // (clustered write + stats commit + pruned rewrite commit + vacuum)
-    "snapshot_delete_commit")
+    "snapshot_delete_commit",
+    // r13 debut: stateful (blocking micro-batch loop) → serial-only —
+    // the table-store streaming ingest (base commit + two CAS append
+    // commits through commitNext, each a clustered write + stats read)
+    "snapshot_ingest_publish_stream")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -176,7 +180,10 @@ object Bench {
       // the fair-pool concurrent suite the barrier wait occupies pool
       // workers for the entry's full span (r13 first bench: 30.4 s
       // concurrent vs 13.7 s serial)
-      "ann_stored_index_concurrent", "snapshot_concurrent_commit")
+      "ann_stored_index_concurrent", "snapshot_concurrent_commit",
+      // r13: a true stream (blocking micro-batch loop), like its
+      // vector-store twin vector_ingest_publish_stream
+      "snapshot_ingest_publish_stream")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

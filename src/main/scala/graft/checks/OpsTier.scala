@@ -1384,6 +1384,115 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** STREAMING INGEST folded into the durable SNAPSHOT store — the
+    * table-family twin of `vector_ingest_publish_stream`, completing
+    * the symmetry the two-writer race entries established (every
+    * commit-protocol feature witnessed on BOTH durable stores): each
+    * micro-batch becomes an APPEND COMMIT claimed through the CAS
+    * client (`commitNext` — the retry-at-N+1 path a production
+    * ingester actually runs), whose manifest pins the ancestor's
+    * ENTIRE file set verbatim plus the batch's own clustered files
+    * WITH footer stats — so the streamed table keeps its file-skipping
+    * and metadata-count properties as it grows (`countAt` of the final
+    * head is require-pinned against the data). Requires pin the
+    * version chain {0,1,2} gapless and the zero-rewrite claim (every
+    * v_N manifest row survives into v_{N+1}). The output reads all
+    * three versions through the persisted manifests — the oracle
+    * recomputes each from the source parquet with the wave predicates,
+    * so a missed batch, dropped shared file, or stale manifest row
+    * hash-fails. Streamed waves are key-capped (< 2000) so the
+    * driver-collected fixture stays bounded at every SF. Stateless
+    * per-batch compute + metadata-scale commits: at 100 TB this is a
+    * structured-streaming sink committing into a lakehouse table.
+    * Stateful fixture loop → serial-only bench.
+    */
+  val snapshotIngestPublishStream = Check("snapshot_ingest_publish_stream",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      import ss.implicits._
+      implicit val sq = ss.sqlContext
+      val cap = 2000L
+      val li = table(ss, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapstream")
+        .toString
+      try {
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+          s"$tmp/d0", "l_orderkey", numFiles = 4)
+        SnapshotStore.commit(ss, tmp, 0L,
+          SnapshotStore.manifestForStats(ss, 0L, Seq(s"$tmp/d0"),
+            Seq("l_orderkey")))
+        def wave(m: Int): Seq[(Long, Double, Double)] =
+          li.filter(col("l_orderkey") % 4 === (2 + m) &&
+              col("l_orderkey") < cap)
+            .as[(Long, Double, Double)].collect().toSeq
+        val waves = new java.util.concurrent.atomic.AtomicLong(0L)
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Double, Double)]
+        val q = input.toDF()
+          .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val d = s"$tmp/w${waves.incrementAndGet()}"
+            Layout.writeClustered(batch, d, "l_orderkey", numFiles = 1)
+            SnapshotStore.commitNext(ss, tmp) { v =>
+              val latest = SnapshotStore.committedVersions(ss, tmp).last
+              SnapshotStore.manifest(ss, tmp)
+                .filter(col("version") === latest)
+                .withColumn("version", lit(v))
+                .unionByName(SnapshotStore.manifestForStats(ss, v,
+                  Seq(d), Seq("l_orderkey")), allowMissingColumns = true)
+            }
+            ()
+          }
+          .start()
+        try {
+          Seq(wave(0), wave(1)).foreach { vs =>
+            input.addData(vs); q.processAllAvailable()
+          }
+        } finally q.stop()
+        require(SnapshotStore.committedVersions(ss, tmp) ==
+          Seq(0L, 1L, 2L), "the append chain must land gapless at {0,1,2}")
+        // zero-rewrite: each commit pinned its ancestor's files verbatim
+        def filesOf(v: Long) = SnapshotStore.manifest(ss, tmp)
+          .filter(col("version") === v).select("file")
+          .collect().map(_.getString(0)).toSet
+        val fsets = (0L to 2L).map(filesOf)
+        require(fsets(0).subsetOf(fsets(1)) && fsets(1).subsetOf(fsets(2)),
+          "an append commit must share its ancestor's entire file set")
+        // stats survive the streaming appends: the head counts from
+        // metadata alone, and it matches the data
+        val head = SnapshotStore.readAt(ss, tmp, 2L)
+        require(SnapshotStore.countAt(ss, tmp, 2L) == head.count(),
+          "countAt must answer the streamed head from manifest stats")
+        val rows = (0L to 2L)
+          .map(v => snapAgg(SnapshotStore.readAt(ss, tmp, v), v))
+          .reduce(_ unionByName _).orderBy("version").collect()
+        ss.createDataFrame(
+          ss.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg(where: String) =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem WHERE $where""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(0 AS BIGINT) AS version, ${agg("l_orderkey % 4 <= 1")}
+         |UNION ALL SELECT CAST(1 AS BIGINT), ${agg(
+            "l_orderkey % 4 <= 1 OR (l_orderkey % 4 = 2 AND l_orderkey < 2000)")}
+         |UNION ALL SELECT CAST(2 AS BIGINT), ${agg(
+            "l_orderkey % 4 <= 1 OR (l_orderkey % 4 >= 2 AND l_orderkey < 2000)")}
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
@@ -1391,5 +1500,6 @@ object OpsTier {
     iqrOutliers, partSupplierRollup, eventsPivotDaily, zorderClusterStats,
     zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
     snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
-    snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit)
+    snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
+    snapshotIngestPublishStream)
 }
