@@ -154,7 +154,10 @@ object Bench {
     // r13 debut: stateful (blocking micro-batch loop) → serial-only —
     // the table-store streaming ingest (base commit + two CAS append
     // commits through commitNext, each a clustered write + stats read)
-    "snapshot_ingest_publish_stream")
+    "snapshot_ingest_publish_stream",
+    // r13 debut, pinned on arrival: the z-ordered rectangle prune
+    // (one 16-file z-clustered write + a 2-column stats commit)
+    "snapshot_read_pruned_z")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1384,6 +1384,74 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** RECTANGLE FILE SKIPPING over a Z-ORDERED snapshot version — the
+    * composition that makes the z-order layout pay at the FILE level:
+    * `zorder_cluster_stats` pins that z-buckets cover bounded boxes,
+    * LayoutSpec measures row-group pruning, and this entry closes the
+    * loop through the DURABLE store — `writeZClustered` files carry
+    * tight footer bounds on BOTH interleaved dimensions, the commit
+    * records them (`manifestForStats` on x AND y), and a rectangle
+    * scan plans through `filesWhereAll` to ~the selectivity PRODUCT of
+    * files where a single-dimension predicate prunes one factor. The
+    * plan gate REQUIRES the ordering that claim implies: rect
+    * survivors < x-only survivors < total files. The oracle recomputes
+    * the rectangle aggregate from raw parquet — file skipping must
+    * never change results. At 100 TB this is the lakehouse OPTIMIZE
+    * ZORDER read path: a two-predicate dashboard query on a z-ordered
+    * table opens the files of one box, planned from manifest metadata
+    * alone.
+    */
+  val snapshotReadPrunedZ = Check("snapshot_read_pruned_z",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapz")
+        .toString
+      try {
+        // dims with FULL modular range at every SF (suppkey spans only
+        // 1..10 at sf0.001 — a y built on it would empty the rectangle)
+        val l = table(spark, dir, "lineitem").select(
+          pmod(col("l_orderkey"), lit(256L)).cast("long").as("x"),
+          pmod(col("l_partkey"), lit(128L)).cast("long").as("y"),
+          col("l_quantity"))
+        Layout.writeZClustered(l, s"$tmp/d0", "x", "y", bits = 8,
+          numFiles = 16)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d0"),
+            Seq("x", "y")))
+        val rect = Seq(("x", 32L, 63L), ("y", 96L, 127L))
+        val (rectSurv, total) =
+          SnapshotStore.filesWhereAll(spark, tmp, 1L, rect)
+        val (xSurv, _) =
+          SnapshotStore.filesWhere(spark, tmp, 1L, "x", 32L, 63L)
+        require(rectSurv.nonEmpty && rectSurv.size < xSurv.size &&
+          xSurv.size < total,
+          s"z-bounds must prune the rectangle tighter than one factor: " +
+            s"rect ${rectSurv.size} < x ${xSurv.size} < total $total")
+        val rows = SnapshotStore.readAtWhereAll(spark, tmp, 1L, rect)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"))
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_qty_i",
+              org.apache.spark.sql.types.LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i
+        |FROM lineitem
+        |WHERE l_orderkey % 256 BETWEEN 32 AND 63
+        |AND l_partkey % 128 BETWEEN 96 AND 127"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** STREAMING INGEST folded into the durable SNAPSHOT store — the
     * table-family twin of `vector_ingest_publish_stream`, completing
     * the symmetry the two-writer race entries established (every
@@ -1501,5 +1569,5 @@ object OpsTier {
     zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
     snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
     snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
-    snapshotIngestPublishStream)
+    snapshotIngestPublishStream, snapshotReadPrunedZ)
 }

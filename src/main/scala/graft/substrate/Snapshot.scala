@@ -313,15 +313,33 @@ object SnapshotStore {
     * pin the prune as a plan property.
     */
   def filesWhere(spark: SparkSession, base: String, version: Long,
-      c: String, lo: Long, hi: Long): (Seq[String], Int) = {
+      c: String, lo: Long, hi: Long): (Seq[String], Int) =
+    filesWhereAll(spark, base, version, Seq((c, lo, hi)))
+
+  /** [[filesWhere]] for a CONJUNCTION of range predicates — the
+    * multi-dimensional planning a z-ordered layout earns (Layout
+    * .writeZClustered: every file covers a small hyperrectangle, so its
+    * committed bounds are tight on ALL interleaved columns and a
+    * rectangle scan prunes ~the selectivity PRODUCT, where a single-key
+    * sort prunes one factor). A file survives only if EVERY predicate's
+    * interval intersects its bounds; any unknown bound keeps the file
+    * for that predicate (conservative per dimension).
+    */
+  def filesWhereAll(spark: SparkSession, base: String, version: Long,
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+    require(preds.nonEmpty, "filesWhereAll needs at least one predicate")
     val rows = versionGroups(spark, base, version).flatMap { g =>
       MetaIo.optString(g, "file").map(f =>
-        (f, MetaIo.optLong(g, s"min_$c"), MetaIo.optLong(g, s"max_$c")))
+        (f, preds.map { case (c, _, _) =>
+          (MetaIo.optLong(g, s"min_$c"), MetaIo.optLong(g, s"max_$c"))
+        }))
     }.distinct
     require(rows.nonEmpty, s"snapshot version $version unknown or empty")
     val survivors = rows.collect {
-      case (f, mn, mx)
-          if mn.isEmpty || mx.isEmpty || !(mx.get < lo || mn.get > hi) => f
+      case (f, bounds) if bounds.zip(preds).forall {
+            case ((mn, mx), (_, lo, hi)) =>
+              mn.isEmpty || mx.isEmpty || !(mx.get < lo || mn.get > hi)
+          } => f
     }
     (survivors, rows.size)
   }
@@ -336,8 +354,19 @@ object SnapshotStore {
     */
   def readAtWhere(spark: SparkSession, base: String, version: Long,
       c: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    readAtWhereAll(spark, base, version, Seq((c, lo, hi)), mergeSchema)
+
+  /** [[readAtWhere]] for a predicate CONJUNCTION — scans only
+    * [[filesWhereAll]]'s survivors with every residual range applied.
+    */
+  def readAtWhereAll(spark: SparkSession, base: String, version: Long,
+      preds: Seq[(String, Long, Long)],
       mergeSchema: Boolean = false): DataFrame = {
-    val (survivors, total) = filesWhere(spark, base, version, c, lo, hi)
+    val (survivors, _) = filesWhereAll(spark, base, version, preds)
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
     if (survivors.isEmpty) {
       val any = versionGroups(spark, base, version)
         .flatMap(g => MetaIo.optString(g, "file")).head
@@ -345,7 +374,7 @@ object SnapshotStore {
     } else
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(survivors: _*)
-        .filter(col(c).between(lit(lo), lit(hi)))
+        .filter(residual)
   }
 
   /** GOVERNANCE DELETE as a stats-bounded commit — the right-to-be-

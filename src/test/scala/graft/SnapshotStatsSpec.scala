@@ -116,6 +116,41 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("rectangle pruning over a z-ordered store: conjunction prunes " +
+      "tighter than one factor and equals the filtered full read") {
+    withStore { tmp =>
+      // x/y from columns whose modular range is FULL at every SF —
+      // suppkey spans only 1..10 at sf0.001, which would leave the
+      // rectangle legitimately empty
+      val l = spark.read.parquet(s"$sf/lineitem.parquet").select(
+        pmod(col("l_orderkey"), lit(256L)).cast("long").as("x"),
+        pmod(col("l_partkey"), lit(128L)).cast("long").as("y"),
+        col("l_quantity"))
+      Layout.writeZClustered(l, s"$tmp/d0", "x", "y", bits = 8,
+        numFiles = 16)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d0"),
+          Seq("x", "y")))
+      val rect = Seq(("x", 32L, 63L), ("y", 96L, 127L))
+      val (rectSurv, total) =
+        SnapshotStore.filesWhereAll(spark, tmp, 1L, rect)
+      val (xSurv, _) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "x", 32L, 63L)
+      assert(rectSurv.nonEmpty && rectSurv.size < xSurv.size &&
+        xSurv.size < total)
+      val pruned = SnapshotStore.readAtWhereAll(spark, tmp, 1L, rect)
+      val full = SnapshotStore.readAt(spark, tmp, 1L)
+        .filter(col("x").between(32, 63) && col("y").between(96, 127))
+      assert(pruned.count() == full.count() && pruned.count() > 0)
+      assert(pruned.agg(sum("l_quantity")).head.getDouble(0) ==
+        full.agg(sum("l_quantity")).head.getDouble(0))
+      // an impossible dimension empties the conjunction at planning
+      val none = SnapshotStore.readAtWhereAll(spark, tmp, 1L,
+        Seq(("x", 32L, 63L), ("y", -5L, -1L)))
+      assert(none.count() == 0L)
+    }
+  }
+
   test("deleteCommit rewrites only intersecting files, never null-key " +
       "rows, and a miss commits metadata-only") {
     withStore { tmp =>
