@@ -1496,23 +1496,20 @@ object OpsTier {
           li.filter(col("l_orderkey") % 4 === (2 + m) &&
               col("l_orderkey") < cap)
             .as[(Long, Double, Double)].collect().toSeq
-        val waves = new java.util.concurrent.atomic.AtomicLong(0L)
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Double, Double)]
         val q = input.toDF()
           .toDF("l_orderkey", "l_quantity", "l_extendedprice")
           .writeStream.outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val d = s"$tmp/w${waves.incrementAndGet()}"
+          // wave dirs are named by BATCH ID, not a side counter: a
+          // foreachBatch re-execution re-invokes with the same id, and
+          // the Overwrite write makes the retry idempotent instead of
+          // minting an extra version (code-review r13 round 3)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val d = s"$tmp/w$batchId"
             Layout.writeClustered(batch, d, "l_orderkey", numFiles = 1)
-            SnapshotStore.commitNext(ss, tmp) { v =>
-              val latest = SnapshotStore.committedVersions(ss, tmp).last
-              SnapshotStore.manifest(ss, tmp)
-                .filter(col("version") === latest)
-                .withColumn("version", lit(v))
-                .unionByName(SnapshotStore.manifestForStats(ss, v,
-                  Seq(d), Seq("l_orderkey")), allowMissingColumns = true)
-            }
+            SnapshotStore.appendCommit(ss, tmp, Seq(d),
+              Seq("l_orderkey"))
             ()
           }
           .start()

@@ -183,6 +183,36 @@ object SnapshotStore {
     throw last
   }
 
+  /** The APPEND COMMIT as a first-class client (code-review r13 round
+    * 3 — the scaladoc's "an append commit pins the previous version's
+    * files PLUS the new ones" was hand-rolled at each call site): claim
+    * the next version through [[commitNext]] with a manifest that
+    * carries the ancestor's rows VERBATIM (one version-dir read —
+    * O(one version) commit metadata, the deleteCommit discipline; the
+    * ancestor of candidate v is v-1 by commitNext's construction) plus
+    * the files now under `newDirs`, with footer stats when `statsCols`
+    * is non-empty so a streamed table keeps its file-skipping and
+    * metadata-count properties as it grows. The VectorArtifact twin is
+    * appendPublish. Returns the version claimed; the store must already
+    * have a base commit (an empty store has nothing to append to).
+    */
+  def appendCommit(spark: SparkSession, base: String,
+      newDirs: Seq[String], statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5): Long = {
+    require(committedVersions(spark, base).nonEmpty,
+      s"appendCommit needs a committed base version under $base")
+    commitNext(spark, base, maxAttempts) { v =>
+      val prev = spark.read.option("mergeSchema", "true")
+        .parquet(mdir(base, v - 1))
+        .withColumn("version", lit(v))
+      val fresh =
+        if (statsCols.nonEmpty)
+          manifestForStats(spark, v, newDirs, statsCols)
+        else manifestFor(spark, v, newDirs)
+      prev.unionByName(fresh, allowMissingColumns = true)
+    }
+  }
+
   /** Versions with a completed commit marker, ascending — a
     * metadata-scale directory listing (the VectorArtifact.versions
     * geometry on the manifest store).
@@ -333,15 +363,21 @@ object SnapshotStore {
         (f, preds.map { case (c, _, _) =>
           (MetaIo.optLong(g, s"min_$c"), MetaIo.optLong(g, s"max_$c"))
         }))
-    }.distinct
+    }
     require(rows.nonEmpty, s"snapshot version $version unknown or empty")
-    val survivors = rows.collect {
-      case (f, bounds) if bounds.zip(preds).forall {
+    // dedupe by FILE, like readAt (code-review r13 round 3): a manifest
+    // carrying the same file twice — a stats row unioned with a legacy
+    // plain row — must neither double-scan the path nor inflate the
+    // total; a file survives if ANY of its rows cannot be exonerated
+    // (conservative under disagreeing bounds)
+    val byFile = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val survivors = byFile.collect {
+      case (f, rs) if rs.exists(_._2.zip(preds).forall {
             case ((mn, mx), (_, lo, hi)) =>
               mn.isEmpty || mx.isEmpty || !(mx.get < lo || mn.get > hi)
-          } => f
+          }) => f
     }
-    (survivors, rows.size)
+    (survivors, byFile.size)
   }
 
   /** The rows of `version` with `c` in [lo, hi], scanning ONLY the
@@ -367,11 +403,13 @@ object SnapshotStore {
     val residual = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
-    if (survivors.isEmpty) {
-      val any = versionGroups(spark, base, version)
-        .flatMap(g => MetaIo.optString(g, "file")).head
-      spark.read.parquet(any).filter(lit(false))
-    } else
+    if (survivors.isEmpty)
+      // an all-exonerated scan must keep the SAME schema as a surviving
+      // one (code-review r13 round 3: one arbitrary file's schema could
+      // miss an evolved column under mergeSchema) — plan the version's
+      // read and fold it empty; the false filter prunes every row group
+      readAt(spark, base, version, mergeSchema).filter(lit(false))
+    else
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(survivors: _*)
         .filter(residual)
