@@ -450,6 +450,13 @@ object SnapshotStore {
     // commits must not pay O(all versions) metadata I/O each)
     val prev = spark.read.option("mergeSchema", "true")
       .parquet(mdir(base, fromVersion))
+    // rewritten files re-record EVERY stats column the ancestor's
+    // manifest carried, not just the delete key (code-review r13 round
+    // 3: a store committed with bounds on (x, y) must not lose its
+    // y-skipping on the files a delete on x rewrote)
+    val statsCols = (prev.columns.toSeq.collect {
+      case n if n.startsWith("min_") => n.stripPrefix("min_")
+    }.filter(sc => prev.columns.contains(s"max_$sc")) :+ c).distinct
     import spark.implicits._
     val hitDf = hit.toDF("file")
     val shared = prev.join(broadcast(hitDf), Seq("file"), "left_anti")
@@ -481,7 +488,7 @@ object SnapshotStore {
             "table instead")
       if (written)
         shared.unionByName(
-          manifestForStats(spark, version, Seq(rewriteDir), Seq(c)),
+          manifestForStats(spark, version, Seq(rewriteDir), statsCols),
           allowMissingColumns = true)
       else shared
     }

@@ -148,6 +148,15 @@ class SnapshotStatsSpec extends SparkSpec {
       val none = SnapshotStore.readAtWhereAll(spark, tmp, 1L,
         Seq(("x", 32L, 63L), ("y", -5L, -1L)))
       assert(none.count() == 0L)
+      // a delete on x re-records y's bounds on the rewritten files too
+      // — the store must not lose its y-skipping to maintenance on x
+      val (rwz, _) = SnapshotStore.deleteCommit(spark, tmp, 2L, 1L,
+        "x", 0L, 15L, s"$tmp/dd2")
+      assert(rwz >= 1)
+      val m2 = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 2 && col("file").contains("/dd2/"))
+      assert(m2.count() > 0 &&
+        m2.filter(col("min_y").isNull || col("max_y").isNull).count() == 0L)
     }
   }
 
