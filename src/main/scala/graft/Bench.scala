@@ -157,7 +157,10 @@ object Bench {
     "snapshot_ingest_publish_stream",
     // r13 debut, pinned on arrival: the z-ordered rectangle prune
     // (one 16-file z-clustered write + a 2-column stats commit)
-    "snapshot_read_pruned_z")
+    "snapshot_read_pruned_z",
+    // r13 debut, pinned on arrival: the time-window prune (one 8-file
+    // clustered events write + a stats commit)
+    "snapshot_read_pruned_time")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1452,6 +1452,67 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** TIME-WINDOW FILE SKIPPING — the shape every training-data
+    * pipeline has (events/logs land in time order; reads are windows):
+    * the events table clustered by EVENT TIME and committed with
+    * bounds, a one-day window read planning to the files whose time
+    * ranges intersect it. Time rides as an EPOCH-MICROS LONG column
+    * projected at write (`unix_micros`): `MetaIo.footerStats`
+    * deliberately rejects TIMESTAMP logical annotations (value-domain
+    * ambiguity — unknown beats wrong), so the write-side projection is
+    * the discipline that makes time skippable, mirroring how table
+    * formats partition on derived date columns. The plan gate requires
+    * the prune; the oracle recomputes the window from raw parquet via
+    * `epoch_us(ts)` — tz-independent on both engines. At 100 TB this is
+    * "read one day of a three-year corpus by opening one day's files,
+    * planned from the manifest".
+    */
+  val snapshotReadPrunedTime = Check("snapshot_read_pruned_time",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snaptime")
+        .toString
+      try {
+        // 2024-01-10T00:00Z .. 2024-01-10T23:59:59.999999Z
+        val lo = 1704844800000000L
+        val hi = 1704931199999999L
+        val ev = table(spark, dir, "events")
+          .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            col("value"))
+        Layout.writeClustered(ev, s"$tmp/d0", "ts_us", numFiles = 8)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d0"),
+            Seq("ts_us")))
+        val (surv, total) =
+          SnapshotStore.filesWhere(spark, tmp, 1L, "ts_us", lo, hi)
+        require(surv.nonEmpty && surv.size < total,
+          s"time bounds must prune the window scan: opened " +
+            s"${surv.size} of $total files")
+        val rows = SnapshotStore.readAtWhere(spark, tmp, 1L, "ts_us",
+          lo, hi)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value"))).cast("long").as("sum_value_i"))
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_value_i",
+              org.apache.spark.sql.types.LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value_i
+        |FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1704931199999999"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** STREAMING INGEST folded into the durable SNAPSHOT store — the
     * table-family twin of `vector_ingest_publish_stream`, completing
     * the symmetry the two-writer race entries established (every
@@ -1566,5 +1627,6 @@ object OpsTier {
     zorder3ClusterStats, compactionPlan, compactionExecute, snapshotRead,
     snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
     snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
-    snapshotIngestPublishStream, snapshotReadPrunedZ)
+    snapshotIngestPublishStream, snapshotReadPrunedZ,
+    snapshotReadPrunedTime)
 }
