@@ -160,7 +160,11 @@ object Bench {
     "snapshot_read_pruned_z",
     // r13 debut, pinned on arrival: the time-window prune (one 8-file
     // clustered events write + a stats commit)
-    "snapshot_read_pruned_time")
+    "snapshot_read_pruned_time",
+    // r13 debut, pinned on arrival: the bloom point lookup (one
+    // clustered events write + a stats+bloom commit — the bloom build
+    // is one scan folding probe bits into per-file words)
+    "snapshot_point_lookup_bloom")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -1513,6 +1513,76 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** BLOOM-PRUNED POINT LOOKUP — the skipping case bounds CANNOT serve
+    * (check #18's point_lookup_availability made physical at the file
+    * level): the events table clustered by TIME carries a UUID-like
+    * surrogate key (`xxhash64(event_id)` — uncorrelated with the
+    * layout by construction, the shape every hashed/UUID primary key
+    * has), so every file's min/max on that key spans the whole domain
+    * and range stats exonerate NOTHING — require-pinned: the bounds
+    * plan keeps every file. The commit therefore records per-file
+    * BLOOMS (`manifestForStatsBloom` — Delta bloom indexes / Iceberg
+    * puffin as the public designs), and the same lookup plans through
+    * `filesWherePoint` to ~one file (require-pinned strictly tighter
+    * than bounds). The oracle fetches the row by its natural id from
+    * raw parquet — the bloom's false-positive side can only ADD files,
+    * never lose the row, so the hash match pins lossless skipping. At
+    * 100 TB this is "fetch one record by key from a time-partitioned
+    * lake without a secondary index": open one file, planned from
+    * manifest metadata.
+    */
+  val snapshotPointLookupBloom = Check("snapshot_point_lookup_bloom",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapblm")
+        .toString
+      try {
+        val ev = table(spark, dir, "events")
+          .select(unix_micros(col("ts")).as("ts_us"),
+            xxhash64(col("event_id")).as("ukey"),
+            col("event_id"), col("user_id"), col("event_type"))
+        Layout.writeClustered(ev, s"$tmp/d0", "ts_us", numFiles = 8)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStatsBloom(spark, 1L, Seq(s"$tmp/d0"),
+            statsCols = Seq("ts_us", "ukey"), bloomCols = Seq("ukey")))
+        // the engine's own hash of the natural key, computed driver-side
+        val key = org.apache.spark.sql.catalyst.expressions
+          .XxHash64Function.hash(42L,
+            org.apache.spark.sql.types.LongType, 42L)
+        val (boundsSurv, total) =
+          SnapshotStore.filesWhere(spark, tmp, 1L, "ukey", key, key)
+        require(boundsSurv.size == total,
+          s"a hashed key must defeat range stats (every file's bounds " +
+            s"span it): ${boundsSurv.size} of $total")
+        val (bloomSurv, _) =
+          SnapshotStore.filesWherePoint(spark, tmp, 1L, "ukey", key)
+        require(bloomSurv.nonEmpty && bloomSurv.size < total,
+          s"the bloom must prune the point lookup: opened " +
+            s"${bloomSurv.size} of $total files")
+        val rows = SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", key)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy("event_id").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM events WHERE event_id = 42 ORDER BY event_id"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** STREAMING INGEST folded into the durable SNAPSHOT store — the
     * table-family twin of `vector_ingest_publish_stream`, completing
     * the symmetry the two-writer race entries established (every
@@ -1628,5 +1698,5 @@ object OpsTier {
     snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
     snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
     snapshotIngestPublishStream, snapshotReadPrunedZ,
-    snapshotReadPrunedTime)
+    snapshotReadPrunedTime, snapshotPointLookupBloom)
 }

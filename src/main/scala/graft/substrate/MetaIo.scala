@@ -65,6 +65,13 @@ private[substrate] object MetaIo {
     Some(g.getString(name, 0))
   }
 
+  /** Nullable binary field by name (bloom sidecars in stats manifests). */
+  def optBinary(g: Group, name: String): Option[Array[Byte]] = {
+    if (!g.getType.containsField(name)) return None
+    if (g.getFieldRepetitionCount(name) == 0) return None
+    Some(g.getBinary(name, 0).getBytes)
+  }
+
   /** Per-FILE statistics read from the parquet FOOTER, driver-side —
     * row count plus min/max for each requested INTEGRAL column: the
     * stats a table format's commit records per data file (Iceberg

@@ -331,6 +331,130 @@ object SnapshotStore {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** [[manifestForStats]] extended with per-file BLOOM FILTERS on
+    * `bloomCols` (LONG columns) — the point-lookup complement of the
+    * min/max bounds: a range prunes a CLUSTERED key, but a point lookup
+    * on a key UNCORRELATED with the layout (a UUID-like surrogate, a
+    * hash id — every file's min/max spans the whole domain) prunes
+    * nothing from bounds, and a per-file bloom is the tool real formats
+    * reach for (Delta bloom-filter indexes, Iceberg puffin sketches as
+    * the public designs). Building blooms needs ONE scan of the new
+    * files (positions fold into m/64 words per file via `bit_or` —
+    * map-side combinable, collected at metadata×words scale), the same
+    * write-amplified stats collection Delta performs on ingest; bounds
+    * alone stay footer-only ([[manifestForStats]]).
+    *
+    * Encoding: Kirsch-Mitzenmacher double hashing over Spark's
+    * `xxhash64` (seed 42) — h1 = h >>> 32, h2 = (h & 0xffffffff) | 1,
+    * position i = (h1 + i·h2) mod bits — so [[filesWherePoint]] can
+    * recompute positions driver-side with the engine's own hash. The
+    * manifest carries `bloom_<col>` (packed little-endian words, length
+    * = bits/8) and `bloomk_<col>` (the hash count) per file; absent
+    * blooms mean UNKNOWN and the file survives every point prune.
+    */
+  def manifestForStatsBloom(spark: SparkSession, version: Long,
+      paths: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int = 1 << 18, bloomK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(bloomBits > 0 && (bloomBits & 63) == 0,
+      "bloomBits must be a positive multiple of 64")
+    val base = manifestForStats(spark, version, paths, statsCols)
+    def norm(f: String): String = new java.net.URI(f).getPath
+    val data = spark.read.parquet(paths: _*)
+      .withColumn("_f", input_file_name())
+    // per (file, word) OR-fold of the k probe bits — one scan, map-side
+    // combinable; words-per-file bounded by bits/64
+    val blooms: Map[String, Map[String, Array[Long]]] = bloomCols.map {
+      c =>
+        val h = xxhash64(col(c))
+        val h1 = shiftrightunsigned(h, 32)
+        val h2 = h.bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
+        val pos = explode(array((0 until bloomK).map(i =>
+          pmod(h1 + lit(i.toLong) * h2, lit(bloomBits.toLong))): _*))
+        val words = data.select(col("_f"), pos.as("pos"))
+          .select(col("_f"), expr("pos DIV 64").as("word"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+              .as("bit"))
+          .groupBy("_f", "word").agg(bit_or(col("bit")).as("bits"))
+          .collect()
+        c -> words.groupBy(r => norm(r.getString(0))).map {
+          case (f, rs) =>
+            val arr = new Array[Long](bloomBits / 64)
+            rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+            f -> arr
+        }
+    }.toMap
+    val withBloom = base.collect().toIndexedSeq.map { r =>
+      val f = norm(r.getString(r.fieldIndex("file")))
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++ bloomCols.flatMap { c =>
+        blooms(c).get(f) match {
+          case Some(arr) =>
+            val bb = java.nio.ByteBuffer
+              .allocate(arr.length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            arr.foreach(bb.putLong)
+            Seq(bb.array(), bloomK.toLong)
+          case None => Seq(null, null) // 0-row file: unknown, kept
+        }
+      })
+    }
+    val schema = StructType(base.schema.fields.toSeq ++
+      bloomCols.flatMap(c => Seq(
+        StructField(s"bloom_$c", BinaryType, nullable = true),
+        StructField(s"bloomk_$c", LongType, nullable = true))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(withBloom, 1), schema)
+  }
+
+  /** POINT-LOOKUP planning through the committed blooms: the files of
+    * `version` that MAY hold `c` = `value` — a file is exonerated when
+    * any of the k probe bits is clear; a file without a bloom (plain or
+    * stats-only commit, or a 0-row file) is kept. False positives only
+    * ever ADD files (never lose rows); sizing is the committer's knob.
+    */
+  def filesWherePoint(spark: SparkSession, base: String, version: Long,
+      c: String, value: Long): (Seq[String], Int) = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(value, org.apache.spark.sql.types.LongType, 42L)
+    val h1 = h >>> 32
+    val h2 = (h & 0xFFFFFFFFL) | 1L
+    val rows = versionGroups(spark, base, version).flatMap { g =>
+      MetaIo.optString(g, "file").map(f =>
+        (f, MetaIo.optBinary(g, s"bloom_$c"),
+          MetaIo.optLong(g, s"bloomk_$c")))
+    }
+    require(rows.nonEmpty, s"snapshot version $version unknown or empty")
+    val byFile = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    def mayContain(bloom: Array[Byte], k: Long): Boolean = {
+      val bits = bloom.length.toLong * 8
+      val bb = java.nio.ByteBuffer.wrap(bloom)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0L until k).forall { i =>
+        val pos = Math.floorMod(h1 + i * h2, bits)
+        (bb.getLong((pos / 64).toInt * 8) & (1L << (pos % 64))) != 0
+      }
+    }
+    val survivors = byFile.collect {
+      case (f, rs) if rs.exists {
+            case (_, Some(b), Some(k)) => mayContain(b, k)
+            case _ => true // no bloom: unknown, keep
+          } => f
+    }
+    (survivors, byFile.size)
+  }
+
+  /** The rows of `version` with `c` = `value`, scanning only
+    * [[filesWherePoint]]'s survivors (the exact-match residual still
+    * applies — blooms are probabilistic one-sided).
+    */
+  def readAtPoint(spark: SparkSession, base: String, version: Long,
+      c: String, value: Long): DataFrame = {
+    val (survivors, _) = filesWherePoint(spark, base, version, c, value)
+    if (survivors.isEmpty)
+      readAt(spark, base, version).filter(lit(false))
+    else spark.read.parquet(survivors: _*).filter(col(c) === lit(value))
+  }
+
   /** SCAN PLANNING with file skipping: the files of `version` that MAY
     * hold rows with `c` in [lo, hi], decided from the manifest's
     * committed min/max bounds — driver-side metadata, no data I/O (the

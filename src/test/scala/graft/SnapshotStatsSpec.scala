@@ -160,6 +160,45 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("bloom point lookup: present key found with pruning, absent key " +
+      "exonerates, bloom-less commits keep every file") {
+    withStore { tmp =>
+      // ukey = engine hash of the natural key — uncorrelated with the
+      // l_orderkey clustering, the shape a UUID/hashed id has
+      val d = li.withColumn("ukey", xxhash64(col("l_orderkey")))
+      Layout.writeClustered(d, s"$tmp/d1", "l_orderkey", numFiles = 6)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStatsBloom(spark, 1L, Seq(s"$tmp/d1"),
+          statsCols = Seq("l_orderkey"), bloomCols = Seq("ukey"),
+          bloomBits = 1 << 16))
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.LongType
+      val key = XxHash64Function.hash(100L, LongType, 42L)
+      val (surv, total) =
+        SnapshotStore.filesWherePoint(spark, tmp, 1L, "ukey", key)
+      assert(surv.nonEmpty && surv.size < total,
+        s"bloom must prune: ${surv.size}/$total")
+      val hits = SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", key)
+      assert(hits.count() ==
+        li.filter(col("l_orderkey") === 100).count() && hits.count() > 0)
+      // an absent key: false positives may keep a few files, but the
+      // residual filter returns nothing
+      val absent = XxHash64Function.hash(-99999L, LongType, 42L)
+      val (fp, _) =
+        SnapshotStore.filesWherePoint(spark, tmp, 1L, "ukey", absent)
+      assert(fp.size <= total / 2, s"absent key kept ${fp.size}/$total")
+      assert(SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", absent)
+        .count() == 0L)
+      // a stats-only commit has no blooms: every file survives (unknown)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestForStats(spark, 2L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      val (all, t2) =
+        SnapshotStore.filesWherePoint(spark, tmp, 2L, "ukey", key)
+      assert(all.size == t2)
+    }
+  }
+
   test("deleteCommit rewrites only intersecting files, never null-key " +
       "rows, and a miss commits metadata-only") {
     withStore { tmp =>
