@@ -1491,7 +1491,7 @@ object OpsTier {
         val rows = SnapshotStore.readAtWhere(spark, tmp, 1L, "ts_us",
           lo, hi)
           .agg(count(lit(1)).as("n_rows"),
-            sum(floor(col("value"))).cast("long").as("sum_value_i"))
+            sum(floor(col("value")).cast("long")).as("sum_value_i"))
           .collect()
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1),

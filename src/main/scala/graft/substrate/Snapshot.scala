@@ -358,10 +358,21 @@ object SnapshotStore {
     import org.apache.spark.sql.types._
     require(bloomBits > 0 && (bloomBits & 63) == 0,
       "bloomBits must be a positive multiple of 64")
+    require(bloomK > 0, "bloomK must be positive — zero hashes would " +
+      "silently commit null blooms after paying the full build scan")
     val base = manifestForStats(spark, version, paths, statsCols)
-    def norm(f: String): String = new java.net.URI(f).getPath
+    // normalization through hadoop Path, not java.net.URI: a legal
+    // filename with a space crashes the URI parser (code-review r13
+    // round 4). Residual caveat: a literal '%' in a path can still
+    // spell differently between input_file_name (percent-encoding) and
+    // makeQualified — such a file commits with a null bloom (kept by
+    // every prune), never a wrong one.
+    def norm(f: String): String =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath
+    // ONE cached pass feeds every bloom column's fold — without it each
+    // column re-reads the batch from storage (code-review r13 round 4)
     val data = spark.read.parquet(paths: _*)
-      .withColumn("_f", input_file_name())
+      .withColumn("_f", input_file_name()).persist()
     // per (file, word) OR-fold of the k probe bits — one scan, map-side
     // combinable; words-per-file bounded by bits/64
     val blooms: Map[String, Map[String, Array[Long]]] = bloomCols.map {
@@ -384,6 +395,7 @@ object SnapshotStore {
             f -> arr
         }
     }.toMap
+    data.unpersist()
     val withBloom = base.collect().toIndexedSeq.map { r =>
       val f = norm(r.getString(r.fieldIndex("file")))
       org.apache.spark.sql.Row.fromSeq(r.toSeq ++ bloomCols.flatMap { c =>
@@ -448,11 +460,13 @@ object SnapshotStore {
     * applies — blooms are probabilistic one-sided).
     */
   def readAtPoint(spark: SparkSession, base: String, version: Long,
-      c: String, value: Long): DataFrame = {
+      c: String, value: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val (survivors, _) = filesWherePoint(spark, base, version, c, value)
     if (survivors.isEmpty)
-      readAt(spark, base, version).filter(lit(false))
-    else spark.read.parquet(survivors: _*).filter(col(c) === lit(value))
+      readAt(spark, base, version, mergeSchema).filter(lit(false))
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(survivors: _*).filter(col(c) === lit(value))
   }
 
   /** SCAN PLANNING with file skipping: the files of `version` that MAY
@@ -577,10 +591,29 @@ object SnapshotStore {
     // rewritten files re-record EVERY stats column the ancestor's
     // manifest carried, not just the delete key (code-review r13 round
     // 3: a store committed with bounds on (x, y) must not lose its
-    // y-skipping on the files a delete on x rewrote)
+    // y-skipping on the files a delete on x rewrote) — and every BLOOM
+    // column too (round 4: the same regression class for point
+    // skipping; blooms are self-describing per row, so the rebuild
+    // adopts the largest ancestor geometry when columns disagree)
     val statsCols = (prev.columns.toSeq.collect {
       case n if n.startsWith("min_") => n.stripPrefix("min_")
     }.filter(sc => prev.columns.contains(s"max_$sc")) :+ c).distinct
+    val bloomCols = prev.columns.toSeq.collect {
+      case n if n.startsWith("bloom_") && !n.startsWith("bloomk_") =>
+        n.stripPrefix("bloom_")
+    }.filter(bc => prev.columns.contains(s"bloomk_$bc"))
+      // a column whose blooms are null on every ancestor row was never
+      // really bloomed — nothing to preserve
+      .filter(bc => prev.filter(col(s"bloom_$bc").isNotNull).limit(1)
+        .count() > 0)
+    val bloomGeom: Option[(Int, Int)] =
+      if (bloomCols.isEmpty) None
+      else Some(bloomCols.map { bc =>
+        val ex = prev.filter(col(s"bloom_$bc").isNotNull)
+          .select(col(s"bloom_$bc"), col(s"bloomk_$bc")).head()
+        (ex.getAs[Array[Byte]](0).length * 8, ex.getLong(1).toInt)
+      }.reduce((a, b) =>
+        (math.max(a._1, b._1), math.max(a._2, b._2))))
     import spark.implicits._
     val hitDf = hit.toDF("file")
     val shared = prev.join(broadcast(hitDf), Seq("file"), "left_anti")
@@ -610,11 +643,15 @@ object SnapshotStore {
           s"deleteCommit removes every row of v=$fromVersion under " +
             s"$base — an empty version cannot be committed; retire the " +
             "table instead")
-      if (written)
-        shared.unionByName(
-          manifestForStats(spark, version, Seq(rewriteDir), statsCols),
-          allowMissingColumns = true)
-      else shared
+      if (written) {
+        val fresh = bloomGeom match {
+          case Some((bits, k)) => manifestForStatsBloom(spark, version,
+            Seq(rewriteDir), statsCols, bloomCols, bits, k)
+          case None =>
+            manifestForStats(spark, version, Seq(rewriteDir), statsCols)
+        }
+        shared.unionByName(fresh, allowMissingColumns = true)
+      } else shared
     }
     commit(spark, base, version, rows)
     (hit.size, total)

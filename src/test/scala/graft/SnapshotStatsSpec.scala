@@ -196,6 +196,23 @@ class SnapshotStatsSpec extends SparkSpec {
       val (all, t2) =
         SnapshotStore.filesWherePoint(spark, tmp, 2L, "ukey", key)
       assert(all.size == t2)
+      // a governance delete re-records blooms on the rewritten files —
+      // point skipping must survive maintenance (the bounds-inheritance
+      // guarantee, extended to blooms)
+      val (rwb, _) = SnapshotStore.deleteCommit(spark, tmp, 3L, 1L,
+        "l_orderkey", 1L, 30L, s"$tmp/dd3")
+      assert(rwb >= 1)
+      val m3 = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 3 && col("file").contains("/dd3/"))
+      assert(m3.count() > 0 &&
+        m3.filter(col("bloom_ukey").isNull).count() == 0L,
+        "rewritten files must carry rebuilt blooms")
+      val (s3, t3) =
+        SnapshotStore.filesWherePoint(spark, tmp, 3L, "ukey", key)
+      assert(s3.size < t3, "point skipping must survive the delete")
+      assert(SnapshotStore.readAtPoint(spark, tmp, 3L, "ukey", key)
+        .count() == hits.count(),
+        "the surviving key's rows must still be found after the delete")
     }
   }
 
