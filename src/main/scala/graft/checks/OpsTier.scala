@@ -1633,9 +1633,13 @@ object OpsTier {
           .toDF("l_orderkey", "l_quantity", "l_extendedprice")
           .writeStream.outputMode("append")
           // wave dirs are named by BATCH ID, not a side counter: a
-          // foreachBatch re-execution re-invokes with the same id, and
-          // the Overwrite write makes the retry idempotent instead of
-          // minting an extra version (code-review r13 round 3)
+          // foreachBatch re-execution re-invokes with the same id, the
+          // Overwrite write makes the FILE half of the retry idempotent,
+          // and appendCommit's replay check (head already pins the wave
+          // dir's files → return head, no new version) makes the COMMIT
+          // half idempotent too (ADVICE r13 low #3) — so the gapless-
+          // chain and zero-rewrite requires below hold even under a
+          // post-commit re-execution
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val d = s"$tmp/w$batchId"
             Layout.writeClustered(batch, d, "l_orderkey", numFiles = 1)

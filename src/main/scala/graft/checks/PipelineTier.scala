@@ -437,18 +437,20 @@ object PipelineTier {
           col("doc_id") < 100).select("doc_id")
         // manifest rows are fully-qualified URIs (r13); input_file_name
         // emits its own URI form (file:///...) — normalize BOTH sides
-        // through URI.getPath at the comparison, keep the stored rows
+        // through PathNorm at the comparison (VERDICT r13 what's-wrong
+        // #1: hadoop Path, never java.net.URI — a space-bearing
+        // filename crashes the URI parser), keep the stored rows
         // qualified (the ADVICE r12 discipline)
         val affectedPaths = SnapshotStore.readAt(spark, tmp, 2L)
           .withColumn("_f", input_file_name())
           .join(broadcast(forget), Seq("doc_id"))
           .select("_f").distinct().collect()
-          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          .map(r => graft.substrate.PathNorm(r.getString(0))).toSet
         val m2Files = SnapshotStore.manifest(spark, tmp)
           .filter(col("version") === 2L).select("file").distinct()
           .as[String].collect().toSeq
         val (affected, shared) = m2Files.partition(f =>
-          affectedPaths(new java.net.URI(f).getPath))
+          affectedPaths(graft.substrate.PathNorm(f)))
         require(affected.nonEmpty && affected.size < m2Files.size,
           s"the clustered delete must touch a strict subset of files: " +
             s"${affected.size} of ${m2Files.size}")

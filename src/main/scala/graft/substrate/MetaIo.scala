@@ -72,25 +72,60 @@ private[substrate] object MetaIo {
     Some(g.getBinary(name, 0).getBytes)
   }
 
+  /** String bounds longer than this are dropped as UNKNOWN rather than
+    * truncated: a prefix-truncated MAX understates the range and would
+    * wrongly exonerate files (the Iceberg fix — truncate-and-increment
+    * the last unit — has its own byte-vs-char hazards at UTF-8
+    * boundaries, and the dimension-like string columns bounds serve are
+    * short). Unknown beats wrong, as everywhere in this planner.
+    */
+  private val MaxStringBound = 64
+
+  /** Unsigned lexicographic comparison of UTF-8 bytes — the order
+    * parquet writers compute BINARY/UTF8 statistics in (and the order
+    * Spark's UTF8String comparisons use), so cross-block reduction and
+    * probe-side comparison agree with how the bounds were produced.
+    */
+  private[substrate] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Per-FILE statistics read from the parquet FOOTER, driver-side —
-    * row count plus min/max for each requested INTEGRAL column: the
-    * stats a table format's commit records per data file (Iceberg
-    * manifests carry per-file column bounds; Delta collects per-file
-    * min/max into its log) so scan PLANNING can skip files without
-    * touching row data. The writer already computed these — every
-    * parquet row group carries column statistics — so collecting them
-    * costs one footer read per file (O(#files) driver I/O, the same
-    * budget as the manifest listing itself), never a cluster job.
+    * row count plus min/max for each requested column: the stats a
+    * table format's commit records per data file (Iceberg manifests
+    * carry per-file column bounds; Delta collects per-file min/max into
+    * its log) so scan PLANNING can skip files without touching row
+    * data. The writer already computed these — every parquet row group
+    * carries column statistics — so collecting them costs one footer
+    * read per file (O(#files) driver I/O, the same budget as the
+    * manifest listing itself), never a cluster job.
     *
-    * A column's bounds are `None` — unknown, so pruning must keep the
-    * file — when the column is missing from the file schema, is not
-    * INT32/INT64, or any row group recorded no non-null values for it
-    * (min-of-mins over a block with empty stats would understate the
-    * range). Row count is exact regardless: it comes from block
-    * metadata, not column stats.
+    * Two bound domains, each column landing in at most one (VERDICT r13
+    * what's-missing #3 — string predicates used to prune nothing):
+    * INTEGRAL columns (INT32/INT64, plain signed) report LONG bounds;
+    * STRING columns (BINARY + UTF8 annotation) report string bounds in
+    * unsigned UTF-8 byte order, dropped as unknown when either bound
+    * exceeds [[MaxStringBound]] chars. A column's bounds are absent —
+    * unknown, so pruning must keep the file — when the column is
+    * missing from the file schema, has any other physical/logical type
+    * (DECIMAL-backed INT64 stores UNSCALED values, unsigned ints
+    * reorder above 2^63, TIMESTAMP annotations are value-domain
+    * ambiguous — code-review r13 round 2), or any row group recorded no
+    * non-null values for it (min-of-mins over a block with empty stats
+    * would understate the range). Row count is exact regardless: it
+    * comes from block metadata, not column stats.
     */
   def footerStats(conf: Configuration, file: String, cols: Seq[String])
-      : (Long, Map[String, (Long, Long)]) = {
+      : (Long, Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(file), conf)
@@ -98,41 +133,62 @@ private[substrate] object MetaIo {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val bounds = cols.flatMap { c =>
-        val perBlock = blocks.map { b =>
+      def statsOf(c: String,
+          typeOk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+            => Boolean) =
+        blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c)
-            // the LOGICAL type must be a plain signed integer
-            // (code-review r13 round 2): DECIMAL-backed INT64 stores
-            // UNSCALED values and unsigned ints reorder above 2^63 —
-            // bounds recorded in a different value domain than the
-            // caller's [lo, hi] would wrongly EXONERATE files. Unknown
-            // beats wrong: anything else reports no bounds.
-            .filter { cc =>
-              cc.getPrimitiveType.getLogicalTypeAnnotation match {
-                case null => true
-                case i: org.apache.parquet.schema
-                    .LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
-                  i.isSigned
-                case _ => false
-              }
-            }
+            .filter(typeOk)
             .map(_.getStatistics)
             .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            .flatMap { s =>
-              (s.genericGetMin, s.genericGetMax) match {
-                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                  Some((mn.toLong, mx.toLong))
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.toLong, mx.toLong))
-                case _ => None // non-integral: out of scope, unknown
-              }
-            }
+            .map(s => (s.genericGetMin, s.genericGetMax))
         }
+      val longBounds = cols.flatMap { c =>
+        val perBlock = statsOf(c, cc =>
+          (cc.getPrimitiveType.getPrimitiveTypeName ==
+              PrimitiveTypeName.INT32 ||
+            cc.getPrimitiveType.getPrimitiveTypeName ==
+              PrimitiveTypeName.INT64) &&
+          (cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case null => true
+            case i: org.apache.parquet.schema
+                .LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case _ => false
+          })).map(_.flatMap {
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+              Some((mn.toLong, mx.toLong))
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.toLong, mx.toLong))
+            case _ => None
+          })
         if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
         else Some(c -> perBlock.flatten
           .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2))))
       }.toMap
-      (rows, bounds)
+      val strBounds = cols.flatMap { c =>
+        val perBlock = statsOf(c, cc =>
+          cc.getPrimitiveType.getPrimitiveTypeName ==
+            PrimitiveTypeName.BINARY &&
+          cc.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema
+              .LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          .map(_.flatMap {
+            case (mn: org.apache.parquet.io.api.Binary,
+                mx: org.apache.parquet.io.api.Binary) =>
+              Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+            case _ => None
+          })
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val (mn, mx) = perBlock.flatten.reduce((a, b) =>
+            (if (utf8Lt(a._1, b._1)) a._1 else b._1,
+              if (utf8Lt(a._2, b._2)) b._2 else a._2))
+          if (mn.length > MaxStringBound || mx.length > MaxStringBound)
+            None // too long to record exactly — unknown beats truncated
+          else Some(c -> (mn, mx))
+        }
+      }.toMap
+      (rows, longBounds, strBounds)
     } finally reader.close()
   }
 }
