@@ -164,7 +164,18 @@ object Bench {
     // r13 debut, pinned on arrival: the bloom point lookup (one
     // clustered events write + a stats+bloom commit — the bloom build
     // is one scan folding probe bits into per-file words)
-    "snapshot_point_lookup_bloom")
+    "snapshot_point_lookup_bloom",
+    // r14 debuts, pinned on arrival: the string-bounds prune (shared
+    // read-only store — cheap after the first build), the
+    // merge-on-read deletion-vector lifecycle (sidecar commit +
+    // materialize rewrite + vacuum), and the durable MERGE (keyed
+    // aggregate build + file-bounded rewrite commit)
+    "snapshot_read_pruned_str", "snapshot_delete_dv",
+    "snapshot_merge_commit",
+    // r14 debut, pinned on arrival and inherently serial (own 2-thread
+    // committer pool + barrier — the snapshot_concurrent_commit
+    // treatment): the appender-vs-compactor race on the table store
+    "snapshot_concurrent_compact")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -191,6 +202,9 @@ object Bench {
       // workers for the entry's full span (r13 first bench: 30.4 s
       // concurrent vs 13.7 s serial)
       "ann_stored_index_concurrent", "snapshot_concurrent_commit",
+      // r14: the appender-vs-compactor race — same own-pool + barrier
+      // shape
+      "snapshot_concurrent_compact",
       // r13: a true stream (blocking micro-batch loop), like its
       // vector-store twin vector_ingest_publish_stream
       "snapshot_ingest_publish_stream")
@@ -212,6 +226,29 @@ object Bench {
     val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
+    // STORAGE-LATENCY probe, also read before any work (VERDICT r13
+    // next #1b): the r13 driver artifact blew the 4x contention gate
+    // while launch load1 sat under the derate threshold — BENCH_NOTES
+    // r13's same-box A/B proved the inflation was virtualized-DISK
+    // contention, which load1 never tracks. A 32 MiB forced write to
+    // the same tmp filesystem the store fixtures land on measures the
+    // resource that actually saturates: quiet boxes measure 350-450
+    // MB/s (r14 calibration), and the r13 regime's uniform inflation of
+    // untouched plans corresponds to a fraction of that. Probe cost on
+    // a healthy disk: under 100 ms, once per run.
+    val diskMbps = try {
+      val f = java.nio.file.Files.createTempFile("graft_probe", ".bin")
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE)
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      val t0 = System.nanoTime()
+      (0 until 32).foreach { _ => buf.rewind(); ch.write(buf) }
+      ch.force(true)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ch.close()
+      java.nio.file.Files.delete(f)
+      32.0 / dt
+    } catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -332,12 +369,27 @@ object Bench {
       else Runtime.getRuntime.availableProcessors()
     } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
     val basePool = math.max(2, cpus.toInt * 3 / 16)
+    // Two independent derate signals, worst wins (VERDICT r13 next #1b:
+    // the load1 heuristic alone missed the r13 regime entirely): CPU
+    // pressure (load1 vs physical cores, the r11 rule) and STORAGE
+    // pressure (the launch write probe above — under 150 MB/s the box
+    // cannot absorb 6 concurrent entries' fixture I/O without queueing
+    // every scan behind it; under 50 the disk is the whole story and
+    // the pool drops to the floor). An explicit SPARK_GRAFT_POOL always
+    // wins (regime experiments).
+    val loadWidth =
+      if (load1 > 1.5 * physCores) math.max(2, basePool / 2) else basePool
+    val diskWidth =
+      if (diskMbps >= 0 && diskMbps < 50) 2
+      else if (diskMbps >= 0 && diskMbps < 150) math.max(2, basePool / 2)
+      else basePool
     val poolWidth = sys.env.get("SPARK_GRAFT_POOL").map(_.toInt)
       .getOrElse {
-        if (load1 > 1.5 * physCores) {
-          System.err.println(f"[bench] load1=$load1%.1f > 1.5x$physCores cores — derating pool $basePool -> ${math.max(2, basePool / 2)}")
-          math.max(2, basePool / 2)
-        } else basePool
+        val w = math.min(loadWidth, diskWidth)
+        if (w < basePool)
+          System.err.println(f"[bench] derating pool $basePool -> $w " +
+            f"(load1=$load1%.1f/$physCores cores, disk=$diskMbps%.0f MB/s)")
+        w
       }
     val pool = Executors.newFixedThreadPool(poolWidth)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -400,7 +452,7 @@ object Bench {
     // redirected run points its consumers at a stale repo-root artifact
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val summary = (extra: String) =>
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},$extra"serial_extra":${obj(extraSerial)},"detail":"$fullOut","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},"disk_mbps":${r3(diskMbps)},$extra"serial_extra":${obj(extraSerial)},"detail":"$fullOut","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
       summary(s""""queries":${obj(results.sortBy(-_._2))},"serial_top":${obj(serialTop)},"""))
     println(summary(s""""queries":$slowest,"serial_top":$serialSlowest,"""))

@@ -821,15 +821,23 @@ object OpsTier {
       import graft.substrate.Layout
       val li = table(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      // the 24-small-file INPUT artifact is read-only and shared across
+      // runs (r14 — VERDICT r13 next #1a: this entry was the loaded-box
+      // bench's worst contended wall, and two clustered 12-file writes
+      // per run were fixture cost, not the measured OPTIMIZE); the
+      // listing, plan, and REWRITE — the subjects — stay per-run in a
+      // private temp dir. compactAll never mutates its input.
+      val in = sharedStore(li, "ops.compactInStore") { t =>
+        Seq(0, 1).foreach { p =>
+          Layout.writeClustered(li.filter(col("l_orderkey") % 2 === p),
+            s"$t/in/p=$p", "l_orderkey", numFiles = 12)
+        }
+      }
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
         .toString
       try {
-        Seq(0, 1).foreach { p =>
-          Layout.writeClustered(li.filter(col("l_orderkey") % 2 === p),
-            s"$tmp/in/p=$p", "l_orderkey", numFiles = 12)
-        }
-        val listing = Layout.listFiles(spark, s"$tmp/in/p=0")
-          .unionByName(Layout.listFiles(spark, s"$tmp/in/p=1"))
+        val listing = Layout.listFiles(spark, s"$in/in/p=0")
+          .unionByName(Layout.listFiles(spark, s"$in/in/p=1"))
         val stats = listing.agg(sum("bytes").as("tb"), count(lit(1)).as("nf"))
         val planned = Layout.compactionPlan(
           listing.crossJoin(broadcast(stats))
@@ -882,41 +890,42 @@ object OpsTier {
     * the same modulus predicates; sums use the order-independent
     * integer-cents idiom (the compaction_execute lesson — v3's file
     * order differs from v2's by construction). Aggregates are collected
-    * (3 rows) so the temp store can be deleted eagerly; manifest
-    * collects are metadata-scale (#files rows). The vacuum/retention
-    * half — dropped-version files deletable, shared files surviving,
-    * retained reads intact after deletion — is physical and lives in
-    * LayoutSpec.
+    * (3 rows); manifest collects are metadata-scale (#files rows). The
+    * vacuum/retention half — dropped-version files deletable, shared
+    * files surviving, retained reads intact after deletion — is
+    * physical and lives in LayoutSpec. (The `snapshot_read` /
+    * `snapshot_incremental_read` / `snapshot_read_pruned` /
+    * `snapshot_count_meta` quartet reads the shared
+    * [[snapshotStatsStore]] below.)
     */
-  /** Builds the 3-version snapshot fixture under `tmp`, each version's
-    * manifest DURABLY COMMITTED to `<tmp>/_manifest/v=N/` (r12: the
-    * manifest is a committed artifact, not a session DataFrame — VERDICT
-    * r11 what's-missing #3): v1 initial load (l_orderkey % 4 ∈ {0,1}, 4
-    * clustered files), v2 append commit (+ the % 4 = 2 delta, 2 files),
-    * v3 compaction commit (v2 — itself read back THROUGH the persisted
-    * v2 manifest — rewritten into one clustered file). Shared by
-    * `snapshot_read` and `snapshot_incremental_read` so the two entries
-    * witness the SAME store lifecycle, now end-to-end through the
-    * persisted commit path.
+  /** A SHARED, JVM-lifetime, READ-ONLY store fixture (VERDICT r13 next
+    * #1a — the round's one blown gate was the driver bench, and its
+    * forensics traced the blowup to ~16 snapshot-family entries each
+    * building a PRIVATE store per run: 3+ clustered writes + commits
+    * apiece × 3 serial runs × the concurrent suite saturated exactly
+    * the temp-dir I/O the driver box is worst at, inflating untouched
+    * CPU-bound entries up to 29×). Entries whose SUBJECT is the READ
+    * path — pruned scans, metadata counts, merged schema reads,
+    * point lookups — share one memoized store per (corpus, shape);
+    * entries whose subject is the COMMIT itself (delete / ingest /
+    * concurrent race) keep private builds, because their store
+    * mutates. Memoized via DerivationCache keyed on the source plan
+    * (a different SF dir builds its own store — the demoFlatArtifact
+    * discipline), deleted at JVM exit. Consumers must treat the
+    * returned path as IMMUTABLE: never commit into it, never delete it.
     */
-  private def snapshotFixture(spark: SparkSession, dir: String,
-      tmp: String): Unit = {
-    import graft.substrate.{Layout, SnapshotStore}
-    val li = table(spark, dir, "lineitem")
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
-    Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
-      s"$tmp/d1", "l_orderkey", numFiles = 4)
-    SnapshotStore.commit(spark, tmp, 1L,
-      SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
-    Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
-      s"$tmp/d2", "l_orderkey", numFiles = 2)
-    SnapshotStore.commit(spark, tmp, 2L,
-      SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
-    Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
-      s"$tmp/d3", "l_orderkey", numFiles = 1)
-    SnapshotStore.commit(spark, tmp, 3L,
-      SnapshotStore.manifestFor(spark, 3L, Seq(s"$tmp/d3")))
-  }
+  private def sharedStore(key: org.apache.spark.sql.DataFrame,
+      tag: String)(build: String => Unit): String =
+    graft.substrate.DerivationCache.memo(key, tag) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_shared_store").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively(): Unit
+      }))
+      build(tmp)
+      tmp
+    }
 
   private val SnapAggSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("version",
@@ -938,22 +947,15 @@ object OpsTier {
   val snapshotRead = Check("snapshot_read",
     (spark, dir) => {
       import graft.substrate.SnapshotStore
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snap")
-        .toString
-      try {
-        snapshotFixture(spark, dir, tmp)
-        // reads resolve through the PERSISTED manifests — nothing from
-        // the building session's DataFrames survives to here
-        val rows = Seq(1L, 2L, 3L)
-          .map(v => snapAgg(SnapshotStore.readAt(spark, tmp, v), v))
-          .reduce(_ unionByName _).orderBy("version").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          SnapAggSchema)
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
-      }
+      val tmp = snapshotStatsStore(spark, dir)
+      // reads resolve through the PERSISTED manifests — nothing from
+      // the building session's DataFrames survives to here
+      val rows = Seq(1L, 2L, 3L)
+        .map(v => snapAgg(SnapshotStore.readAt(spark, tmp, v), v))
+        .reduce(_ unionByName _).orderBy("version").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        SnapAggSchema)
     },
     Some {
       def agg(where: String) =
@@ -985,28 +987,21 @@ object OpsTier {
   val snapshotIncrementalRead = Check("snapshot_incremental_read",
     (spark, dir) => {
       import graft.substrate.SnapshotStore
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapinc")
-        .toString
-      try {
-        snapshotFixture(spark, dir, tmp)
-        val manifest = SnapshotStore.manifest(spark, tmp)
-        val rows = Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
-          snapAgg(SnapshotStore.readChanged(spark, manifest, a, b), b)
-            .withColumnRenamed("version", "to_version")
-            .select(lit(a).as("from_version"), col("to_version"),
-              col("n_rows"), col("sum_qty_i"), col("sum_price_i"))
-        }.reduce(_ unionByName _).orderBy("from_version").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(
-            org.apache.spark.sql.types.StructField("from_version",
-              org.apache.spark.sql.types.LongType, nullable = false) +:
-            SnapAggSchema.fields.toSeq.map(f =>
-              if (f.name == "version") f.copy(name = "to_version") else f)))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
-      }
+      val tmp = snapshotStatsStore(spark, dir)
+      val manifest = SnapshotStore.manifest(spark, tmp)
+      val rows = Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+        snapAgg(SnapshotStore.readChanged(spark, manifest, a, b), b)
+          .withColumnRenamed("version", "to_version")
+          .select(lit(a).as("from_version"), col("to_version"),
+            col("n_rows"), col("sum_qty_i"), col("sum_price_i"))
+      }.reduce(_ unionByName _).orderBy("from_version").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("from_version",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+          SnapAggSchema.fields.toSeq.map(f =>
+            if (f.name == "version") f.copy(name = "to_version") else f)))
     },
     Some {
       def agg(where: String) =
@@ -1047,19 +1042,16 @@ object OpsTier {
   val snapshotConcurrentCommit = Check("snapshot_concurrent_commit",
     (spark, dir) => {
       import graft.substrate.{Layout, SnapshotStore}
+      // the immutable DATA dirs are a shared read-only artifact (r14 —
+      // the subject is the COMMIT race, not the clustered writes); the
+      // STORE (manifest dirs) is private per run so the race always
+      // starts from v0
+      val data = quarterDataStore(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_snaprace2")
         .toString
       try {
-        val li = table(spark, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_extendedprice")
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
-          s"$tmp/d1", "l_orderkey", numFiles = 4)
         SnapshotStore.commit(spark, tmp, 0L,
-          SnapshotStore.manifestFor(spark, 0L, Seq(s"$tmp/d1")))
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
-          s"$tmp/d2", "l_orderkey", numFiles = 2)
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 3),
-          s"$tmp/d3", "l_orderkey", numFiles = 2)
+          SnapshotStore.manifestFor(spark, 0L, Seq(s"$data/d1")))
         val gate = new java.util.concurrent.CyclicBarrier(2)
         val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
         // an append commit's rows = the CURRENT latest's files + the
@@ -1082,7 +1074,7 @@ object OpsTier {
               def call(): Long = SnapshotStore.commitNext(spark, tmp)(
                 v => appendRows(v, delta))
             })
-          val (fa, fb) = (committer(s"$tmp/d2"), committer(s"$tmp/d3"))
+          val (fa, fb) = (committer(s"$data/d2"), committer(s"$data/d3"))
           (fa.get(300, java.util.concurrent.TimeUnit.SECONDS),
             fb.get(300, java.util.concurrent.TimeUnit.SECONDS))
         } finally pool.shutdownNow()
@@ -1117,36 +1109,65 @@ object OpsTier {
     },
     isScore = false)
 
-  /** The 3-version snapshot fixture with PER-FILE STATISTICS in every
-    * committed manifest (SnapshotStore.manifestForStats on l_orderkey):
-    * same store lifecycle as `snapshotFixture` — v1 initial clustered
-    * load (l_orderkey % 4 ∈ {0,1}, 4 files), v2 append (+ the % 4 = 2
-    * delta, 2 files), v3 compaction (one file) — but each commit
-    * records row counts and l_orderkey bounds read from the parquet
-    * footers, driver-side. Shared by `snapshot_read_pruned` and
-    * `snapshot_count_meta` so both witness the same stats-bearing
-    * store.
+  /** The shared quarter-split DATA artifact: lineitem's 3 bench columns
+    * clustered by l_orderkey into d1 (% 4 ≤ 1, 4 files), d2 (% 4 = 2,
+    * 2 files), d3 (% 4 = 3, 2 files) — the immutable input files the
+    * COMMIT-subject entries (concurrent races, streaming ingest) pin
+    * into their private per-run stores. Never handed to a
+    * vacuum-bearing entry: purge deletes unshared files by design.
     */
-  private def snapshotStatsFixture(spark: SparkSession, dir: String,
-      tmp: String): Unit = {
-    import graft.substrate.{Layout, SnapshotStore}
+  private def quarterDataStore(spark: SparkSession, dir: String): String = {
+    import graft.substrate.Layout
     val li = table(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")
-    val statsCols = Seq("l_orderkey")
-    Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
-      s"$tmp/d1", "l_orderkey", numFiles = 4)
-    SnapshotStore.commit(spark, tmp, 1L,
-      SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"), statsCols))
-    Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
-      s"$tmp/d2", "l_orderkey", numFiles = 2)
-    SnapshotStore.commit(spark, tmp, 2L,
-      SnapshotStore.manifestForStats(spark, 2L,
-        Seq(s"$tmp/d1", s"$tmp/d2"), statsCols))
-    Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
-      s"$tmp/d3", "l_orderkey", numFiles = 1)
-    SnapshotStore.commit(spark, tmp, 3L,
-      SnapshotStore.manifestForStats(spark, 3L, Seq(s"$tmp/d3"), statsCols))
+    sharedStore(li, "ops.quarterDataStore") { t =>
+      Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+        s"$t/d1", "l_orderkey", numFiles = 4)
+      Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+        s"$t/d2", "l_orderkey", numFiles = 2)
+      Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 3),
+        s"$t/d3", "l_orderkey", numFiles = 2)
+    }
   }
+
+  /** The 3-version snapshot store with PER-FILE STATISTICS in every
+    * committed manifest (SnapshotStore.manifestForStats on l_orderkey),
+    * each version's manifest DURABLY COMMITTED to `<tmp>/_manifest/v=N/`
+    * (r12: the manifest is a committed artifact, not a session
+    * DataFrame): v1 initial clustered load (l_orderkey % 4 ∈ {0,1}, 4
+    * files), v2 append (+ the % 4 = 2 delta, 2 files), v3 compaction
+    * (v2 — itself read back THROUGH the persisted v2 manifest —
+    * rewritten into one clustered file); each commit records row counts
+    * and l_orderkey bounds read from the parquet footers, driver-side.
+    * SHARED (r14, one [[sharedStore]] build per JVM) by the four
+    * read-path entries — `snapshot_read`, `snapshot_incremental_read`,
+    * `snapshot_read_pruned`, `snapshot_count_meta` — so all four
+    * witness the same store lifecycle and none re-pays the build.
+    */
+  private def snapshotStatsStore(spark: SparkSession,
+      dir: String): String =
+    sharedStore(table(spark, dir, "lineitem"), "ops.snapshotStatsStore") {
+      tmp =>
+        import graft.substrate.{Layout, SnapshotStore}
+        val li = table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val statsCols = Seq("l_orderkey")
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
+          s"$tmp/d1", "l_orderkey", numFiles = 4)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+            statsCols))
+        Layout.writeClustered(li.filter(col("l_orderkey") % 4 === 2),
+          s"$tmp/d2", "l_orderkey", numFiles = 2)
+        SnapshotStore.commit(spark, tmp, 2L,
+          SnapshotStore.manifestForStats(spark, 2L,
+            Seq(s"$tmp/d1", s"$tmp/d2"), statsCols))
+        Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
+          s"$tmp/d3", "l_orderkey", numFiles = 1)
+        SnapshotStore.commit(spark, tmp, 3L,
+          SnapshotStore.manifestForStats(spark, 3L, Seq(s"$tmp/d3"),
+            statsCols))
+    }
 
   /** FILE SKIPPING through committed manifest statistics — the scan-
     * planning half of the clustered layout story (check #9's
@@ -1170,28 +1191,21 @@ object OpsTier {
   val snapshotReadPruned = Check("snapshot_read_pruned",
     (spark, dir) => {
       import graft.substrate.SnapshotStore
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapstat")
-        .toString
-      try {
-        snapshotStatsFixture(spark, dir, tmp)
-        val (surv, total) =
-          SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", 100L, 400L)
-        require(surv.nonEmpty && surv.size < total,
-          s"committed bounds must prune the range scan: opened " +
-            s"${surv.size} of $total files")
-        val (none, _) =
-          SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", -100L, -1L)
-        require(none.isEmpty,
-          "an impossible range must exonerate every file at planning")
-        val rows = snapAgg(SnapshotStore.readAtWhere(spark, tmp, 2L,
-          "l_orderkey", 100L, 400L), 2L).collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          SnapAggSchema)
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
-      }
+      val tmp = snapshotStatsStore(spark, dir)
+      val (surv, total) =
+        SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", 100L, 400L)
+      require(surv.nonEmpty && surv.size < total,
+        s"committed bounds must prune the range scan: opened " +
+          s"${surv.size} of $total files")
+      val (none, _) =
+        SnapshotStore.filesWhere(spark, tmp, 2L, "l_orderkey", -100L, -1L)
+      require(none.isEmpty,
+        "an impossible range must exonerate every file at planning")
+      val rows = snapAgg(SnapshotStore.readAtWhere(spark, tmp, 2L,
+        "l_orderkey", 100L, 400L), 2L).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        SnapAggSchema)
     },
     Some(
       """SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1217,24 +1231,17 @@ object OpsTier {
   val snapshotCountMeta = Check("snapshot_count_meta",
     (spark, dir) => {
       import graft.substrate.SnapshotStore
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapcnt")
-        .toString
-      try {
-        snapshotStatsFixture(spark, dir, tmp)
-        val counts = Seq(1L, 2L, 3L)
-          .map(v => (v, SnapshotStore.countAt(spark, tmp, v)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(counts.toIndexedSeq, 1)
-            .map(c => org.apache.spark.sql.Row(c._1, c._2)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("version",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
-      }
+      val tmp = snapshotStatsStore(spark, dir)
+      val counts = Seq(1L, 2L, 3L)
+        .map(v => (v, SnapshotStore.countAt(spark, tmp, v)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(counts.toIndexedSeq, 1)
+          .map(c => org.apache.spark.sql.Row(c._1, c._2)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     },
     Some {
       def cnt(where: String) =
@@ -1265,48 +1272,44 @@ object OpsTier {
   val snapshotSchemaEvolution = Check("snapshot_schema_evolution",
     (spark, dir) => {
       import graft.substrate.{Layout, SnapshotStore}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapevo")
-        .toString
-      try {
+      val tmp = sharedStore(table(spark, dir, "orders"),
+        "ops.snapshotEvoStore") { t =>
         val orders = table(spark, dir, "orders")
         Layout.writeClustered(
           orders.filter(col("o_orderkey") % 2 === 0)
             .select("o_orderkey", "o_totalprice"),
-          s"$tmp/d1", "o_orderkey", numFiles = 2)
-        SnapshotStore.commit(spark, tmp, 1L,
-          SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+          s"$t/d1", "o_orderkey", numFiles = 2)
+        SnapshotStore.commit(spark, t, 1L,
+          SnapshotStore.manifestFor(spark, 1L, Seq(s"$t/d1")))
         Layout.writeClustered(
           orders.filter(col("o_orderkey") % 2 === 1)
             .select("o_orderkey", "o_totalprice", "o_orderpriority"),
-          s"$tmp/d2", "o_orderkey", numFiles = 2)
-        SnapshotStore.commit(spark, tmp, 2L,
-          SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
-        require(!SnapshotStore.readAt(spark, tmp, 1L)
-          .schema.fieldNames.contains("o_orderpriority"),
-          "v1 must still serve the pre-evolution schema")
-        val merged = SnapshotStore.readAt(spark, tmp, 2L,
-          mergeSchema = true)
-        require(merged.schema.fieldNames.contains("o_orderpriority"),
-          "the merged v2 read must surface the evolved column")
-        val rows = merged
-          .groupBy(col("o_orderpriority").isNotNull.cast("long")
-            .as("has_priority"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(floor(col("o_totalprice")).cast("long")).as("sum_price_i"))
-          .orderBy("has_priority").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("has_priority",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_price_i",
-              org.apache.spark.sql.types.LongType))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
+          s"$t/d2", "o_orderkey", numFiles = 2)
+        SnapshotStore.commit(spark, t, 2L,
+          SnapshotStore.manifestFor(spark, 2L, Seq(s"$t/d1", s"$t/d2")))
       }
+      require(!SnapshotStore.readAt(spark, tmp, 1L)
+        .schema.fieldNames.contains("o_orderpriority"),
+        "v1 must still serve the pre-evolution schema")
+      val merged = SnapshotStore.readAt(spark, tmp, 2L,
+        mergeSchema = true)
+      require(merged.schema.fieldNames.contains("o_orderpriority"),
+        "the merged v2 read must surface the evolved column")
+      val rows = merged
+        .groupBy(col("o_orderpriority").isNotNull.cast("long")
+          .as("has_priority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice")).cast("long")).as("sum_price_i"))
+        .orderBy("has_priority").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("has_priority",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_price_i",
+            org.apache.spark.sql.types.LongType))))
     },
     Some(
       """SELECT CAST(o_orderkey % 2 AS BIGINT) AS has_priority,
@@ -1404,44 +1407,40 @@ object OpsTier {
   val snapshotReadPrunedZ = Check("snapshot_read_pruned_z",
     (spark, dir) => {
       import graft.substrate.{Layout, SnapshotStore}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapz")
-        .toString
-      try {
+      val tmp = sharedStore(table(spark, dir, "lineitem"),
+        "ops.snapshotZStore") { t =>
         // dims with FULL modular range at every SF (suppkey spans only
         // 1..10 at sf0.001 — a y built on it would empty the rectangle)
         val l = table(spark, dir, "lineitem").select(
           pmod(col("l_orderkey"), lit(256L)).cast("long").as("x"),
           pmod(col("l_partkey"), lit(128L)).cast("long").as("y"),
           col("l_quantity"))
-        Layout.writeZClustered(l, s"$tmp/d0", "x", "y", bits = 8,
+        Layout.writeZClustered(l, s"$t/d0", "x", "y", bits = 8,
           numFiles = 16)
-        SnapshotStore.commit(spark, tmp, 1L,
-          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d0"),
+        SnapshotStore.commit(spark, t, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t/d0"),
             Seq("x", "y")))
-        val rect = Seq(("x", 32L, 63L), ("y", 96L, 127L))
-        val (rectSurv, total) =
-          SnapshotStore.filesWhereAll(spark, tmp, 1L, rect)
-        val (xSurv, _) =
-          SnapshotStore.filesWhere(spark, tmp, 1L, "x", 32L, 63L)
-        require(rectSurv.nonEmpty && rectSurv.size < xSurv.size &&
-          xSurv.size < total,
-          s"z-bounds must prune the rectangle tighter than one factor: " +
-            s"rect ${rectSurv.size} < x ${xSurv.size} < total $total")
-        val rows = SnapshotStore.readAtWhereAll(spark, tmp, 1L, rect)
-          .agg(count(lit(1)).as("n_rows"),
-            sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"))
-          .collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_qty_i",
-              org.apache.spark.sql.types.LongType))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
       }
+      val rect = Seq(("x", 32L, 63L), ("y", 96L, 127L))
+      val (rectSurv, total) =
+        SnapshotStore.filesWhereAll(spark, tmp, 1L, rect)
+      val (xSurv, _) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "x", 32L, 63L)
+      require(rectSurv.nonEmpty && rectSurv.size < xSurv.size &&
+        xSurv.size < total,
+        s"z-bounds must prune the rectangle tighter than one factor: " +
+          s"rect ${rectSurv.size} < x ${xSurv.size} < total $total")
+      val rows = SnapshotStore.readAtWhereAll(spark, tmp, 1L, rect)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_qty_i",
+            org.apache.spark.sql.types.LongType))))
     },
     Some(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1470,40 +1469,36 @@ object OpsTier {
   val snapshotReadPrunedTime = Check("snapshot_read_pruned_time",
     (spark, dir) => {
       import graft.substrate.{Layout, SnapshotStore}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snaptime")
-        .toString
-      try {
-        // 2024-01-10T00:00Z .. 2024-01-10T23:59:59.999999Z
-        val lo = 1704844800000000L
-        val hi = 1704931199999999L
+      // 2024-01-10T00:00Z .. 2024-01-10T23:59:59.999999Z
+      val lo = 1704844800000000L
+      val hi = 1704931199999999L
+      val tmp = sharedStore(table(spark, dir, "events"),
+        "ops.snapshotTimeStore") { t =>
         val ev = table(spark, dir, "events")
           .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
             col("value"))
-        Layout.writeClustered(ev, s"$tmp/d0", "ts_us", numFiles = 8)
-        SnapshotStore.commit(spark, tmp, 1L,
-          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d0"),
+        Layout.writeClustered(ev, s"$t/d0", "ts_us", numFiles = 8)
+        SnapshotStore.commit(spark, t, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t/d0"),
             Seq("ts_us")))
-        val (surv, total) =
-          SnapshotStore.filesWhere(spark, tmp, 1L, "ts_us", lo, hi)
-        require(surv.nonEmpty && surv.size < total,
-          s"time bounds must prune the window scan: opened " +
-            s"${surv.size} of $total files")
-        val rows = SnapshotStore.readAtWhere(spark, tmp, 1L, "ts_us",
-          lo, hi)
-          .agg(count(lit(1)).as("n_rows"),
-            sum(floor(col("value")).cast("long")).as("sum_value_i"))
-          .collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_value_i",
-              org.apache.spark.sql.types.LongType))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
       }
+      val (surv, total) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "ts_us", lo, hi)
+      require(surv.nonEmpty && surv.size < total,
+        s"time bounds must prune the window scan: opened " +
+          s"${surv.size} of $total files")
+      val rows = SnapshotStore.readAtWhere(spark, tmp, 1L, "ts_us",
+        lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value")).cast("long")).as("sum_value_i"))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_value_i",
+            org.apache.spark.sql.types.LongType))))
     },
     Some(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1534,47 +1529,43 @@ object OpsTier {
   val snapshotPointLookupBloom = Check("snapshot_point_lookup_bloom",
     (spark, dir) => {
       import graft.substrate.{Layout, SnapshotStore}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapblm")
-        .toString
-      try {
+      val tmp = sharedStore(table(spark, dir, "events"),
+        "ops.snapshotBloomStore") { t =>
         val ev = table(spark, dir, "events")
           .select(unix_micros(col("ts")).as("ts_us"),
             xxhash64(col("event_id")).as("ukey"),
             col("event_id"), col("user_id"), col("event_type"))
-        Layout.writeClustered(ev, s"$tmp/d0", "ts_us", numFiles = 8)
-        SnapshotStore.commit(spark, tmp, 1L,
-          SnapshotStore.manifestForStatsBloom(spark, 1L, Seq(s"$tmp/d0"),
+        Layout.writeClustered(ev, s"$t/d0", "ts_us", numFiles = 8)
+        SnapshotStore.commit(spark, t, 1L,
+          SnapshotStore.manifestForStatsBloom(spark, 1L, Seq(s"$t/d0"),
             statsCols = Seq("ts_us", "ukey"), bloomCols = Seq("ukey")))
-        // the engine's own hash of the natural key, computed driver-side
-        val key = org.apache.spark.sql.catalyst.expressions
-          .XxHash64Function.hash(42L,
-            org.apache.spark.sql.types.LongType, 42L)
-        val (boundsSurv, total) =
-          SnapshotStore.filesWhere(spark, tmp, 1L, "ukey", key, key)
-        require(boundsSurv.size == total,
-          s"a hashed key must defeat range stats (every file's bounds " +
-            s"span it): ${boundsSurv.size} of $total")
-        val (bloomSurv, _) =
-          SnapshotStore.filesWherePoint(spark, tmp, 1L, "ukey", key)
-        require(bloomSurv.nonEmpty && bloomSurv.size < total,
-          s"the bloom must prune the point lookup: opened " +
-            s"${bloomSurv.size} of $total files")
-        val rows = SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", key)
-          .select(col("event_id"), col("user_id"), col("event_type"))
-          .orderBy("event_id").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
       }
+      // the engine's own hash of the natural key, computed driver-side
+      val key = org.apache.spark.sql.catalyst.expressions
+        .XxHash64Function.hash(42L,
+          org.apache.spark.sql.types.LongType, 42L)
+      val (boundsSurv, total) =
+        SnapshotStore.filesWhere(spark, tmp, 1L, "ukey", key, key)
+      require(boundsSurv.size == total,
+        s"a hashed key must defeat range stats (every file's bounds " +
+          s"span it): ${boundsSurv.size} of $total")
+      val (bloomSurv, _) =
+        SnapshotStore.filesWherePoint(spark, tmp, 1L, "ukey", key)
+      require(bloomSurv.nonEmpty && bloomSurv.size < total,
+        s"the bloom must prune the point lookup: opened " +
+          s"${bloomSurv.size} of $total files")
+      val rows = SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", key)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))))
     },
     Some(
       """SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -1615,13 +1606,16 @@ object OpsTier {
       val cap = 2000L
       val li = table(ss, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
+      // the base version's clustered files come from the shared quarter
+      // artifact (r14 — the subjects here are the streaming CAS appends;
+      // no vacuum runs, so sharing is safe); waves and the store stay
+      // private per run
+      val data = quarterDataStore(ss, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_snapstream")
         .toString
       try {
-        Layout.writeClustered(li.filter(col("l_orderkey") % 4 <= 1),
-          s"$tmp/d0", "l_orderkey", numFiles = 4)
         SnapshotStore.commit(ss, tmp, 0L,
-          SnapshotStore.manifestForStats(ss, 0L, Seq(s"$tmp/d0"),
+          SnapshotStore.manifestForStats(ss, 0L, Seq(s"$data/d1"),
             Seq("l_orderkey")))
         def wave(m: Int): Seq[(Long, Double, Double)] =
           li.filter(col("l_orderkey") % 4 === (2 + m) &&
@@ -1693,6 +1687,382 @@ object OpsTier {
     },
     isScore = false)
 
+  /** STRING-BOUND FILE SKIPPING (VERDICT r13 what's-missing #3 / next
+    * #4) — the documents-table shape every corpus pipeline has: reads
+    * are "one source" / "one lang" slices of a table CLUSTERED by that
+    * dimension string, and until r14 the manifest recorded bounds only
+    * for integral columns, so these predicates pruned NOTHING (the
+    * `snapshot_read_pruned_time` entry worked only because its writer
+    * projected epoch-micros LONGs). The store clusters documents by
+    * `source` and commits smin_/smax_ string bounds (unsigned UTF-8
+    * order — the order parquet computed the footer stats in and the
+    * order Spark compares strings in); a single-source read plans
+    * through `filesWhereStr` to the files whose bound range covers it —
+    * require-pinned strictly fewer than total — and a range below every
+    * source (digits sort before letters) plans to ZERO files. The
+    * oracle recomputes the slice from raw parquet; SUM over BIGINT
+    * n_chars is exact in both engines. At 100 TB this is "read one
+    * source's documents from a source-clustered corpus by opening that
+    * source's files", planned from manifest metadata alone. Shares its
+    * read-only store via [[sharedStore]].
+    */
+  val snapshotReadPrunedStr = Check("snapshot_read_pruned_str",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = sharedStore(table(spark, dir, "documents"),
+        "ops.snapshotStrStore") { t =>
+        val docs = table(spark, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars")
+        Layout.writeClustered(docs, s"$t/d0", "source", numFiles = 5)
+        SnapshotStore.commit(spark, t, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t/d0"),
+            Seq("source", "doc_id")))
+      }
+      val (surv, total) = SnapshotStore.filesWhereStr(spark, tmp, 1L,
+        "source", "src3", "src3")
+      require(surv.nonEmpty && surv.size < total,
+        s"committed string bounds must prune the source slice: opened " +
+          s"${surv.size} of $total files")
+      val (none, _) = SnapshotStore.filesWhereStr(spark, tmp, 1L,
+        "source", "0", "0")
+      require(none.isEmpty,
+        "a range below every source must exonerate every file")
+      val rows = SnapshotStore.readAtWhereStr(spark, tmp, 1L,
+        "source", "src3", "src3")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_chars",
+            org.apache.spark.sql.types.LongType))))
+    },
+    Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source = 'src3'"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** MERGE-ON-READ DELETION VECTORS — the scattered-forget shape
+    * (VERDICT r13 what's-missing #1 / next #2, the realistic
+    * right-to-be-forgotten geometry): N subjects spread across N files
+    * make copy-on-write rewrite ~N full files for N rows, so the store
+    * commits an O(batch) DELETE SIDECAR instead (Delta deletion
+    * vectors / Iceberg equality deletes as the public designs —
+    * `SnapshotStore.deleteCommitMor`). Require-pinned, in order: the
+    * batch is genuinely scattered (its keys touch EVERY data file — the
+    * CoW-hostile shape); the MoR commit rewrites ZERO data files (v2's
+    * data-file set IS v1's, verbatim); v1 still serves the deleted rows
+    * (time travel); v2 serves none of them (the broadcast anti-join
+    * read path); `countAt` REFUSES a metadata count under pending
+    * equality deletes (matched counts are unknowable — the Iceberg
+    * call); `materializeCommit` turns the forget physical at v3 whose
+    * manifest carries no delete rows and whose metadata count serves
+    * again; and vacuum(keep v3) reclaims the sidecar and the
+    * pre-delete files. The output emits v2 (logical) and v3
+    * (materialized) aggregates — hash-equal to each other and to the
+    * oracle's NOT-IN recompute, which is exactly what the CoW twin
+    * (`snapshot_delete_commit`) would have produced: merge-on-read is
+    * an I/O strategy, never a semantics change. Anchor:
+    * `5-compliant.md:9`, `requirements.yaml:197-199`.
+    */
+  val snapshotDeleteDv = Check("snapshot_delete_dv",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapdv")
+        .toString
+      try {
+        val li = table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val base = li.filter(col("l_orderkey") % 4 <= 1)
+        Layout.writeClustered(base, s"$tmp/d1", "l_orderkey",
+          numFiles = 4)
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+            Seq("l_orderkey")))
+        val keys = base.filter(col("l_orderkey") % 31 === 0)
+          .select("l_orderkey").distinct()
+        val nKeys = SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L,
+          "l_orderkey", keys, s"$tmp/del2")
+        require(nKeys > 0, "the scattered batch must name keys")
+        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === v &&
+            (col("kind").isNull || col("kind") =!= "delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val v1Files = dataFilesOf(1L)
+        require(dataFilesOf(2L) == v1Files,
+          "a merge-on-read delete must rewrite ZERO data files")
+        val spread = SnapshotStore.readAt(spark, tmp, 1L)
+          .withColumn("_f", input_file_name())
+          .join(broadcast(keys), Seq("l_orderkey"))
+          .select("_f").distinct().count()
+        require(spread == v1Files.size,
+          s"the batch must scatter across every file (CoW-hostile): " +
+            s"touched $spread of ${v1Files.size}")
+        require(SnapshotStore.readAt(spark, tmp, 1L)
+          .join(broadcast(keys), Seq("l_orderkey")).count() > 0,
+          "time travel: the pre-delete version still serves the rows")
+        require(SnapshotStore.readAt(spark, tmp, 2L)
+          .join(broadcast(keys), Seq("l_orderkey")).count() == 0,
+          "the logical read must apply the sidecar")
+        val refused =
+          try { SnapshotStore.countAt(spark, tmp, 2L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "countAt must refuse a metadata count under pending deletes")
+        SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
+          "l_orderkey", s"$tmp/d3", numFiles = 2)
+        require(SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === 3L && col("kind") === "delete")
+          .count() == 0L,
+          "materialization must drop the delete rows")
+        val v2Rows = snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L)
+          .collect()
+        require(SnapshotStore.countAt(spark, tmp, 3L) ==
+          SnapshotStore.readAt(spark, tmp, 3L).count(),
+          "the materialized head must serve metadata counts again")
+        val v3Rows = snapAgg(SnapshotStore.readAt(spark, tmp, 3L), 3L)
+          .collect()
+        val reclaimed = SnapshotStore.vacuumExecute(spark, tmp, Seq(3L))
+        require(reclaimed.exists(_.contains("/del2/")),
+          "vacuum must reclaim the unreferenced delete sidecar")
+        require(SnapshotStore.readAt(spark, tmp, 3L).count() ==
+          v3Rows.head.getLong(1),
+          "the kept head must read intact after the purge")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            (v2Rows ++ v3Rows).toIndexedSeq, 1), SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem
+           |WHERE l_orderkey % 4 <= 1 AND l_orderkey % 31 <> 0"""
+          .stripMargin.replace("\n", " ")
+      s"""SELECT CAST(2 AS BIGINT) AS version, $agg
+         |UNION ALL SELECT CAST(3 AS BIGINT), $agg
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
+  /** Durable MERGE (upsert) commit — the CDC-to-lakehouse write path
+    * (VERDICT r13 what's-missing #2 / next #3; the mechanism check #29
+    * assesses, `requirements.yaml:123-125`): a keyed state table
+    * (per-orderkey integer aggregates, UNIQUE on the key — the
+    * applyChangeLog contract) committed clustered with bounds, then a
+    * Debezium-style changelog — updates on [100,300], deletes on
+    * [400,500], inserts from the disjoint %4=2 key population — folds
+    * in via `SnapshotStore.mergeCommit`: Cdc.applyChangeLog over ONLY
+    * the files whose committed bounds intersect the changelog's keys,
+    * exonerated files' manifest rows carried verbatim. Require-pinned:
+    * the rewrite is file-bounded (rewritten < total — the key-local
+    * changelog on a clustered store), exonerated files are shared by
+    * the same path, and `countAt` answers the new head consistently
+    * (fresh stats on rewritten files). The oracle replays the same
+    * merge algebra relationally (base minus deletes, updates applied,
+    * inserts unioned), so a lost carry, a double-applied update, or a
+    * dropped insert hash-fails. At 100 TB this is the standard
+    * streaming-CDC ingestion shape: write I/O ∝ the changelog's key
+    * locality, never the table.
+    */
+  val snapshotMergeCommit = Check("snapshot_merge_commit",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val li = table(spark, dir, "lineitem")
+      def keyedAgg(pred: org.apache.spark.sql.Column) = li.filter(pred)
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
+      val base = keyedAgg(col("l_orderkey") % 4 <= 1)
+      // the keyed base's clustered files are a shared read-only
+      // artifact (the commit + merge rewrite are the subjects; no
+      // vacuum runs here, so sharing is safe); store private per run
+      val data = sharedStore(base, "ops.keyedBaseStore") { t =>
+        Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapmrg")
+        .toString
+      try {
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
+            Seq("l_orderkey")))
+        val upd = base.filter(col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
+            col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
+        val del = base.filter(col("l_orderkey").between(400, 500))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("D").as("op"), lit(1L).as("seq"))
+        val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
+            col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("I").as("op"), lit(1L).as("seq"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        val (rewritten, total) = SnapshotStore.mergeCommit(spark, tmp,
+          2L, 1L, "l_orderkey", changes, s"$tmp/m2")
+        require(rewritten >= 1 && rewritten < total,
+          s"the merge must be file-bounded: rewrote $rewritten of $total")
+        def filesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === v).select("file")
+          .collect().map(_.getString(0)).toSet
+        require((filesOf(1L) intersect filesOf(2L)).size ==
+          total - rewritten,
+          "every exonerated file must be shared verbatim across versions")
+        val head = SnapshotStore.readAt(spark, tmp, 2L)
+        require(SnapshotStore.countAt(spark, tmp, 2L) == head.count(),
+          "countAt must answer the merged head from manifest stats")
+        val rows = head
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_i")).as("sum_qty_i"),
+            sum(col("price_i")).as("sum_price_i"))
+          .select(lit(2L).as("version"), col("n_rows"),
+            col("sum_qty_i"), col("sum_price_i"))
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """WITH base AS (SELECT l_orderkey,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+        |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_i
+        |FROM lineitem WHERE l_orderkey % 4 <= 1 GROUP BY 1),
+        |ins AS (SELECT l_orderkey,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+        |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_i
+        |FROM lineitem WHERE l_orderkey % 4 = 2
+        |AND l_orderkey BETWEEN 100 AND 300 GROUP BY 1),
+        |merged AS (SELECT l_orderkey,
+        |CASE WHEN l_orderkey BETWEEN 100 AND 300 THEN qty_i + 1000
+        |ELSE qty_i END AS qty_i, price_i
+        |FROM base WHERE l_orderkey NOT BETWEEN 400 AND 500
+        |UNION ALL SELECT l_orderkey, qty_i, price_i FROM ins)
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i,
+        |CAST(SUM(price_i) AS BIGINT) AS sum_price_i FROM merged"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** APPENDER vs COMPACTOR racing one SNAPSHOT STORE (VERDICT r13
+    * what's-missing #5 / next #6) — the asymmetric two-writer shape a
+    * real deployment runs (streaming ingest vs the maintenance
+    * OPTIMIZE), already witnessed on the vector store
+    * (`ann_stored_index_concurrent`) and completed here on the table
+    * store now that both halves exist (appendCommit-geometry rows +
+    * compaction rewrites, both claimed through `commitNext`). A
+    * CyclicBarrier holds both writers until each has derived its
+    * first-attempt rows against v0; exactly one claims v1, the loser's
+    * retry RE-DERIVES against the winner's commit — the compactor
+    * re-plans its rewrite over the appended table, or the appender
+    * re-shares the compacted file — and lands v2. The punchline the
+    * oracle hashes: append ∘ compact ≡ compact ∘ append on ROW CONTENT
+    * (v2 = base + delta in either commit order, integer-cents sums
+    * order-independent). Requires pin the protocol: versions {1,2}
+    * split across the writers, attempts exactly 3, the chain gapless.
+    * Runs its own 2-thread pool + barrier → serial-only bench (the
+    * snapshot_concurrent_commit treatment). Anchor:
+    * `requirements.yaml:136-138`.
+    */
+  val snapshotConcurrentCompact = Check("snapshot_concurrent_compact",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      // same shared read-only data dirs as snapshot_concurrent_commit
+      // (the quarter artifact) — base = d1, delta = d2; the STORE is
+      // private so the race always starts from v0, and no vacuum ever
+      // runs here so sharing is safe
+      val data = quarterDataStore(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapacr")
+        .toString
+      try {
+        SnapshotStore.commit(spark, tmp, 0L,
+          SnapshotStore.manifestForStats(spark, 0L, Seq(s"$data/d1"),
+            Seq("l_orderkey")))
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+        def appendRows(v: Long): DataFrame = {
+          attempts.incrementAndGet()
+          if (v == 1L)
+            gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          val latest = SnapshotStore.committedVersions(spark, tmp).last
+          SnapshotStore.manifest(spark, tmp)
+            .filter(col("version") === latest)
+            .drop("version").withColumn("version", lit(v))
+            .unionByName(
+              SnapshotStore.manifestForStats(spark, v, Seq(s"$data/d2"),
+                Seq("l_orderkey")),
+              allowMissingColumns = true)
+        }
+        def compactRows(v: Long): DataFrame = {
+          attempts.incrementAndGet()
+          if (v == 1L)
+            gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          val latest = SnapshotStore.committedVersions(spark, tmp).last
+          // the rewrite RE-DERIVES per attempt: a retried compactor
+          // compacts the WINNER's table, never its stale first plan
+          Layout.writeClustered(SnapshotStore.readAt(spark, tmp, latest),
+            s"$tmp/c$v", "l_orderkey", numFiles = 1)
+          SnapshotStore.manifestForStats(spark, v, Seq(s"$tmp/c$v"),
+            Seq("l_orderkey"))
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (va, vb) = try {
+          def committer(rows: Long => DataFrame) =
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long =
+                SnapshotStore.commitNext(spark, tmp)(rows)
+            })
+          val (fa, fb) = (committer(appendRows), committer(compactRows))
+          (fa.get(300, java.util.concurrent.TimeUnit.SECONDS),
+            fb.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+        require(Set(va, vb) == Set(1L, 2L),
+          s"both writers must land, at 1 and 2: got $va/$vb")
+        require(attempts.get == 3,
+          s"two firsts + exactly one retry, got ${attempts.get}")
+        require(SnapshotStore.committedVersions(spark, tmp) ==
+          Seq(0L, 1L, 2L),
+          "the claim race must never produce a gap or a lost version")
+        require(SnapshotStore.countAt(spark, tmp, 2L) ==
+          SnapshotStore.readAt(spark, tmp, 2L).count(),
+          "stats must survive whichever writer retried")
+        val rows = Seq(
+          snapAgg(SnapshotStore.readAt(spark, tmp, 0L), 0L),
+          snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L))
+          .reduce(_ unionByName _).orderBy("version").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      def agg(where: String) =
+        s"""CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_i
+           |FROM lineitem WHERE $where""".stripMargin.replace("\n", " ")
+      s"""SELECT CAST(0 AS BIGINT) AS version, ${agg("l_orderkey % 4 <= 1")}
+         |UNION ALL SELECT CAST(2 AS BIGINT), ${agg("l_orderkey % 4 <= 2")}
+         |ORDER BY version""".stripMargin.replace("\n", " ")
+    },
+    isScore = false)
+
   val all: Seq[Check] = Seq(asofJoin, asofJoinForward, constraintValidation, eventsPropsStats,
     productAssessment, tfidfTopTerms, tableProfiles, nullProfile,
     windowedFreshnessBatch, pipelineRunDeltas, salesRollup, sketchAccuracy,
@@ -1702,5 +2072,7 @@ object OpsTier {
     snapshotIncrementalRead, snapshotConcurrentCommit, snapshotReadPruned,
     snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
     snapshotIngestPublishStream, snapshotReadPrunedZ,
-    snapshotReadPrunedTime, snapshotPointLookupBloom)
+    snapshotReadPrunedTime, snapshotPointLookupBloom,
+    snapshotReadPrunedStr, snapshotDeleteDv, snapshotMergeCommit,
+    snapshotConcurrentCompact)
 }

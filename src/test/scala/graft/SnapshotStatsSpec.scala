@@ -447,6 +447,103 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read deletes: zero data files rewritten, every read " +
+      "path applies the sidecar, chained deletes compose, copy-rewrites " +
+      "refuse until materialized") {
+    withStore { tmp =>
+      Layout.writeClustered(li, s"$tmp/d1", "l_orderkey", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      val k1 = li.filter(col("l_orderkey") % 31 === 0)
+        .select("l_orderkey").distinct()
+      val n1 = SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L,
+        "l_orderkey", k1, s"$tmp/del2")
+      assert(n1 > 0)
+      // zero data files rewritten
+      def dataFiles(v: Long) = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === v &&
+          (col("kind").isNull || col("kind") =!= "delete"))
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(dataFiles(2L) == dataFiles(1L))
+      // full read, pruned read, and point residual all apply the sidecar
+      val expect = li.join(k1, Seq("l_orderkey"), "left_anti").count()
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == expect)
+      val pruned = SnapshotStore.readAtWhere(spark, tmp, 2L,
+        "l_orderkey", 0L, Long.MaxValue)
+      assert(pruned.join(k1, Seq("l_orderkey")).count() == 0L)
+      // time travel: v1 untouched
+      assert(SnapshotStore.readAt(spark, tmp, 1L).count() == li.count())
+      // chained second delete composes
+      val k2 = li.filter(col("l_orderkey") % 37 === 0)
+        .select("l_orderkey").distinct()
+      SnapshotStore.deleteCommitMor(spark, tmp, 3L, 2L,
+        "l_orderkey", k2, s"$tmp/del3")
+      val expect3 = li.join(k1, Seq("l_orderkey"), "left_anti")
+        .join(k2, Seq("l_orderkey"), "left_anti").count()
+      assert(SnapshotStore.readAt(spark, tmp, 3L).count() == expect3)
+      // counts and copy-rewrites refuse under pending deletes
+      val eCnt = intercept[IllegalArgumentException] {
+        SnapshotStore.countAt(spark, tmp, 3L)
+      }
+      assert(eCnt.getMessage.contains("merge-on-read"))
+      val eCow = intercept[IllegalArgumentException] {
+        SnapshotStore.deleteCommit(spark, tmp, 4L, 3L, "l_orderkey",
+          1L, 10L, s"$tmp/dd4")
+      }
+      assert(eCow.getMessage.contains("materialize"))
+      // materialize: physical, metadata counts serve again, stats kept
+      SnapshotStore.materializeCommit(spark, tmp, 4L, 3L, "l_orderkey",
+        s"$tmp/d4", numFiles = 2)
+      assert(SnapshotStore.countAt(spark, tmp, 4L) == expect3)
+      val m4 = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 4L)
+      assert(m4.filter(col("kind") === "delete").count() == 0L)
+      assert(m4.filter(col("min_l_orderkey").isNull).count() == 0L,
+        "the materialized files must carry rebuilt bounds")
+      // vacuum reclaims the sidecars and the pre-delete files
+      val reclaimed = SnapshotStore.vacuumExecute(spark, tmp, Seq(4L))
+      assert(reclaimed.exists(_.contains("/del2/")) &&
+        reclaimed.exists(_.contains("/del3/")))
+      assert(SnapshotStore.readAt(spark, tmp, 4L).count() == expect3)
+    }
+  }
+
+  test("mergeCommit: the file-bounded upsert equals the relational " +
+      "replay and refuses a malformed/empty changelog") {
+    withStore { tmp =>
+      import spark.implicits._
+      val base = li.groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"))
+      Layout.writeClustered(base, s"$tmp/d1", "l_orderkey", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      val upd = base.filter(col("l_orderkey").between(50, 150))
+        .select(col("l_orderkey"), (col("qty_i") + 7).as("qty_i"),
+          lit("U").as("op"), lit(1L).as("seq"))
+      val del = base.filter(col("l_orderkey").between(200, 250))
+        .select(col("l_orderkey"), col("qty_i"), lit("D").as("op"),
+          lit(1L).as("seq"))
+      val changes = upd.unionByName(del)
+      val (rw, total) = SnapshotStore.mergeCommit(spark, tmp, 2L, 1L,
+        "l_orderkey", changes, s"$tmp/m2")
+      assert(rw >= 1 && rw < total, s"file-bounded: $rw/$total")
+      val got = SnapshotStore.readAt(spark, tmp, 2L)
+        .orderBy("l_orderkey").as[(Long, Long)].collect().toSeq
+      val want = graft.substrate.Cdc
+        .applyChangeLog(base, changes, Seq("l_orderkey"))
+        .orderBy("l_orderkey").as[(Long, Long)].collect().toSeq
+      assert(got == want,
+        "the durable merge must equal the in-session applyChangeLog")
+      assert(SnapshotStore.countAt(spark, tmp, 2L) == want.size)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.mergeCommit(spark, tmp, 3L, 2L, "l_orderkey",
+          changes.filter(lit(false)), s"$tmp/m3")
+      }
+    }
+  }
+
   test("a space-bearing base survives the snapshot store's whole " +
       "lifecycle: stats+bloom commit, pruned reads, retire, purge") {
     // VERDICT r13 what's-wrong #1: java.net.URI normalization crashed
