@@ -654,6 +654,72 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- bloom commit: driver rows ∝ #files; probe opens ~1 file -----
+    // (r14 — VERDICT r13 what's-missing #4) the r13 bloom build
+    // collected (file, word, bits) rows at #files × up-to-bits/64 words
+    // scale (≈400M rows at 100k files); the r14 build OR-folds words
+    // map-side and PACKS ONE SPARSE ROW PER FILE in Spark before
+    // collecting. Replica decades keep per-file row width constant
+    // (numFiles scales 8 → 80 → 800 with the corpus), so the claim has
+    // two halves: the BUILD's driver collect is exactly #files rows
+    // (`pairs` carries bloom-bearing manifest rows — must equal the
+    // decade's file count, never ×words), and the PROBE's files-opened
+    // stays ~1 FLAT while the version's total files grow 100×
+    // (bloomBits sized for ~75k keys/file at every decade — constant
+    // per-file density is what replicas preserve). Build wall grows
+    // with the corpus (one scan — the same write-amplified stats
+    // collection Delta performs on ingest); probe wall stays at
+    // driver-metadata scale.
+    locally {
+      import graft.substrate.{Layout, SnapshotStore}
+      val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      def liScaled(copies: Int): DataFrame = (0 until copies).map { k =>
+        if (k == 0) li1
+        else li1.select((col("l_orderkey") + k * 10000000L)
+          .as("l_orderkey"), col("l_quantity"))
+      }.reduce(_ unionAll _)
+      Seq((1, 8, "1x"), (10, 80, "10x"), (100, 800, "100x")).foreach {
+        case (c, nf, sc) =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_scalebloom").toString
+          try {
+            val d = liScaled(c)
+              .withColumn("ukey", xxhash64(col("l_orderkey")))
+            val n = d.count()
+            Layout.writeClustered(d, s"$tmp/d0", "l_orderkey",
+              numFiles = nf)
+            val s1 = measured(
+              s"snapshot bloom commit driver rows (of $nf files)", sc,
+              n) {
+              SnapshotStore.commit(spark, tmp, 0L,
+                SnapshotStore.manifestForStatsBloom(spark, 0L,
+                  Seq(s"$tmp/d0"), statsCols = Seq("l_orderkey"),
+                  bloomCols = Seq("ukey"), bloomBits = 1 << 20))
+              SnapshotStore.manifest(spark, tmp)
+                .filter(col("bloom_ukey").isNotNull).count()
+            }
+            samples += s1.copy(showRate = false)
+            val key = org.apache.spark.sql.catalyst.expressions
+              .XxHash64Function.hash(1000L,
+                org.apache.spark.sql.types.LongType, 42L)
+            val s2 = measured(
+              s"snapshot bloom point lookup files opened (of $nf)", sc,
+              n) {
+              val (surv, _) = SnapshotStore.filesWherePoint(spark, tmp,
+                0L, "ukey", key)
+              SnapshotStore.readAtPoint(spark, tmp, 0L, "ukey", key)
+                .agg(count(lit(1))).head
+              surv.size.toLong
+            }
+            samples += s2.copy(showRate = false)
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(tmp)).deleteRecursively()
+          }
+      }
+    }
+
     // ---- inverted index: posting-row skew vs n (VERDICT r8 #2) --------
     // Replica corpora REUSE the text verbatim (unlike the dissimilar
     // shingle replicas): every token's df scales with n — the stopword
@@ -1173,7 +1239,30 @@ object ScaleRehearsal {
          |  zero data files opened at any corpus size. The same bounds
          |  bound the GOVERNANCE DELETE's write side (`deleteCommit`
          |  rewrites only bound-intersecting files; the share split is a
-         |  broadcast anti-join on the manifest, metadata-scale).
+         |  broadcast anti-join on the manifest, metadata-scale) and the
+         |  MERGE commit's (`mergeCommit` plans rewritten files by
+         |  binary-searching the changelog's sorted keys against each
+         |  file's bounds — O(#files · log |batch|) driver arithmetic).
+         |  The MERGE-ON-READ delete (`deleteCommitMor`, entry
+         |  `snapshot_delete_dv`) needs no decade rows by design: its
+         |  commit writes ONE O(batch) sidecar and carries the ancestor
+         |  manifest verbatim — write I/O is corpus-INDEPENDENT — and
+         |  its read-side cost is one broadcast anti-join per sidecar
+         |  over scans the other rows already bound.
+         |- **Bloom commit build + probe** (r14, `snapshot bloom commit
+         |  driver rows` / `snapshot bloom point lookup files opened`
+         |  rows — VERDICT r13 what's-missing #4): the r13 build
+         |  collected (file, word, bits) rows at #files × up-to-4096
+         |  words scale (~400M rows at 100k files); the r14 build packs
+         |  ONE SPARSE ROW PER FILE inside Spark, so the driver collect
+         |  is exactly #files rows — `pairs` equals the decade's file
+         |  count (8 / 80 / 800), never ×words — and footer stats now
+         |  read through a ≤16-thread pool instead of one sequential
+         |  round-trip per file. The probe rows pin the read side: a
+         |  point lookup on a layout-uncorrelated hashed key opens ~1
+         |  file FLAT while the version's total files grow 100× (bloom
+         |  density is per-file, and replicas keep per-file key count
+         |  constant — the deployment knob a committer controls).
          |- **PQ rerank / frozen-codebook ingest** (no separate rows by
          |  design): `retrieval_recall_pq_rerank`'s second stage adds |Q|·depth
          |  exact-distance point lookups on top of the measured ADC scan — a

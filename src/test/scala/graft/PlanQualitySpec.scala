@@ -500,4 +500,34 @@ class PlanQualitySpec extends SparkSpec {
     val semis = plan.linesIterator.count(_.contains("LeftSemi"))
     assert(semis >= 2, s"expected >=2 semi joins (lex + sem), got $semis:\n$plan")
   }
+
+  test("merge-on-read delete: the sidecar applies as a BROADCAST " +
+      "anti-join, never a shuffled join or a product") {
+    // the whole point of an O(batch) sidecar is that the read-side
+    // apply never shuffles the corpus scan — a shuffled anti-join at
+    // 100 TB would cost more than the CoW rewrite the sidecar avoids
+    import graft.substrate.{Layout, SnapshotStore}
+    val tmp = java.nio.file.Files.createTempDirectory("pq_mor").toString
+    try {
+      val li = CheckDsl.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      Layout.writeClustered(li, s"$tmp/d1", "l_orderkey", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "l_orderkey",
+        li.filter(col("l_orderkey") % 31 === 0).select("l_orderkey"),
+        s"$tmp/del2")
+      val plan = planOf(SnapshotStore.readAt(spark, tmp, 2L))
+      assert(!plan.contains("CartesianProduct"),
+        s"product in MoR read:\n$plan")
+      assert(plan.contains("LeftAnti"),
+        s"no anti-join (sidecar apply) in MoR read:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the sidecar anti-join must broadcast:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
