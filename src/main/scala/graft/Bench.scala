@@ -238,16 +238,23 @@ object Bench {
     // a healthy disk: under 100 ms, once per run.
     val diskMbps = try {
       val f = java.nio.file.Files.createTempFile("graft_probe", ".bin")
-      val ch = java.nio.channels.FileChannel.open(f,
-        java.nio.file.StandardOpenOption.WRITE)
-      val buf = java.nio.ByteBuffer.allocate(1 << 20)
-      val t0 = System.nanoTime()
-      (0 until 32).foreach { _ => buf.rewind(); ch.write(buf) }
-      ch.force(true)
-      val dt = (System.nanoTime() - t0) / 1e9
-      ch.close()
-      java.nio.file.Files.delete(f)
-      32.0 / dt
+      try {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1 << 20)
+          val t0 = System.nanoTime()
+          (0 until 32).foreach { _ =>
+            buf.rewind()
+            // FileChannel.write may write FEWER bytes than asked — a
+            // short write would overstate MB/s exactly on the
+            // contended boxes the probe exists to detect
+            while (buf.hasRemaining) ch.write(buf)
+          }
+          ch.force(true)
+          32.0 / ((System.nanoTime() - t0) / 1e9)
+        } finally ch.close()
+      } finally java.nio.file.Files.deleteIfExists(f)
     } catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1626,19 +1626,22 @@ object OpsTier {
         val q = input.toDF()
           .toDF("l_orderkey", "l_quantity", "l_extendedprice")
           .writeStream.outputMode("append")
-          // wave dirs are named by BATCH ID, not a side counter: a
-          // foreachBatch re-execution re-invokes with the same id, the
-          // Overwrite write makes the FILE half of the retry idempotent,
-          // and appendCommit's replay check (head already pins the wave
-          // dir's files → return head, no new version) makes the COMMIT
-          // half idempotent too (ADVICE r13 low #3) — so the gapless-
-          // chain and zero-rewrite requires below hold even under a
-          // post-commit re-execution
+          // the IDEMPOTENT-SINK discipline (ADVICE r13 low #3, hardened
+          // by code-review r14): a foreachBatch re-execution re-invokes
+          // with the same batch id, so the sink asks batchTagCommitted
+          // FIRST — a committed tag skips BOTH the wave rewrite (whose
+          // Overwrite would clobber the UUID-named files the head pins)
+          // and the commit; appendCommit stamps fresh rows with the tag
+          // — so the gapless-chain and zero-rewrite requires below hold
+          // even under a post-commit re-execution
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val d = s"$tmp/w$batchId"
-            Layout.writeClustered(batch, d, "l_orderkey", numFiles = 1)
-            SnapshotStore.appendCommit(ss, tmp, Seq(d),
-              Seq("l_orderkey"))
+            val tag = s"wave$batchId"
+            if (!SnapshotStore.batchTagCommitted(ss, tmp, tag)) {
+              val d = s"$tmp/w$batchId"
+              Layout.writeClustered(batch, d, "l_orderkey", numFiles = 1)
+              SnapshotStore.appendCommit(ss, tmp, Seq(d),
+                Seq("l_orderkey"), batchTag = Some(tag))
+            }
             ()
           }
           .start()

@@ -228,22 +228,34 @@ object SnapshotStore {
     * appendPublish. Returns the version claimed; the store must already
     * have a base commit (an empty store has nothing to append to).
     *
-    * IDEMPOTENT under re-delivery (ADVICE r13 low #3): when the HEAD
-    * version's manifest already pins every file now under `newDirs`,
-    * the intent is a replay — a foreachBatch re-execution whose
-    * batch-id-named wave dir was Overwrite-rewritten and whose commit
-    * already landed — and appendCommit returns the head WITHOUT minting
-    * an extra version (whose manifest would carry the wave's files
-    * twice: once via the ancestor carry, once as fresh rows). The check
-    * is one version-dir metadata read; an EMPTY newDirs listing is the
-    * caller's bug and fails below as before.
+    * IDEMPOTENT under re-delivery (ADVICE r13 low #3, hardened by
+    * code-review r14), two layers:
+    *
+    * 1. `batchTag` — the REAL foreachBatch discipline: when set, fresh
+    *    manifest rows carry a `batch_tag` column, and a later call with
+    *    a tag the head's manifest already carries returns the head
+    *    WITHOUT committing. This is the only layer that survives a
+    *    re-execution that Overwrite-REWROTE the wave dir (fresh UUID
+    *    part names defeat any file-set comparison) — and because the
+    *    rewrite itself would clobber files the head pins, a tagged sink
+    *    must check [[batchTagCommitted]] BEFORE re-writing the wave dir
+    *    (the snapshot_ingest_publish_stream entry is the model).
+    * 2. the file-set check: when the HEAD already pins every file now
+    *    under `newDirs` (compared as raw qualified URIs — PathNorm's
+    *    lossy normalization could equate two files on DIFFERENT
+    *    filesystems and silently skip a legitimate append), the intent
+    *    is a commit-half replay whose files were not rewritten, and the
+    *    head returns. An EMPTY newDirs listing is the caller's bug and
+    *    fails below as before.
     */
   def appendCommit(spark: SparkSession, base: String,
       newDirs: Seq[String], statsCols: Seq[String] = Nil,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, batchTag: Option[String] = None): Long = {
     val committed = committedVersions(spark, base)
     require(committed.nonEmpty,
       s"appendCommit needs a committed base version under $base")
+    if (batchTag.exists(t => batchTagCommitted(spark, base, t)))
+      return committed.last
     val conf = spark.sparkContext.hadoopConfiguration
     val newFiles = newDirs.flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -251,23 +263,41 @@ object SnapshotStore {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => PathNorm(fs.makeQualified(s.getPath).toString))
+        .map(s => fs.makeQualified(s.getPath).toString)
     }
     val headFiles = MetaIo.groups(conf, mdir(base, committed.last))
-      .flatMap(g => MetaIo.optString(g, "file")).map(PathNorm(_)).toSet
+      .flatMap(g => MetaIo.optString(g, "file")).toSet
     if (newFiles.nonEmpty && newFiles.forall(headFiles))
       return committed.last
     commitNext(spark, base, maxAttempts) { v =>
       val prev = spark.read.option("mergeSchema", "true")
         .parquet(mdir(base, v - 1))
         .withColumn("version", lit(v))
-      val fresh =
+      val freshBase =
         if (statsCols.nonEmpty)
           manifestForStats(spark, v, newDirs, statsCols)
         else manifestFor(spark, v, newDirs)
+      val fresh = batchTag.fold(freshBase)(t =>
+        freshBase.withColumn("batch_tag", lit(t)))
       prev.unionByName(fresh, allowMissingColumns = true)
     }
   }
+
+  /** True when the HEAD version's manifest carries a fresh-file row
+    * stamped with `tag` ([[appendCommit]]'s batchTag) — the
+    * check-before-write half of an idempotent streaming sink: a
+    * foreachBatch re-execution asks this FIRST and skips both the wave
+    * rewrite (which would clobber files the head pins) and the commit.
+    * Tags ride the ancestor carry verbatim, so any batch committed into
+    * the current lineage answers true. One version-dir metadata read.
+    */
+  def batchTagCommitted(spark: SparkSession, base: String,
+      tag: String): Boolean =
+    committedVersions(spark, base).lastOption.exists { head =>
+      MetaIo.groups(spark.sparkContext.hadoopConfiguration,
+          mdir(base, head))
+        .exists(g => MetaIo.optString(g, "batch_tag").contains(tag))
+    }
 
   /** Versions with a completed commit marker, ascending — a
     * metadata-scale directory listing (the VectorArtifact.versions
@@ -327,8 +357,17 @@ object SnapshotStore {
     */
   private def deletesOf(spark: SparkSession, base: String,
       version: Long): Seq[(String, Seq[String])] =
-    versionGroups(spark, base, version)
-      .filter(isDeleteRow)
+    deletesOfGroups(versionGroups(spark, base, version))
+
+  /** [[deletesOf]] over manifest groups already in hand — [[readAt]]
+    * reads the version dir once and derives both the file list and the
+    * pending deletes from it (code-review r14: the hot read path must
+    * not parse the same manifest twice).
+    */
+  private def deletesOfGroups(
+      gs: Seq[org.apache.parquet.example.data.Group])
+      : Seq[(String, Seq[String])] =
+    gs.filter(isDeleteRow)
       .flatMap(g => for {
         f <- MetaIo.optString(g, "file")
         k <- MetaIo.optString(g, "delete_key")
@@ -377,7 +416,7 @@ object SnapshotStore {
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
     // pending MoR deletes apply as broadcast anti-joins — every read
     // path serves the LOGICAL table, never the raw files
-    applyDeletes(spark, deletesOf(spark, base, version),
+    applyDeletes(spark, deletesOfGroups(gs),
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(files: _*))
   }
@@ -964,8 +1003,20 @@ object SnapshotStore {
       deleteDir: String): Long = {
     require(keys.columns.contains(c),
       s"deleteCommitMor needs a `$c` column on the key batch")
-    require(committedVersions(spark, base).contains(fromVersion),
+    val committed = committedVersions(spark, base)
+    require(committed.contains(fromVersion),
       s"v=$fromVersion is not a committed version under $base")
+    // conflict check BEFORE the sidecar write (code-review r14): a race
+    // loser whose candidate was overtaken must get the typed conflict
+    // while its deleteDir is still clean — the caller's retry supplies
+    // a fresh deleteDir at the refreshed version (commit() re-checks
+    // authoritatively under the claim lock; this early check only
+    // closes the common pre-write window)
+    if (!committed.lastOption.forall(_ < version))
+      throw new CommitConflictException(
+        s"snapshot commits are monotonic: v=$version is at or below " +
+          s"the committed head under $base — retry the MoR delete at " +
+          "the next version with a fresh deleteDir")
     val k = keys.select(col(c)).filter(col(c).isNotNull).distinct()
     val n = k.count()
     require(n > 0, "deleteCommitMor with no keys — nothing to forget; " +
@@ -1011,8 +1062,20 @@ object SnapshotStore {
     Layout.writeClustered(cur, rewriteDir, c, numFiles)
     val prev = spark.read.option("mergeSchema", "true")
       .parquet(mdir(base, fromVersion))
-    commit(spark, base, version,
-      freshRewriteManifest(spark, version, rewriteDir, prev, Seq(c)))
+    val fresh =
+      freshRewriteManifest(spark, version, rewriteDir, prev, Seq(c))
+    // the empty-table guard its sibling rewrite commits carry
+    // (code-review r14): sidecars that cover every key must not commit
+    // a 0-row version (or die on commit's unrelated require) — the
+    // check reads the fresh manifest's own row counts, #files rows
+    val written = !fresh.isEmpty &&
+      fresh.agg(sum(col("row_count"))).head.getLong(0) > 0
+    if (!written)
+      throw new IllegalArgumentException(
+        s"materializing v=$fromVersion's deletes empties the table " +
+          s"under $base — an empty version cannot be committed; retire " +
+          "the table instead")
+    commit(spark, base, version, fresh)
   }
 
   /** Durable MERGE (upsert) commit — the CDC-to-lakehouse write path
@@ -1042,6 +1105,18 @@ object SnapshotStore {
       rewriteDir: String, numFiles: Int = 1, seqCol: String = "seq",
       opCol: String = "op"): (Int, Int) = {
     requireNoPendingDeletes(spark, base, fromVersion, "a MERGE rewrite")
+    // file planning runs in the LONG bounds domain — a silent
+    // cast("long") of a string key would null every key and report the
+    // misleading "empty changelog" (code-review r14); fail on the TYPE
+    changes.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mergeCommit plans rewritten files by LONG bounds on $c — got " +
+          s"$other; string-keyed merges are not bounds-plannable")
+    }
     val keys = changes.select(col(c).cast("long"))
       .filter(col(c).isNotNull).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -1344,10 +1419,24 @@ object SnapshotStore {
 
   def readAt(spark: SparkSession, manifest: DataFrame,
       version: Long): DataFrame = {
-    val files = dataRows(manifest).filter(col("version") === version)
+    val rows = manifest.filter(col("version") === version)
+    val files = dataRows(rows)
       .select("file").distinct().collect().map(_.getString(0))
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // pending MoR sidecars apply here too (code-review r14: dropping
+    // the sidecar row from the file list while not applying it would
+    // silently SERVE forgotten rows — a governance violation worse
+    // than a crash)
+    val deletes: Seq[(String, Seq[String])] =
+      if (!manifest.columns.contains("kind") ||
+          !manifest.columns.contains("delete_key")) Nil
+      else rows.filter(col("kind") === "delete")
+        .select("delete_key", "file").distinct().collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).distinct.sorted.toSeq)
+        .toSeq.sortBy(_._1)
+    applyDeletes(spark, deletes,
+      spark.read.parquet(files.toIndexedSeq: _*))
   }
 
   /** Files referenced by NO version in `keep` — the deletable set after
@@ -1382,6 +1471,16 @@ object SnapshotStore {
     */
   def readChanged(spark: SparkSession, manifest: DataFrame,
       fromV: Long, toV: Long): DataFrame = {
+    // a file-level delta CANNOT apply equality sidecars correctly (a
+    // toV sidecar hides rows across the WHOLE table, not just changed
+    // files) — refuse loudly instead of silently serving forgotten
+    // rows (code-review r14); materialize first, or read via readAt
+    if (manifest.columns.contains("kind"))
+      require(manifest.filter(col("version") === toV &&
+          col("kind") === "delete").isEmpty,
+        s"version $toV has pending merge-on-read deletes — the " +
+          "file-level delta cannot apply them; materialize first " +
+          "(materializeCommit) or consume through readAt")
     val files = changedFiles(manifest, fromV, toV)
       .collect().map(_.getString(0))
     require(files.nonEmpty,

@@ -444,6 +444,30 @@ class SnapshotStatsSpec extends SparkSpec {
         numFiles = 1)
       assert(SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w1"),
         Seq("l_orderkey")) == 2L)
+      // the TAG layer: survives a re-execution that REWROTE the wave
+      // dir with fresh UUID part names (the file-set check cannot see
+      // that replay — code-review r14)
+      Layout.writeClustered(li.limit(5), s"$tmp/w2", "l_orderkey",
+        numFiles = 1)
+      assert(SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w2"),
+        Seq("l_orderkey"), batchTag = Some("b2")) == 3L)
+      assert(SnapshotStore.batchTagCommitted(spark, tmp, "b2"))
+      assert(!SnapshotStore.batchTagCommitted(spark, tmp, "b3"))
+      // simulate the re-execution: same tag, rewritten files
+      Layout.writeClustered(li.limit(5), s"$tmp/w2", "l_orderkey",
+        numFiles = 1)
+      assert(SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w2"),
+        Seq("l_orderkey"), batchTag = Some("b2")) == 3L,
+        "a committed tag must return the head, never a new version")
+      assert(SnapshotStore.committedVersions(spark, tmp) ==
+        Seq(0L, 1L, 2L, 3L))
+      // the tag rides the ancestor carry: still committed after a
+      // later untagged append
+      Layout.writeClustered(li.limit(3), s"$tmp/w3", "l_orderkey",
+        numFiles = 1)
+      SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w3"),
+        Seq("l_orderkey"))
+      assert(SnapshotStore.batchTagCommitted(spark, tmp, "b2"))
     }
   }
 
@@ -501,11 +525,61 @@ class SnapshotStatsSpec extends SparkSpec {
       assert(m4.filter(col("kind") === "delete").count() == 0L)
       assert(m4.filter(col("min_l_orderkey").isNull).count() == 0L,
         "the materialized files must carry rebuilt bounds")
+      // the manifest-DataFrame read path applies sidecars too
+      // (code-review r14: it used to drop the sidecar row from the
+      // file list WITHOUT applying it — silently serving forgotten
+      // rows), and the file-level delta refuses under pending deletes
+      val mdf = SnapshotStore.manifest(spark, tmp)
+      assert(SnapshotStore.readAt(spark, mdf, 3L).count() == expect3,
+        "the manifest-DataFrame readAt must apply pending sidecars")
+      val eChg = intercept[IllegalArgumentException] {
+        SnapshotStore.readChanged(spark, mdf, 1L, 3L)
+      }
+      assert(eChg.getMessage.contains("merge-on-read"))
       // vacuum reclaims the sidecars and the pre-delete files
       val reclaimed = SnapshotStore.vacuumExecute(spark, tmp, Seq(4L))
       assert(reclaimed.exists(_.contains("/del2/")) &&
         reclaimed.exists(_.contains("/del3/")))
       assert(SnapshotStore.readAt(spark, tmp, 4L).count() == expect3)
+    }
+  }
+
+  test("MoR guard rails: a materialize that empties the table and a " +
+      "string-keyed merge both fail loudly with the real reason") {
+    withStore { tmp =>
+      val d = li.limit(100)
+      Layout.writeClustered(d, s"$tmp/d1", "l_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      // sidecar covering EVERY key
+      SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "l_orderkey",
+        SnapshotStore.readAt(spark, tmp, 1L).select("l_orderkey"),
+        s"$tmp/delall")
+      assert(SnapshotStore.readAt(spark, tmp, 2L).count() == 0L)
+      val eMat = intercept[IllegalArgumentException] {
+        SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
+          "l_orderkey", s"$tmp/d3")
+      }
+      assert(eMat.getMessage.contains("empties the table"))
+      // a stale MoR intent gets the TYPED conflict BEFORE writing its
+      // sidecar (the caller retries with a fresh deleteDir)
+      intercept[graft.substrate.CommitConflictException] {
+        SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "l_orderkey",
+          d.select("l_orderkey"), s"$tmp/delstale")
+      }
+      assert(!new java.io.File(s"$tmp/delstale").exists(),
+        "the conflicted intent must not have written its sidecar")
+      // a string-keyed merge fails on the TYPE, not 'empty changelog'
+      // (against v1 — v2's pending deletes would fire the materialize
+      // guard first, which is also correct but not the subject here)
+      val eStr = intercept[IllegalArgumentException] {
+        SnapshotStore.mergeCommit(spark, tmp, 3L, 1L, "skey",
+          d.selectExpr("CAST(l_orderkey AS STRING) AS skey",
+            "l_quantity", "'U' AS op", "CAST(1 AS BIGINT) AS seq"),
+          s"$tmp/m3")
+      }
+      assert(eStr.getMessage.contains("LONG bounds"))
     }
   }
 
