@@ -86,8 +86,13 @@ object SnapshotStore {
     * committer's claim of that id.
     */
   private val commitLocks = Array.fill(64)(new Object)
+  // the lock key normalizes the base spelling (code-review r14 #2: a
+  // committer addressing "/data/t" and a purge addressing
+  // "file:/data/t" must land on the SAME stripe, or the local-FS
+  // claim-window serialization the protocol documents silently
+  // evaporates between differently-spelled callers)
   private def lockFor(base: String, version: Long): Object =
-    commitLocks(math.floorMod(s"$base#v=$version".hashCode, 64))
+    commitLocks(math.floorMod(s"${PathNorm(base)}#v=$version".hashCode, 64))
 
   /** COMMIT `version`'s manifest rows durably under
     * `<base>/_manifest/v=<version>/` — the missing half of r11's
@@ -170,9 +175,36 @@ object SnapshotStore {
           s"snapshot version $version under $base was committed by a " +
             "concurrent committer while this commit was staging — " +
             "versions are immutable; retry at the next version")
+      // the monotonic guard RE-CHECKS under the claim lock (code-review
+      // r14 #2): a racer that committed this id AND a successor, whose
+      // id retention then retired DURING our staging window, leaves no
+      // marker for the check above — claiming here would re-mint a
+      // dropped id below the head with different content
+      if (!committedVersions(spark, base).lastOption.forall(_ < version))
+        throw new CommitConflictException(
+          s"snapshot commits are monotonic: v=$version fell at or " +
+            s"below the committed head under $base while this commit " +
+            "was staging — version ids are never re-minted; retry at " +
+            "the next version")
       // a directory without the marker is a pre-CAS crashed orphan —
-      // repairing it by re-claiming IS the documented recovery
-      if (fs.exists(p)) fs.delete(p, true)
+      // repairing it by re-claiming IS the documented recovery. The
+      // marker is RE-CHECKED immediately before the delete (code-review
+      // r14 #2): cross-process, a racer's atomic rename (which always
+      // carries the marker — stages are fully written first) can land
+      // between the check above and here; the re-check narrows that
+      // TOCTOU to microseconds. Residual (documented): on a
+      // non-rename-atomic object store a multi-PROCESS race on one
+      // version id retains a tiny destroy window — deployments there
+      // should funnel same-id repair through purgeRetired's
+      // grace-windowed sweep instead of concurrent re-commits.
+      if (fs.exists(p)) {
+        if (fs.exists(marker))
+          throw new CommitConflictException(
+            s"snapshot version $version under $base was committed by a " +
+              "concurrent committer during the claim — retry at the " +
+              "next version")
+        fs.delete(p, true)
+      }
       if (!fs.rename(stage, p))
         throw new CommitConflictException(
           s"claiming snapshot version $version under $base failed: a " +
@@ -245,8 +277,12 @@ object SnapshotStore {
     *    lossy normalization could equate two files on DIFFERENT
     *    filesystems and silently skip a legitimate append), the intent
     *    is a commit-half replay whose files were not rewritten, and the
-    *    head returns. An EMPTY newDirs listing is the caller's bug and
-    *    fails below as before.
+    *    head returns. An EMPTY newDirs listing — a zero-row micro-batch
+    *    whose wave write produced no part files — is a NO-OP append and
+    *    returns the head too (code-review r14 #2: it used to commit a
+    *    content-identical extra version per empty batch, and with a tag
+    *    set the tag was never recorded, so every re-delivery burned
+    *    another version forever).
     */
   def appendCommit(spark: SparkSession, base: String,
       newDirs: Seq[String], statsCols: Seq[String] = Nil,
@@ -265,9 +301,10 @@ object SnapshotStore {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => fs.makeQualified(s.getPath).toString)
     }
+    if (newFiles.isEmpty) return committed.last // zero-row batch: no-op
     val headFiles = MetaIo.groups(conf, mdir(base, committed.last))
       .flatMap(g => MetaIo.optString(g, "file")).toSet
-    if (newFiles.nonEmpty && newFiles.forall(headFiles))
+    if (newFiles.forall(headFiles))
       return committed.last
     commitNext(spark, base, maxAttempts) { v =>
       val prev = spark.read.option("mergeSchema", "true")
@@ -283,21 +320,30 @@ object SnapshotStore {
     }
   }
 
-  /** True when the HEAD version's manifest carries a fresh-file row
+  /** True when ANY retained version's manifest carries a fresh-file row
     * stamped with `tag` ([[appendCommit]]'s batchTag) — the
     * check-before-write half of an idempotent streaming sink: a
     * foreachBatch re-execution asks this FIRST and skips both the wave
-    * rewrite (which would clobber files the head pins) and the commit.
-    * Tags ride the ancestor carry verbatim, so any batch committed into
-    * the current lineage answers true. One version-dir metadata read.
+    * rewrite (which would clobber files committed versions pin) and the
+    * commit. Scans committed versions NEWEST-FIRST with early exit —
+    * append chains carry tags forward verbatim, so the common case
+    * answers from the head's dir alone; the full walk exists because a
+    * REWRITE commit (materialize / compaction / full merge) mints fresh
+    * rows without tags (code-review r14 #2: a head-only check would
+    * re-commit — and Overwrite-clobber — every batch after maintenance
+    * ran). Retention is the honest boundary: tags vacuumed with their
+    * versions are forgotten, the same boundary every manifest-carried
+    * dedup has (a re-delivery older than the retention window needs a
+    * dedicated txn store, as Delta's appId/version table is).
     */
   def batchTagCommitted(spark: SparkSession, base: String,
-      tag: String): Boolean =
-    committedVersions(spark, base).lastOption.exists { head =>
-      MetaIo.groups(spark.sparkContext.hadoopConfiguration,
-          mdir(base, head))
+      tag: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    committedVersions(spark, base).reverse.exists { v =>
+      MetaIo.groups(conf, mdir(base, v))
         .exists(g => MetaIo.optString(g, "batch_tag").contains(tag))
     }
+  }
 
   /** Versions with a completed commit marker, ascending — a
     * metadata-scale directory listing (the VectorArtifact.versions
@@ -389,6 +435,16 @@ object SnapshotStore {
         Seq(key), "left_anti")
     }
 
+  /** The scan's mergeSchema under pending deletes: a sidecar may key on
+    * a POST-EVOLUTION column, and an unmerged scan whose sampled footer
+    * predates the evolution would miss the key column and fail the
+    * anti-join nondeterministically (code-review r14 #2) — deletes
+    * force schema merging; delete-free reads keep the caller's choice.
+    */
+  private def mergeFor(mergeSchema: Boolean,
+      deletes: Seq[(String, Seq[String])]): String =
+    (mergeSchema || deletes.nonEmpty).toString
+
   /** [[readAt]] resolving through the PERSISTED manifest. The file list
     * resolves DRIVER-SIDE without a Spark job (MetaIo — a table
     * format's scan planning reads manifests with plain file I/O); only
@@ -416,8 +472,9 @@ object SnapshotStore {
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
     // pending MoR deletes apply as broadcast anti-joins — every read
     // path serves the LOGICAL table, never the raw files
-    applyDeletes(spark, deletesOfGroups(gs),
-      spark.read.option("mergeSchema", mergeSchema.toString)
+    val deletes = deletesOfGroups(gs)
+    applyDeletes(spark, deletes,
+      spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
         .parquet(files: _*))
   }
 
@@ -633,10 +690,16 @@ object SnapshotStore {
           org.apache.spark.sql.types.StringType, 42L))
 
   private def filesWherePointHash(spark: SparkSession, base: String,
+      version: Long, c: String, h: Long): (Seq[String], Int) =
+    filesWherePointHashGroups(versionGroups(spark, base, version),
+      version, c, h)
+
+  private def filesWherePointHashGroups(
+      gs: Seq[org.apache.parquet.example.data.Group],
       version: Long, c: String, h: Long): (Seq[String], Int) = {
     val h1 = h >>> 32
     val h2 = (h & 0xFFFFFFFFL) | 1L
-    val rows = versionGroups(spark, base, version)
+    val rows = gs
       .filterNot(isDeleteRow).flatMap { g =>
       MetaIo.optString(g, "file").map(f =>
         (f, MetaIo.optBinary(g, s"bloom_$c"),
@@ -668,31 +731,38 @@ object SnapshotStore {
     */
   def readAtPoint(spark: SparkSession, base: String, version: Long,
       c: String, value: Long,
-      mergeSchema: Boolean = false): DataFrame = {
-    val (survivors, _) = filesWherePoint(spark, base, version, c, value)
-    readPointResidual(spark, base, version, c, lit(value), survivors,
+      mergeSchema: Boolean = false): DataFrame =
+    readPointResidual(spark, base, version, c, lit(value),
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(value, org.apache.spark.sql.types.LongType, 42L),
       mergeSchema)
-  }
 
   /** [[readAtPoint]] for a STRING key — [[filesWherePointStr]]'s
     * survivors with the exact-match residual.
     */
   def readAtPointStr(spark: SparkSession, base: String, version: Long,
       c: String, value: String,
-      mergeSchema: Boolean = false): DataFrame = {
-    val (survivors, _) = filesWherePointStr(spark, base, version, c, value)
-    readPointResidual(spark, base, version, c, lit(value), survivors,
+      mergeSchema: Boolean = false): DataFrame =
+    readPointResidual(spark, base, version, c, lit(value),
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(value),
+          org.apache.spark.sql.types.StringType, 42L),
       mergeSchema)
-  }
 
   private def readPointResidual(spark: SparkSession, base: String,
       version: Long, c: String, value: org.apache.spark.sql.Column,
-      survivors: Seq[String], mergeSchema: Boolean): DataFrame =
+      h: Long, mergeSchema: Boolean): DataFrame = {
+    val gs = versionGroups(spark, base, version)
+    val (survivors, _) = filesWherePointHashGroups(gs, version, c, h)
     if (survivors.isEmpty)
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else applyDeletes(spark, deletesOf(spark, base, version),
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(survivors: _*)).filter(col(c) === value)
+    else {
+      val deletes = deletesOfGroups(gs)
+      applyDeletes(spark, deletes,
+        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
+          .parquet(survivors: _*)).filter(col(c) === value)
+    }
+  }
 
   /** SCAN PLANNING with file skipping: the files of `version` that MAY
     * hold rows with `c` in [lo, hi], decided from the manifest's
@@ -719,9 +789,15 @@ object SnapshotStore {
     * for that predicate (conservative per dimension).
     */
   def filesWhereAll(spark: SparkSession, base: String, version: Long,
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) =
+    filesWhereAllGroups(versionGroups(spark, base, version), version,
+      preds)
+
+  private def filesWhereAllGroups(
+      gs: Seq[org.apache.parquet.example.data.Group], version: Long,
       preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     require(preds.nonEmpty, "filesWhereAll needs at least one predicate")
-    val rows = versionGroups(spark, base, version)
+    val rows = gs
       .filterNot(isDeleteRow).flatMap { g =>
       MetaIo.optString(g, "file").map(f =>
         (f, preds.map { case (c, _, _) =>
@@ -763,7 +839,10 @@ object SnapshotStore {
   def readAtWhereAll(spark: SparkSession, base: String, version: Long,
       preds: Seq[(String, Long, Long)],
       mergeSchema: Boolean = false): DataFrame = {
-    val (survivors, _) = filesWhereAll(spark, base, version, preds)
+    // one version-dir parse feeds planning AND the pending-delete read
+    // (the readAt single-parse discipline, code-review r14 #2)
+    val gs = versionGroups(spark, base, version)
+    val (survivors, _) = filesWhereAllGroups(gs, version, preds)
     val residual = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
@@ -773,11 +852,13 @@ object SnapshotStore {
       // miss an evolved column under mergeSchema) — plan the version's
       // read and fold it empty; the false filter prunes every row group
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else
-      applyDeletes(spark, deletesOf(spark, base, version),
-        spark.read.option("mergeSchema", mergeSchema.toString)
+    else {
+      val deletes = deletesOfGroups(gs)
+      applyDeletes(spark, deletes,
+        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
           .parquet(survivors: _*))
         .filter(residual)
+    }
   }
 
   /** [[filesWhere]] over committed STRING bounds (smin_/smax_ manifest
@@ -789,8 +870,14 @@ object SnapshotStore {
     * values, non-string column) survive and are filtered by the scan.
     */
   def filesWhereStr(spark: SparkSession, base: String, version: Long,
+      c: String, lo: String, hi: String): (Seq[String], Int) =
+    filesWhereStrGroups(versionGroups(spark, base, version), version,
+      c, lo, hi)
+
+  private def filesWhereStrGroups(
+      gs: Seq[org.apache.parquet.example.data.Group], version: Long,
       c: String, lo: String, hi: String): (Seq[String], Int) = {
-    val rows = versionGroups(spark, base, version)
+    val rows = gs
       .filterNot(isDeleteRow).flatMap { g =>
       MetaIo.optString(g, "file").map(f =>
         (f, MetaIo.optString(g, s"smin_$c"),
@@ -816,13 +903,17 @@ object SnapshotStore {
   def readAtWhereStr(spark: SparkSession, base: String, version: Long,
       c: String, lo: String, hi: String,
       mergeSchema: Boolean = false): DataFrame = {
-    val (survivors, _) = filesWhereStr(spark, base, version, c, lo, hi)
+    val gs = versionGroups(spark, base, version)
+    val (survivors, _) = filesWhereStrGroups(gs, version, c, lo, hi)
     if (survivors.isEmpty)
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else applyDeletes(spark, deletesOf(spark, base, version),
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(survivors: _*))
-      .filter(col(c).between(lit(lo), lit(hi)))
+    else {
+      val deletes = deletesOfGroups(gs)
+      applyDeletes(spark, deletes,
+        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
+          .parquet(survivors: _*))
+        .filter(col(c).between(lit(lo), lit(hi)))
+    }
   }
 
   /** GOVERNANCE DELETE as a stats-bounded commit — the right-to-be-
@@ -917,9 +1008,39 @@ object SnapshotStore {
         s"$what would resurrect deleted rows; materialize them first " +
         "(materializeCommit)")
 
+  /** Every DERIVED commit (delete / MoR delete / merge / materialize)
+    * must derive from the CURRENT HEAD (code-review r14 #2 — the
+    * round's most load-bearing finding): a rewrite derived from an
+    * OLDER committed version would carry that ancestor's manifest and
+    * silently DROP every delta a concurrent writer appended since — a
+    * lost update under a green commit, exactly the hazard the CAS
+    * protocol exists to prevent (Iceberg/Delta validate the same way
+    * before a rewrite commit). A committed-but-overtaken ancestor
+    * throws the TYPED conflict — the retry loop re-derives from the
+    * new head; an uncommitted ancestor stays a plain argument error.
+    * This also closes the purge race: the head is unretireable
+    * (retention keeps it), so a rewrite deriving from the head can
+    * never watch retention reclaim its shared files mid-derivation —
+    * its commit either lands before a racer (fine) or conflicts and
+    * re-derives.
+    */
+  private def requireFromHead(spark: SparkSession, base: String,
+      fromVersion: Long, what: String): Unit = {
+    val committed = committedVersions(spark, base)
+    require(committed.contains(fromVersion),
+      s"v=$fromVersion is not a committed version under $base")
+    if (committed.last != fromVersion)
+      throw new CommitConflictException(
+        s"$what derives from v=$fromVersion but the committed head " +
+          s"under $base is v=${committed.last} — the intent is stale " +
+          "(a concurrent writer advanced the table); re-derive from " +
+          "the current head")
+  }
+
   def deleteCommit(spark: SparkSession, base: String, version: Long,
       fromVersion: Long, c: String, lo: Long, hi: Long,
       rewriteDir: String, numFiles: Int = 1): (Int, Int) = {
+    requireFromHead(spark, base, fromVersion, "a CoW delete")
     requireNoPendingDeletes(spark, base, fromVersion, "a CoW delete")
     val (hit, total) = filesWhere(spark, base, fromVersion, c, lo, hi)
     // fromVersion's rows only — one version-dir read, not the whole
@@ -1003,16 +1124,13 @@ object SnapshotStore {
       deleteDir: String): Long = {
     require(keys.columns.contains(c),
       s"deleteCommitMor needs a `$c` column on the key batch")
-    val committed = committedVersions(spark, base)
-    require(committed.contains(fromVersion),
-      s"v=$fromVersion is not a committed version under $base")
-    // conflict check BEFORE the sidecar write (code-review r14): a race
-    // loser whose candidate was overtaken must get the typed conflict
-    // while its deleteDir is still clean — the caller's retry supplies
-    // a fresh deleteDir at the refreshed version (commit() re-checks
-    // authoritatively under the claim lock; this early check only
-    // closes the common pre-write window)
-    if (!committed.lastOption.forall(_ < version))
+    // conflict checks BEFORE the sidecar write (code-review r14): a
+    // race loser — overtaken candidate OR stale ancestor — must get
+    // the typed conflict while its deleteDir is still clean; the
+    // caller's retry supplies a fresh deleteDir derived from the new
+    // head (commit() re-checks authoritatively under the claim lock)
+    requireFromHead(spark, base, fromVersion, "a MoR delete")
+    if (!committedVersions(spark, base).lastOption.forall(_ < version))
       throw new CommitConflictException(
         s"snapshot commits are monotonic: v=$version is at or below " +
           s"the committed head under $base — retry the MoR delete at " +
@@ -1055,6 +1173,7 @@ object SnapshotStore {
   def materializeCommit(spark: SparkSession, base: String, version: Long,
       fromVersion: Long, c: String, rewriteDir: String,
       numFiles: Int = 1): Unit = {
+    requireFromHead(spark, base, fromVersion, "a materialize rewrite")
     require(deletesOf(spark, base, fromVersion).nonEmpty,
       s"v=$fromVersion has no pending merge-on-read deletes to " +
         "materialize — use a compaction commit for plain OPTIMIZE")
@@ -1104,6 +1223,7 @@ object SnapshotStore {
       fromVersion: Long, c: String, changes: DataFrame,
       rewriteDir: String, numFiles: Int = 1, seqCol: String = "seq",
       opCol: String = "op"): (Int, Int) = {
+    requireFromHead(spark, base, fromVersion, "a MERGE rewrite")
     requireNoPendingDeletes(spark, base, fromVersion, "a MERGE rewrite")
     // file planning runs in the LONG bounds domain — a silent
     // cast("long") of a string key would null every key and report the
@@ -1264,12 +1384,18 @@ object SnapshotStore {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     drop.foreach { v =>
-      val src = new org.apache.hadoop.fs.Path(mdir(base, v))
-      val dst = new org.apache.hadoop.fs.Path(
-        s"$base/_manifest/.retired-v=$v-${java.util.UUID.randomUUID()}")
-      require(fs.rename(src, dst),
-        s"retiring snapshot version $v under $base failed: could not " +
-          "tombstone its manifest directory")
+      // under the committer's stripe (code-review r14 #2): a same-JVM
+      // commit claiming this id must never interleave with the
+      // tombstone rename — the claim path's in-lock re-checks rely on
+      // retire being serialized against them
+      lockFor(base, v).synchronized {
+        val src = new org.apache.hadoop.fs.Path(mdir(base, v))
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$base/_manifest/.retired-v=$v-${java.util.UUID.randomUUID()}")
+        require(fs.rename(src, dst),
+          s"retiring snapshot version $v under $base failed: could not " +
+            "tombstone its manifest directory")
+      }
     }
     drop
   }
@@ -1436,7 +1562,8 @@ object SnapshotStore {
         .mapValues(_.map(_.getString(1)).distinct.sorted.toSeq)
         .toSeq.sortBy(_._1)
     applyDeletes(spark, deletes,
-      spark.read.parquet(files.toIndexedSeq: _*))
+      spark.read.option("mergeSchema", mergeFor(false, deletes))
+        .parquet(files.toIndexedSeq: _*))
   }
 
   /** Files referenced by NO version in `keep` — the deletable set after

@@ -189,30 +189,31 @@ class SnapshotStatsSpec extends SparkSpec {
       assert(fp.size <= total / 2, s"absent key kept ${fp.size}/$total")
       assert(SnapshotStore.readAtPoint(spark, tmp, 1L, "ukey", absent)
         .count() == 0L)
-      // a stats-only commit has no blooms: every file survives (unknown)
-      SnapshotStore.commit(spark, tmp, 2L,
-        SnapshotStore.manifestForStats(spark, 2L, Seq(s"$tmp/d1"),
-          Seq("l_orderkey")))
-      val (all, t2) =
-        SnapshotStore.filesWherePoint(spark, tmp, 2L, "ukey", key)
-      assert(all.size == t2)
       // a governance delete re-records blooms on the rewritten files —
       // point skipping must survive maintenance (the bounds-inheritance
-      // guarantee, extended to blooms)
-      val (rwb, _) = SnapshotStore.deleteCommit(spark, tmp, 3L, 1L,
-        "l_orderkey", 1L, 30L, s"$tmp/dd3")
+      // guarantee, extended to blooms). Derives from the HEAD (v1) —
+      // the r14 from-head guard refuses stale ancestors
+      val (rwb, _) = SnapshotStore.deleteCommit(spark, tmp, 2L, 1L,
+        "l_orderkey", 1L, 30L, s"$tmp/dd2")
       assert(rwb >= 1)
-      val m3 = SnapshotStore.manifest(spark, tmp)
-        .filter(col("version") === 3 && col("file").contains("/dd3/"))
-      assert(m3.count() > 0 &&
-        m3.filter(col("bloom_ukey").isNull).count() == 0L,
+      val m2 = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 2 && col("file").contains("/dd2/"))
+      assert(m2.count() > 0 &&
+        m2.filter(col("bloom_ukey").isNull).count() == 0L,
         "rewritten files must carry rebuilt blooms")
-      val (s3, t3) =
-        SnapshotStore.filesWherePoint(spark, tmp, 3L, "ukey", key)
-      assert(s3.size < t3, "point skipping must survive the delete")
-      assert(SnapshotStore.readAtPoint(spark, tmp, 3L, "ukey", key)
+      val (s2, t2) =
+        SnapshotStore.filesWherePoint(spark, tmp, 2L, "ukey", key)
+      assert(s2.size < t2, "point skipping must survive the delete")
+      assert(SnapshotStore.readAtPoint(spark, tmp, 2L, "ukey", key)
         .count() == hits.count(),
         "the surviving key's rows must still be found after the delete")
+      // a stats-only commit has no blooms: every file survives (unknown)
+      SnapshotStore.commit(spark, tmp, 3L,
+        SnapshotStore.manifestForStats(spark, 3L, Seq(s"$tmp/d1"),
+          Seq("l_orderkey")))
+      val (all, t3) =
+        SnapshotStore.filesWherePoint(spark, tmp, 3L, "ukey", key)
+      assert(all.size == t3)
     }
   }
 
@@ -552,6 +553,17 @@ class SnapshotStatsSpec extends SparkSpec {
       SnapshotStore.commit(spark, tmp, 1L,
         SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
           Seq("l_orderkey")))
+      // a string-keyed merge fails on the TYPE, not 'empty changelog'
+      // (checked at head=1, before the MoR commits move the head —
+      // against a stale ancestor the from-head conflict fires first,
+      // which is also correct but not the subject here)
+      val eStr0 = intercept[IllegalArgumentException] {
+        SnapshotStore.mergeCommit(spark, tmp, 2L, 1L, "skey",
+          d.selectExpr("CAST(l_orderkey AS STRING) AS skey",
+            "l_quantity", "'U' AS op", "CAST(1 AS BIGINT) AS seq"),
+          s"$tmp/m0")
+      }
+      assert(eStr0.getMessage.contains("LONG bounds"))
       // sidecar covering EVERY key
       SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "l_orderkey",
         SnapshotStore.readAt(spark, tmp, 1L).select("l_orderkey"),
@@ -570,16 +582,14 @@ class SnapshotStatsSpec extends SparkSpec {
       }
       assert(!new java.io.File(s"$tmp/delstale").exists(),
         "the conflicted intent must not have written its sidecar")
-      // a string-keyed merge fails on the TYPE, not 'empty changelog'
-      // (against v1 — v2's pending deletes would fire the materialize
-      // guard first, which is also correct but not the subject here)
-      val eStr = intercept[IllegalArgumentException] {
-        SnapshotStore.mergeCommit(spark, tmp, 3L, 1L, "skey",
-          d.selectExpr("CAST(l_orderkey AS STRING) AS skey",
-            "l_quantity", "'U' AS op", "CAST(1 AS BIGINT) AS seq"),
-          s"$tmp/m3")
+      // a rewrite derived from a STALE ancestor gets the typed
+      // conflict — the lost-update guard (code-review r14 #2: it would
+      // silently drop every delta committed since)
+      val eStale = intercept[graft.substrate.CommitConflictException] {
+        SnapshotStore.deleteCommit(spark, tmp, 3L, 1L, "l_orderkey",
+          1L, 10L, s"$tmp/ddstale")
       }
-      assert(eStr.getMessage.contains("LONG bounds"))
+      assert(eStale.getMessage.contains("stale"))
     }
   }
 
@@ -615,6 +625,72 @@ class SnapshotStatsSpec extends SparkSpec {
         SnapshotStore.mergeCommit(spark, tmp, 3L, 2L, "l_orderkey",
           changes.filter(lit(false)), s"$tmp/m3")
       }
+    }
+  }
+
+  test("a zero-row wave is a no-op append and batch tags survive a " +
+      "rewrite commit") {
+    withStore { tmp =>
+      Layout.writeClustered(li.filter(col("l_orderkey") % 2 === 0),
+        s"$tmp/d0", "l_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 0L,
+        SnapshotStore.manifestForStats(spark, 0L, Seq(s"$tmp/d0"),
+          Seq("l_orderkey")))
+      Layout.writeClustered(li.filter(col("l_orderkey") % 2 === 1),
+        s"$tmp/w1", "l_orderkey", numFiles = 1)
+      assert(SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w1"),
+        Seq("l_orderkey"), batchTag = Some("t1")) == 1L)
+      // an existing-but-empty wave dir (a zero-row micro-batch) must
+      // NOT mint a content-identical version (code-review r14 #2)
+      new java.io.File(s"$tmp/w2").mkdirs()
+      assert(SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w2"),
+        Seq("l_orderkey"), batchTag = Some("t2")) == 1L)
+      assert(SnapshotStore.committedVersions(spark, tmp) == Seq(0L, 1L))
+      // a REWRITE commit mints fresh tag-less rows — the tag check
+      // must look past it (scanning retained versions newest-first)
+      SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "l_orderkey",
+        li.filter(col("l_orderkey") % 31 === 0).select("l_orderkey"),
+        s"$tmp/del2")
+      SnapshotStore.materializeCommit(spark, tmp, 3L, 2L, "l_orderkey",
+        s"$tmp/d3")
+      assert(SnapshotStore.batchTagCommitted(spark, tmp, "t1"),
+        "a batch tag must survive a rewrite commit — a head-only check " +
+          "would re-commit (and Overwrite-clobber) every batch after " +
+          "maintenance ran")
+    }
+  }
+
+  test("a MoR delete keyed on a post-evolution column stays readable: " +
+      "pending deletes force schema merging on every read path") {
+    withStore { tmp =>
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      Layout.writeClustered(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"),
+        s"$tmp/d1", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestFor(spark, 1L, Seq(s"$tmp/d1")))
+      // evolution: the delta carries a NEW key column `nid`
+      val odd = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderkey").as("nid"))
+      Layout.writeClustered(odd, s"$tmp/d2", "o_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 2L,
+        SnapshotStore.manifestFor(spark, 2L, Seq(s"$tmp/d1", s"$tmp/d2")))
+      val keys = odd.filter(col("nid") % 5 === 0).select("nid")
+      val nDel = keys.distinct().count()
+      assert(nDel > 0)
+      SnapshotStore.deleteCommitMor(spark, tmp, 3L, 2L, "nid", keys,
+        s"$tmp/del3")
+      // the DEFAULT (unmerged) read must not crash on the evolved key
+      // — pending deletes force schema merging (code-review r14 #2: an
+      // unmerged scan sampling a pre-evolution footer lacked `nid` and
+      // the anti-join failed nondeterministically)
+      val v3 = SnapshotStore.readAt(spark, tmp, 3L)
+      val expect = orders.count() - odd.filter(col("nid") % 5 === 0)
+        .count()
+      assert(v3.count() == expect,
+        "pre-evolution rows (null key) survive; matching rows delete")
     }
   }
 
