@@ -291,6 +291,7 @@ object VectorArtifact {
         s"v=$fromVersion — file sharing points strictly backward")
     require(versions(spark, base).contains(fromVersion),
       s"v=$fromVersion is not a committed version under $base")
+    requireHeadAncestor(spark, base, fromVersion, "a derived publish")
     val prevManifest = new org.apache.hadoop.fs.Path(
       s"$base/v=$fromVersion/manifest")
     require(prevManifest
@@ -392,11 +393,30 @@ object VectorArtifact {
     * fromVersion`: manifests may only pin files of EARLIER versions, the
     * ordering [[requireUnreferenced]]'s descendants-only sweep relies on.
     */
+  /** Every derived publish must derive from the CURRENT HEAD (r14 —
+    * the SnapshotStore.requireFromHead twin): a rewrite derived from an
+    * older committed version carries that ancestor's manifest and
+    * silently DROPS every delta published since — a lost update under a
+    * green commit. A committed-but-overtaken ancestor throws the TYPED
+    * conflict so [[retryPublish]] re-derives from the new head.
+    */
+  private def requireHeadAncestor(spark: SparkSession, base: String,
+      fromVersion: Long, what: String): Unit = {
+    val vs = versions(spark, base)
+    if (vs.contains(fromVersion) && vs.last != fromVersion)
+      throw new CommitConflictException(
+        s"$what derives from v=$fromVersion but the committed head " +
+          s"under $base is v=${vs.last} — the intent is stale (a " +
+          "concurrent publisher advanced the store); re-derive from " +
+          "the current head")
+  }
+
   private def requireClusteredAncestor(spark: SparkSession, base: String,
       version: Long, fromVersion: Long): Seq[(String, Option[Long])] = {
     require(version > fromVersion,
       s"derived publish must move the version FORWARD: v=$version from " +
         s"v=$fromVersion — file sharing points strictly backward")
+    requireHeadAncestor(spark, base, fromVersion, "a derived publish")
     val prev = readManifest(spark, base, fromVersion)
     require(prev.nonEmpty,
       s"v=$fromVersion has no manifest under $base (not committed, or " +
@@ -459,6 +479,7 @@ object VectorArtifact {
     import org.apache.spark.sql.functions.broadcast
     require(deleteIds.columns.contains("vec_id"),
       "deletePublish needs a `vec_id` column on deleteIds")
+    requireHeadAncestor(spark, base, fromVersion, "a durable delete")
     val del = deleteIds.select("vec_id").distinct()
     val prev = load(spark, base, fromVersion)
     require(prev.codes.columns.contains("cell"),

@@ -607,33 +607,47 @@ class VectorArtifactSpec extends SparkSpec {
     // set relational (anti-join share split, no isin literal trees, no
     // O(F·C) driver scan) under the SAME contract — pinned by publishing
     // both forms from one ancestor and comparing manifests + loaded rows.
-    withTmp { tmp =>
-      val (cents, cb, codes, asg) = clusteredV0(tmp)
+    withTmp { root =>
+      // TWO stores, one per form (r14: derived publishes must derive
+      // from the HEAD — publishing both forms from v0 of one store
+      // would make the second a stale-ancestor conflict, correctly)
+      val (tmpA, tmpB) = (s"$root/a", s"$root/b")
+      val (cents, cb, codes, asg) = clusteredV0(tmpA)
+      VectorArtifact.saveClustered(spark, tmpB, 0L, Dim, cents, cb, codes)
       val changedSeq = asg.filter(col("cell") % 3 === 0)
         .select("cell").distinct().as[Long].collect().toSeq.sorted
       val changedDf = asg.filter(col("cell") % 3 === 0)
         .select("cell").distinct()
       val changedCodes = codes.join(changedDf, Seq("cell"), "left_semi")
-      VectorArtifact.publishIncremental(spark, tmp, 1L, 0L, Dim, cents,
+      VectorArtifact.publishIncremental(spark, tmpA, 1L, 0L, Dim, cents,
         cb, changedCodes, changedSeq)
-      VectorArtifact.publishIncremental(spark, tmp, 2L, 0L, Dim, cents,
+      VectorArtifact.publishIncremental(spark, tmpB, 1L, 0L, Dim, cents,
         cb, changedCodes, changedDf)
-      def logical(v: Long) = VectorArtifact.readManifest(spark, tmp, v)
-        .map { case (f, c) => // fresh files differ only by home version
-          // and the writer's part-file uuid — normalize both
-          (f.replace(s"/v=$v/", "/v=N/")
+      def logical(base: String) = VectorArtifact
+        .readManifest(spark, base, 1L)
+        .map { case (f, c) => // files differ only by home store and the
+          // writer's part-file uuid — normalize both
+          (f.replace(base, "/BASE")
             .replaceAll("/part-[^/]+$", "/part"), c) }.sortBy(_._1)
-      assert(logical(1L) == logical(2L),
+      assert(logical(tmpA) == logical(tmpB),
         "Seq and DF forms must produce the same share/fresh split")
-      def key(v: Long) = VectorArtifact.load(spark, tmp, v)
+      def key(base: String) = VectorArtifact.load(spark, base, 1L)
         .codes.select("vec_id", "codes", "cell")
         .orderBy("vec_id").collect().toSeq
-      assert(key(1L) == key(2L))
-      // the double-count guard holds in the DF form too
+      assert(key(tmpA) == key(tmpB))
+      // the double-count guard holds in the DF form too (derived from
+      // the HEAD v1 so the from-head gate passes through to it)
+      val fresh1 = VectorArtifact.load(spark, tmpB, 1L).codes
       intercept[IllegalArgumentException] {
-        VectorArtifact.publishIncremental(spark, tmp, 3L, 0L, Dim, cents,
-          cb, codes, /* all cells, but changed says one */
+        VectorArtifact.publishIncremental(spark, tmpB, 2L, 1L, Dim, cents,
+          cb, fresh1, /* all cells, but changed says one */
           changedDf.limit(1))
+      }
+      // a stale-ancestor derived publish gets the TYPED conflict (r14:
+      // it would silently drop v1's delta from the new head)
+      intercept[graft.substrate.CommitConflictException] {
+        VectorArtifact.publishIncremental(spark, tmpA, 2L, 0L, Dim,
+          cents, cb, changedCodes, changedSeq)
       }
     }
   }
