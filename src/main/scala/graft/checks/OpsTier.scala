@@ -1708,6 +1708,16 @@ object OpsTier {
     * source's documents from a source-clustered corpus by opening that
     * source's files", planned from manifest metadata alone. Shares its
     * read-only store via [[sharedStore]].
+    *
+    * r15 (VERDICT r14 what's-missing #4 / next #6): the store also
+    * commits bounds on `src_url` — a LONG string (>64 chars, a
+    * URL-like `source/lang/doc_id/padding` path) whose bounds were
+    * UNKNOWN under the r14 drop-past-64 rule, so its prefix predicates
+    * pruned nothing. With Iceberg-style truncate-and-increment bounds
+    * (MetaIo.truncateMax) the same prefix read now plans to a strict
+    * subset of files (require-pinned opened < total) and returns the
+    * identical slice — a documents-table text-prefix scan that skips,
+    * the shape the 100 TB corpus actually serves.
     */
   val snapshotReadPrunedStr = Check("snapshot_read_pruned_str",
     (spark, dir) => {
@@ -1715,11 +1725,18 @@ object OpsTier {
       val tmp = sharedStore(table(spark, dir, "documents"),
         "ops.snapshotStrStore") { t =>
         val docs = table(spark, dir, "documents")
-          .select("doc_id", "source", "lang", "n_chars")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            // a deliberately over-long string column: every value
+            // exceeds MaxStringBound, so only TRUNCATED bounds can
+            // ever prune it
+            concat_ws("/", col("source"), col("lang"),
+              lpad(col("doc_id").cast("string"), 9, "0"),
+              lit("x" * 80)).as("src_url"))
         Layout.writeClustered(docs, s"$t/d0", "source", numFiles = 5)
         SnapshotStore.commit(spark, t, 1L,
           SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t/d0"),
-            Seq("source", "doc_id")))
+            Seq("source", "doc_id", "src_url")))
       }
       val (surv, total) = SnapshotStore.filesWhereStr(spark, tmp, 1L,
         "source", "src3", "src3")
@@ -1730,11 +1747,27 @@ object OpsTier {
         "source", "0", "0")
       require(none.isEmpty,
         "a range below every source must exonerate every file")
+      // the LONG column's truncated bounds must prune the prefix scan
+      // exactly like the short column's exact bounds do ('/' < '0', so
+      // ["src3/", "src30") covers precisely the src3/… prefix)
+      val (survUrl, totalUrl) = SnapshotStore.filesWhereStr(spark, tmp,
+        1L, "src_url", "src3/", "src30")
+      require(survUrl.nonEmpty && survUrl.size < totalUrl,
+        s"truncated long-string bounds must prune the prefix scan: " +
+          s"opened ${survUrl.size} of $totalUrl files")
+      val urlSlice = SnapshotStore.readAtWhereStr(spark, tmp, 1L,
+        "src_url", "src3/", "src30")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+        .head()
       val rows = SnapshotStore.readAtWhereStr(spark, tmp, 1L,
         "source", "src3", "src3")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .collect()
+      require(urlSlice.getLong(0) == rows.head.getLong(0) &&
+        urlSlice.getLong(1) == rows.head.getLong(1),
+        "the truncated-bound prefix scan must return the identical " +
+          "slice — truncation may only widen ranges, never lose rows")
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
         org.apache.spark.sql.types.StructType(Seq(
@@ -1814,7 +1847,14 @@ object OpsTier {
           "the logical read must apply the sidecar")
         val refused =
           try { SnapshotStore.countAt(spark, tmp, 2L); false }
-          catch { case _: IllegalArgumentException => true }
+          catch {
+            // most-specific first (ADVICE r14 low #3): a broad IAE
+            // catch would also swallow a genuine commit conflict —
+            // countAt cannot conflict today, but the refusal-check
+            // pattern must not normalize the footgun
+            case e: graft.substrate.CommitConflictException => throw e
+            case _: IllegalArgumentException => true
+          }
         require(refused,
           "countAt must refuse a metadata count under pending deletes")
         SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,

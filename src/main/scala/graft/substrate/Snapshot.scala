@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * TYPED conflict directly — retry clients match on the type, never on
   * a message substring — while non-racing callers that treated those
   * requires as argument errors keep their contract by subtyping.
+  *
+  * Handler discipline (ADVICE r14 low #3 — the subtyping's latent
+  * footgun): a BROAD `catch IllegalArgumentException` around a store
+  * operation that can conflict would silently swallow a genuine commit
+  * conflict instead of retrying or surfacing it. Refusal-check sites
+  * (asserting that an operation refuses) must catch the MOST SPECIFIC
+  * expectation and re-throw CommitConflictException; retry loops match
+  * on this type alone.
   */
 final class CommitConflictException(msg: String)
   extends IllegalArgumentException(msg)
@@ -283,6 +291,19 @@ object SnapshotStore {
     *    content-identical extra version per empty batch, and with a tag
     *    set the tag was never recorded, so every re-delivery burned
     *    another version forever).
+    *
+    * The batchTag check is NOT only the entry gate (ADVICE r14 low #2:
+    * check-then-act — two committers racing the same tag could both
+    * pass it and append the batch twice under green commits): it
+    * RE-RUNS inside every commitNext attempt, AFTER the candidate head
+    * is read — so a racer whose twin committed the tag first either
+    * conflicts on the claim (same candidate) and re-checks on retry, or
+    * reads the twin's commit as its head and sees the tag directly.
+    * Residual (documented): a cross-PROCESS racer whose head read lands
+    * in the microseconds between the twin's check and its rename can
+    * still double-commit — the same non-rename-atomic residual as
+    * commit()'s orphan repair; a multi-process same-tag sink needs a
+    * dedicated txn table (the Delta appId/version discipline).
     */
   def appendCommit(spark: SparkSession, base: String,
       newDirs: Seq[String], statsCols: Seq[String] = Nil,
@@ -306,7 +327,12 @@ object SnapshotStore {
       .flatMap(g => MetaIo.optString(g, "file")).toSet
     if (newFiles.forall(headFiles))
       return committed.last
-    commitNext(spark, base, maxAttempts) { v =>
+    try commitNext(spark, base, maxAttempts) { v =>
+      // in-attempt idempotency re-check (ADVICE r14 low #2): runs after
+      // commitNext read the candidate head, so a same-tag racer's commit
+      // is visible here — the entry-gate check alone was check-then-act
+      if (batchTag.exists(t => batchTagCommitted(spark, base, t)))
+        throw new BatchTagAlreadyCommitted
       val prev = spark.read.option("mergeSchema", "true")
         .parquet(mdir(base, v - 1))
         .withColumn("version", lit(v))
@@ -317,8 +343,15 @@ object SnapshotStore {
       val fresh = batchTag.fold(freshBase)(t =>
         freshBase.withColumn("batch_tag", lit(t)))
       prev.unionByName(fresh, allowMissingColumns = true)
+    } catch { case _: BatchTagAlreadyCommitted =>
+      committedVersions(spark, base).last
     }
   }
+
+  /** Control-flow signal for [[appendCommit]]'s in-attempt idempotency
+    * re-check — never escapes appendCommit.
+    */
+  private final class BatchTagAlreadyCommitted extends RuntimeException
 
   /** True when ANY retained version's manifest carries a fresh-file row
     * stamped with `tag` ([[appendCommit]]'s batchTag) — the
@@ -486,11 +519,13 @@ object SnapshotStore {
     * Delta its log stats at commit time). Output columns: (version,
     * file, row_count, min_<col>/max_<col> LONG bounds for integral
     * columns, smin_<col>/smax_<col> STRING bounds — unsigned UTF-8
-    * order, recorded only when ≤ 64 chars — for string columns;
-    * VERDICT r13 what's-missing #3: a predicate on a dimension-like
-    * string column now prunes files too). Bounds are null when a file
-    * cannot prove them (column absent, unsupported type, over-long
-    * string, or a row group with no non-null values) — null means
+    * order, truncated conservatively past 64 chars (prefix min,
+    * prefix-and-increment max — MetaIo.truncateMax, r15) — for string
+    * columns; VERDICT r13 what's-missing #3: a predicate on a
+    * dimension-like string column now prunes files too). Bounds are
+    * null when a file cannot prove them (column absent, unsupported
+    * type, an all-saturated over-long max, or a row group with no
+    * non-null values) — null means
     * UNKNOWN, and [[filesWhere]]/[[filesWhereStr]] keep unknown files,
     * so stats can only ever prune files they positively exonerate.
     * [[commit]] carries these columns verbatim; stores mixing stats and
@@ -643,17 +678,32 @@ object SnapshotStore {
         }.toMap
       }.toMap
     } finally data.unpersist()
-    val withBloom = base.collect().toIndexedSeq.map { r =>
+    val baseRows = base.collect().toIndexedSeq
+    // TWO DISTINCT files colliding after normalization (a literal
+    // 'a%20b' next to 'a b' — the PathNorm residual above) would
+    // otherwise overwrite each other in the per-file bloom map and
+    // commit one file with the OTHER file's bloom: a point lookup could
+    // then wrongly EXONERATE a file that holds the key — silent row
+    // loss, not the documented conservative miss (ADVICE r14 low #1).
+    // Detect the collision at build time and commit NULL blooms
+    // (unknown, kept by every prune) for every colliding file.
+    val collided: Set[String] = baseRows
+      .map(r => norm(r.getString(r.fieldIndex("file"))))
+      .groupBy(x => x).collect { case (k, vs) if vs.size > 1 => k }
+      .toSet
+    val withBloom = baseRows.map { r =>
       val f = norm(r.getString(r.fieldIndex("file")))
       org.apache.spark.sql.Row.fromSeq(r.toSeq ++ bloomCols.flatMap { c =>
         blooms(c).get(f) match {
-          case Some(arr) =>
+          case Some(arr) if !collided(f) =>
             val bb = java.nio.ByteBuffer
               .allocate(arr.length * 8)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             arr.foreach(bb.putLong)
             Seq(bb.array(), bloomK.toLong)
-          case None => Seq(null, null) // 0-row file: unknown, kept
+          // 0-row file, or a normalization collision whose bloom could
+          // be the other file's: unknown, kept by every prune
+          case _ => Seq(null, null)
         }
       })
     }
