@@ -177,9 +177,11 @@ object Bench {
     // treatment): the appender-vs-compactor race on the table store
     "snapshot_concurrent_compact",
     // r15 debuts, pinned on arrival: the MoR merge lifecycle (sidecar
-    // + image commit + applyChangeLog equivalence + materialize) and
-    // the row-level CDF (5-commit lifecycle + replay pin)
-    "snapshot_merge_mor", "snapshot_cdf_read")
+    // + image commit + applyChangeLog equivalence + materialize), the
+    // row-level CDF (5-commit lifecycle + replay pin), and the vector
+    // store's MoR forget (clustered publish + sidecar publish +
+    // materializing compact + two full-ADC serves + purge)
+    "snapshot_merge_mor", "snapshot_cdf_read", "ann_stored_index_delete_dv")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

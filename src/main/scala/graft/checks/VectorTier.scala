@@ -1356,6 +1356,127 @@ object VectorTier {
         .replaceAll(" AS \\(", " AS MATERIALIZED (")),
     isScore = false)
 
+  /** MERGE-ON-READ forget on the stored vector index (r15 — VERDICT
+    * r14 what's-missing #1 / next #3, the `snapshot_delete_dv` geometry
+    * on the index store): the governance batch here is SCATTERED — the
+    * odd vec_ids of EVERY cell (require-pinned: the batch touches every
+    * committed cell), the shape that makes the cell-local
+    * `deletePublish` rewrite nearly the whole code table — so
+    * `VectorArtifact.deletePublishMor` commits an O(batch) vec_id
+    * SIDECAR instead: require-pinned, v1's data manifest IS v0's
+    * verbatim (ZERO code files rewritten) plus one `kind='delete'` row.
+    * Serving runs full-ADC from a fresh loadLatest — the sidecar
+    * applies as a broadcast anti-join, so the forgotten ids never rank
+    * — and `compactPublish` then MATERIALIZES the sidecar (v2: affected
+    * cells rewritten survivors-only, sidecar rows dropped,
+    * require-pinned) and serves the IDENTICAL ranking: the output emits
+    * both versions' rankings and the oracle recomputes them over the
+    * survivors from raw parquet — merge-on-read is an I/O strategy,
+    * never a semantics change. retire+purge then make the forget
+    * physical (require-pinned: no surviving file holds a forgotten
+    * row). The CoW path stays first-class for cell-local batches
+    * (`ann_stored_index_delete`). Queries sample even ids — disjoint
+    * from the odd-id forget. At 100 TB the forget commit writes one
+    * sidecar file regardless of how many cells the batch scatters
+    * across. Anchor: `factors/5-compliant.md:9`,
+    * `factors/requirements.yaml:197-199`.
+    */
+  val annStoredIndexDeleteDv = Check("ann_stored_index_delete_dv",
+    (spark, dir) => {
+      import graft.substrate.{PqIndex, VectorArtifact}
+      val e = embeddingsD(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecdeldv")
+        .toString
+      try {
+        val FlatArtifact(cents, cb, asg, codes) =
+          demoFlatArtifact(spark, dir)
+        VectorArtifact.saveClustered(spark, tmp, 0L, dim = 64, cents, cb,
+          codes, corpus = Some((dir, 0L)))
+        val forget = asg.filter(col("vec_id") % 2 === 1)
+          .select("vec_id")
+        // the CoW-hostile shape, pinned: the batch scatters across
+        // EVERY committed cell
+        val allCells = codes.select("cell").distinct().count()
+        val hitCells = codes.join(broadcast(forget), Seq("vec_id"))
+          .select("cell").distinct().count()
+        require(hitCells == allCells,
+          s"the batch must scatter across every cell: $hitCells/$allCells")
+        val n = VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L,
+          forget)
+        require(n > 0, "the scattered batch must name keys")
+        require(VectorArtifact.readManifest(spark, tmp, 1L).toSet ==
+          VectorArtifact.readManifest(spark, tmp, 0L).toSet,
+          "a merge-on-read forget must rewrite ZERO code files")
+        require(VectorArtifact.readManifestFull(spark, tmp, 1L)
+          .exists(_._3.contains("delete")),
+          "v1 must pin the sidecar row")
+        require(VectorArtifact.load(spark, tmp, 0L).codes
+          .join(broadcast(forget), Seq("vec_id"), "left_semi")
+          .count() > 0,
+          "time travel: v0 still serves the forgotten rows")
+        val a = VectorArtifact.loadLatest(spark, tmp)
+        require(a.version == 1L && a.sourceVersion.contains(0L) &&
+          a.corpusBase.contains(dir),
+          "provenance must ride through the MoR forget")
+        require(a.codes.join(broadcast(forget), Seq("vec_id"),
+          "left_semi").isEmpty,
+          "the logical serve must apply the sidecar")
+        val q = e.filter(col("vec_id") % QuerySampleMod === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        def ranked(art: VectorArtifact.Loaded) =
+          PqIndex.topK(art.codes, q, "qid", "qv", art.cb, dim = 64,
+              topK = K)
+            .select(lit(art.version).as("index_version"), col("qid"),
+              col("rank"), col("cid"))
+        val rows1 = ranked(a).orderBy("qid", "rank").collect()
+        // the maintenance window MATERIALIZES the sidecar
+        VectorArtifact.compactPublish(spark, tmp, 2L, 1L)
+        require(VectorArtifact.readManifestFull(spark, tmp, 2L)
+          .forall(!_._3.contains("delete")),
+          "the full-coverage compact must drop the materialized sidecar")
+        val b = VectorArtifact.loadLatest(spark, tmp)
+        val rows2 = ranked(b).orderBy("qid", "rank").collect()
+        // retention makes the forget physical
+        VectorArtifact.retire(spark, tmp, keepLatest = 1)
+        VectorArtifact.purgeRetired(spark, tmp)
+        val remaining = VectorArtifact.readManifest(spark, tmp, 2L)
+          .map(_._1)
+        require(spark.read.parquet(remaining: _*)
+          .join(broadcast(forget), Seq("vec_id"), "left_semi").isEmpty,
+          "after purge no remaining file may hold a forgotten row")
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            (rows1 ++ rows2).toIndexedSeq, 1),
+          StructType(Seq(StructField("index_version", LongType),
+            StructField("qid", LongType), StructField("rank", LongType),
+            StructField("cid", LongType))))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${pqCodeCtesCfg("e", m = 8, k = 16, trainMod = 5, iters = 1)},
+         |adist AS (SELECT l.qid, co.vec_id AS cand,
+         |SUM(l.d * l.d ORDER BY l.sub) AS ad
+         |FROM codes co
+         |JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+         |WHERE co.vec_id <> l.qid AND co.vec_id % 2 = 0 GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cand AS cid,
+         |CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, cand) AS BIGINT) AS rank
+         |FROM adist)
+         |SELECT CAST(1 AS BIGINT) AS index_version, qid, rank, cid
+         |FROM ranked WHERE rank <= $K
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), qid, rank, cid
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY index_version, qid, rank"""
+        .stripMargin.replace("\n", " ")
+        .replaceAll(" AS \\(", " AS MATERIALIZED (")),
+    isScore = false)
+
   /** The OPTIMIZE commit on the artifact store (VERDICT r12 next #2):
     * streaming ingest appends one-or-more files per cell PER BATCH
     * (`vector_ingest_publish_stream`), so after K batches a hot cell's
@@ -2471,5 +2592,6 @@ object VectorTier {
     retrievalRecallPqProd, retrievalRecallIvfPqProd,
     retrievalRecallIvfPqProbes, retrievalServeStream, annStoredIndex,
     annStoredIndexIncremental, annStoredIndexPruned, annStoredIndexDelete,
-    annStoredIndexCompact, annStoredIndexConcurrent, vectorIndexDelete)
+    annStoredIndexDeleteDv, annStoredIndexCompact, annStoredIndexConcurrent,
+    vectorIndexDelete)
 }

@@ -719,6 +719,102 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("deletePublishMor: zero code files rewritten, every read path " +
+      "applies the sidecar, derived publishes carry it, compact " +
+      "materializes it, purge makes it physical") {
+    withTmp { tmp =>
+      val (cents, cb, codes, _) = clusteredV0(tmp)
+      def key(df: DataFrame) = df.select("vec_id", "codes", "cell")
+        .orderBy("vec_id").collect().toSeq
+      // a SCATTERED batch (every 10th id — spread across cells, the
+      // CoW-hostile shape)
+      val forget = corpus.filter(col("vec_id") % 10 === 7)
+        .select("vec_id").localCheckpoint(true)
+      val n = VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L, forget)
+      assert(n == 20)
+      // ZERO code files rewritten: v1's data manifest IS v0's
+      assert(VectorArtifact.readManifest(spark, tmp, 1L).toSet ==
+        VectorArtifact.readManifest(spark, tmp, 0L).toSet)
+      assert(VectorArtifact.readManifestFull(spark, tmp, 1L)
+        .exists(_._3.contains("delete")))
+      // full-ADC load applies the sidecar; history serves at v0
+      val v1 = VectorArtifact.loadLatest(spark, tmp)
+      assert(v1.version == 1L && v1.sourceVersion.contains(0L))
+      val expected = codes.join(forget, Seq("vec_id"), "left_anti")
+      assert(key(v1.codes) == key(expected))
+      assert(VectorArtifact.load(spark, tmp, 0L).codes
+        .join(forget, Seq("vec_id"), "left_semi").count() > 0,
+        "history keeps serving until retention drops it")
+      // the PRUNED path applies it too
+      val affectedCells = codes.join(forget, Seq("vec_id"))
+        .select("cell").distinct().as[Long].collect().toSeq
+      assert(VectorArtifact
+        .codesForCells(spark, tmp, 1L, affectedCells)
+        .join(forget, Seq("vec_id"), "left_semi").isEmpty,
+        "a probed read must never surface a forgotten vector")
+      // a derived APPEND carries the sidecar verbatim: fresh ids serve,
+      // forgotten ids stay hidden
+      val extra = codes.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 1000L)
+        .localCheckpoint(true)
+      VectorArtifact.appendPublish(spark, tmp, 2L, 1L, Dim, cents, cb,
+        extra)
+      val v2 = VectorArtifact.loadLatest(spark, tmp)
+      assert(v2.codes.filter(col("vec_id") >= 1000).count() == 5)
+      assert(v2.codes.join(forget, Seq("vec_id"), "left_semi").isEmpty,
+        "a carried sidecar must keep applying after an append")
+      // compactPublish MATERIALIZES: affected cells rewritten
+      // survivors-only, sidecar rows dropped, rows identical
+      VectorArtifact.compactPublish(spark, tmp, 3L, 2L)
+      assert(VectorArtifact.readManifestFull(spark, tmp, 3L)
+        .forall(!_._3.contains("delete")),
+        "a full-coverage compact must drop the materialized sidecar")
+      val v3 = VectorArtifact.loadLatest(spark, tmp)
+      assert(key(v3.codes) == key(expected.unionByName(extra)))
+      // no remaining physical file holds a forgotten row after purge
+      VectorArtifact.retire(spark, tmp, keepLatest = 1)
+      VectorArtifact.purgeRetired(spark, tmp)
+      assert(key(VectorArtifact.loadLatest(spark, tmp).codes) ==
+        key(expected.unionByName(extra)))
+      val survivorFiles = VectorArtifact.readManifest(spark, tmp, 3L)
+        .map(_._1)
+      assert(spark.read.parquet(survivorFiles: _*)
+        .join(forget, Seq("vec_id"), "left_semi").isEmpty,
+        "after purge no remaining file may hold a forgotten row")
+    }
+  }
+
+  test("a SCOPED compact under a pending sidecar carries it forward: " +
+      "uncovered cells stay logically deleted, a later full compact " +
+      "finishes the materialization") {
+    withTmp { tmp =>
+      val (_, _, codes, _) = clusteredV0(tmp)
+      val forget = corpus.filter(col("vec_id") % 10 === 7)
+        .select("vec_id").localCheckpoint(true)
+      VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L, forget)
+      val affected = codes.join(forget, Seq("vec_id"))
+        .select("cell").distinct().as[Long].collect().toSeq.sorted
+      assert(affected.size >= 2, "fixture needs a multi-cell forget")
+      // OPTIMIZE scoped to ONE affected cell: the sidecar must survive
+      VectorArtifact.compactPublish(spark, tmp, 2L, 1L,
+        onlyCells = Some(Seq(affected.head)))
+      assert(VectorArtifact.readManifestFull(spark, tmp, 2L)
+        .exists(_._3.contains("delete")),
+        "a partial-coverage compact must carry the sidecar forward")
+      val expected = codes.join(forget, Seq("vec_id"), "left_anti")
+      def key(df: DataFrame) = df.select("vec_id", "codes", "cell")
+        .orderBy("vec_id").collect().toSeq
+      assert(key(VectorArtifact.loadLatest(spark, tmp).codes) ==
+        key(expected), "the carried sidecar keeps the logical view")
+      // the follow-up unscoped compact finishes the job
+      VectorArtifact.compactPublish(spark, tmp, 3L, 2L)
+      assert(VectorArtifact.readManifestFull(spark, tmp, 3L)
+        .forall(!_._3.contains("delete")))
+      assert(key(VectorArtifact.loadLatest(spark, tmp).codes) ==
+        key(expected))
+    }
+  }
+
   test("compactPublish: K append batches then OPTIMIZE — fewer files, identical rows, untouched cells shared verbatim") {
     withTmp { tmp =>
       val e = corpus.localCheckpoint(true)
