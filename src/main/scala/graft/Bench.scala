@@ -232,17 +232,21 @@ object Bench {
     val load1 = try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
-    // STORAGE-LATENCY probe, also read before any work (VERDICT r13
-    // next #1b): the r13 driver artifact blew the 4x contention gate
-    // while launch load1 sat under the derate threshold — BENCH_NOTES
-    // r13's same-box A/B proved the inflation was virtualized-DISK
-    // contention, which load1 never tracks. A 32 MiB forced write to
-    // the same tmp filesystem the store fixtures land on measures the
-    // resource that actually saturates: quiet boxes measure 350-450
-    // MB/s (r14 calibration), and the r13 regime's uniform inflation of
-    // untouched plans corresponds to a fraction of that. Probe cost on
-    // a healthy disk: under 100 ms, once per run.
-    val diskMbps = try {
+    // STORAGE-LATENCY probe (VERDICT r13 next #1b): the r13 driver
+    // artifact blew the 4x contention gate while launch load1 sat under
+    // the derate threshold — BENCH_NOTES r13's same-box A/B proved the
+    // inflation was virtualized-DISK contention, which load1 never
+    // tracks. A 32 MiB forced write to the same tmp filesystem the
+    // store fixtures land on measures the resource that actually
+    // saturates: quiet boxes measure 350-450 MB/s (r14 calibration).
+    // Probe cost on a healthy disk: under 100 ms. Since r15 the probe
+    // RE-RUNS mid-suite (VERDICT r14 next #1 — the r14 box passed the
+    // launch probe, then degraded mid-run and shipped 36x ratios with
+    // no machine-readable explanation): every probe lands in
+    // `probe_mbps`, mid-run degradation derates the pool LIVE, and the
+    // run ends by re-measuring gate-blowing entries on a recovered
+    // disk or stamping them `contended` — see the post-suite block.
+    def diskProbe(): Double = try {
       val f = java.nio.file.Files.createTempFile("graft_probe", ".bin")
       try {
         val ch = java.nio.channels.FileChannel.open(f,
@@ -262,6 +266,11 @@ object Bench {
         } finally ch.close()
       } finally java.nio.file.Files.deleteIfExists(f)
     } catch { case _: Throwable => -1.0 }
+    val diskMbps = diskProbe()
+    // the full probe series, labeled: (phase, MB/s)
+    val probeSeries =
+      new java.util.concurrent.CopyOnWriteArrayList[(String, Double)]
+    probeSeries.add(("launch", diskMbps))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -404,22 +413,124 @@ object Bench {
             f"(load1=$load1%.1f/$physCores cores, disk=$diskMbps%.0f MB/s)")
         w
       }
+    // MID-RUN self-defense (VERDICT r14 next #1): the launch probes
+    // prove nothing about minute 3 — the r14 driver box read 338 MB/s
+    // and load1 18.77 at launch, then degraded mid-suite into 36x
+    // ratios. A monitor thread re-probes the disk every ~15 s while the
+    // suite runs; on degradation it DERATES the effective pool live (a
+    // semaphore gate — the fixed thread pool stays, fewer bodies run)
+    // and restores it on recovery. The degradation bar is RELATIVE to
+    // launch as well as absolute (min(150, launch/3)): the suite's own
+    // 6-wide fixture I/O legitimately depresses a mid-run probe on a
+    // healthy box, so only a collapse — not self-load — may fire it.
+    // load1 is deliberately NOT re-checked mid-run: the suite itself
+    // keeps ~cpus threads runnable, so mid-run load1 measures us, not
+    // the box.
+    val degradeBar = if (diskMbps > 0) math.min(150.0, diskMbps / 3.0)
+      else 100.0
+    val floorBar = 50.0
+    val sem = new java.util.concurrent.Semaphore(poolWidth, true)
+    val reductionHeld = new java.util.concurrent.atomic.AtomicInteger(0)
+    val midRunDegraded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val suiteDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val preConc = diskProbe()
+    probeSeries.add(("preconc", preConc))
+    val monitor = new Thread(() => {
+      var tick = 0
+      while (!suiteDone.get()) {
+        try Thread.sleep(15000) catch { case _: InterruptedException => }
+        if (!suiteDone.get()) {
+          tick += 1
+          val mbps = diskProbe()
+          probeSeries.add((s"t$tick", mbps))
+          val target =
+            if (mbps >= 0 && mbps < floorBar) 2
+            else if (mbps >= 0 && mbps < degradeBar)
+              math.max(2, poolWidth / 2)
+            else poolWidth
+          if (target < poolWidth) midRunDegraded.set(true)
+          val wantHeld = poolWidth - target
+          val held = reductionHeld.get()
+          if (wantHeld > held) {
+            // shrink: permits return as running bodies finish
+            if (sem.tryAcquire(wantHeld - held, 60,
+                java.util.concurrent.TimeUnit.SECONDS)) {
+              reductionHeld.addAndGet(wantHeld - held)
+              System.err.println(f"[bench] mid-run derate: pool " +
+                f"$poolWidth -> $target (disk=$mbps%.0f MB/s)")
+            }
+          } else if (wantHeld < held) {
+            sem.release(held - wantHeld)
+            reductionHeld.addAndGet(wantHeld - held)
+            System.err.println(f"[bench] mid-run recovery: pool -> " +
+              f"$target (disk=$mbps%.0f MB/s)")
+          }
+        }
+      }
+    }, "graft-bench-disk-monitor")
+    monitor.setDaemon(true)
     val pool = Executors.newFixedThreadPool(poolWidth)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val suiteT0 = System.nanoTime()
+    monitor.start()
     val results =
       try {
         val futs = bench.map { name => Future {
-          // per-query FAIR pool (thread-local; reset after the query so the
-          // next query on this worker thread gets its own pool)
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q_$name")
-          val r = timed(name)
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          r
+          sem.acquire()
+          try {
+            // per-query FAIR pool (thread-local; reset after the query
+            // so the next query on this worker gets its own pool)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q_$name")
+            val r = timed(name)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            r
+          } finally sem.release()
         }}
         futs.map(f => Await.result(f, Duration.Inf))
-      } finally pool.shutdown()
+      } finally {
+        suiteDone.set(true)
+        monitor.interrupt()
+        pool.shutdown()
+      }
     val wall = (System.nanoTime() - suiteT0) / 1e9
+
+    // POST-SUITE self-defense, the artifact half (VERDICT r14 next #1
+    // "done when"): any entry whose concurrent wall blew the suite's 4x
+    // gate against its pinned quiet serial median gets RE-MEASURED
+    // serially — after waiting (bounded) for the disk to recover — so
+    // the shipped JSON carries either a defensible re-measured wall or
+    // an explicit `contended` stamp plus the probe series; a judge can
+    // discount the wall mechanically instead of forensically.
+    val medianByName = serialTop.toMap
+    val gateBlowers = results
+      .filter { case (n, w) => w >= 0 &&
+        medianByName.get(n).exists(m => m > 0 && w > 4 * m) }
+      .sortBy { case (n, w) => -(w / medianByName(n)) }
+      .map(_._1).take(12)
+    var recovered = true
+    if (gateBlowers.nonEmpty) {
+      var waitProbe = diskProbe()
+      probeSeries.add(("prererun", waitProbe))
+      var waited = 0
+      while (waitProbe >= 0 && waitProbe < degradeBar && waited < 6) {
+        Thread.sleep(15000)
+        waited += 1
+        waitProbe = diskProbe()
+        probeSeries.add((s"wait$waited", waitProbe))
+      }
+      recovered = waitProbe < 0 || waitProbe >= degradeBar
+    }
+    // reruns are quiet serial walls — comparable to serial_top, and
+    // they REPLACE nothing: both numbers ship, labeled
+    val reruns: Seq[(String, Double)] =
+      if (gateBlowers.nonEmpty && recovered) gateBlowers.map(timed)
+      else Seq.empty
+    // contended = gate-blowers the run could NOT vindicate: the box
+    // never recovered enough to re-measure fairly
+    val contended: Seq[String] =
+      if (gateBlowers.nonEmpty && !recovered) gateBlowers else Seq.empty
+    val finalProbe = diskProbe()
+    probeSeries.add(("final", finalProbe))
 
     // serial re-run for any concurrent-top-12 query the pinned set missed
     // (new heavies surface here and get promoted to SerialSet next round);
@@ -446,7 +557,8 @@ object Bench {
     // a query that fails in BOTH the serial pass and the concurrent suite
     // is ONE failure, not two — count distinct failing names
     val nFailed = (results.filter(_._2 < 0).map(_._1) ++
-      (serialTop ++ extraSerial).filter(_._2 < 0).map(_._1)).distinct.size
+      (serialTop ++ extraSerial ++ reruns).filter(_._2 < 0).map(_._1))
+      .distinct.size
     val serialSum = r3(results.map(_._2).filter(_ >= 0).sum)
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
@@ -464,8 +576,21 @@ object Bench {
     // summary's `detail` pointer must name the RESOLVED path, or a
     // redirected run points its consumers at a stale repo-root artifact
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // the self-defense record (r15): every probe, labeled; whether the
+    // live derate fired; the gate-blowers' re-measured quiet walls; and
+    // the contended stamp when the box never recovered enough to
+    // re-measure. An honest run on a degrading box now ships its own
+    // explanation.
+    import scala.jdk.CollectionConverters._
+    val probesJson = probeSeries.asScala
+      .map { case (l, v) => s"""["$l",${r3(v)}]""" }
+      .mkString("[", ",", "]")
+    val contendedJson = contended.map(n => s""""$n"""")
+      .mkString("[", ",", "]")
+    val selfDefense =
+      s""""probe_mbps":$probesJson,"derated_mid_run":${midRunDegraded.get()},"reruns":${obj(reruns)},"contended":$contendedJson,"""
     val summary = (extra: String) =>
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},"disk_mbps":${r3(diskMbps)},$extra"serial_extra":${obj(extraSerial)},"detail":"$fullOut","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","n_queries":$nQueries,"n_stateful_serial":${statefulBenched.size},"n_failed":$nFailed,"serial_sum":$serialSum,"wall_regime":"post_serial_warm","serial_runs":$SerialRuns,"pool_width":$poolWidth,"load1":${r3(load1)},"disk_mbps":${r3(diskMbps)},$selfDefense$extra"serial_extra":${obj(extraSerial)},"detail":"$fullOut","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
       summary(s""""queries":${obj(results.sortBy(-_._2))},"serial_top":${obj(serialTop)},"""))
     println(summary(s""""queries":$slowest,"serial_top":$serialSlowest,"""))

@@ -1248,7 +1248,27 @@ object ScaleRehearsal {
          |  commit writes ONE O(batch) sidecar and carries the ancestor
          |  manifest verbatim — write I/O is corpus-INDEPENDENT — and
          |  its read-side cost is one broadcast anti-join per sidecar
-         |  over scans the other rows already bound.
+         |  over scans the other rows already bound. The r15 MoR family
+         |  inherits the same corpus-independence by construction:
+         |  `mergeCommitMor` (entry `snapshot_merge_mor`) writes one
+         |  key sidecar plus image files ∝ the changelog's surviving
+         |  rows — zero ancestor files touched at ANY corpus size, the
+         |  cost the CoW `mergeCommit` decade rows bound moved entirely
+         |  to the maintenance window; the vector store's
+         |  `deletePublishMor` (entry `ann_stored_index_delete_dv`)
+         |  writes one vec_id sidecar regardless of how many cells the
+         |  batch scatters across (the CoW `deletePublish` rewrote
+         |  O(affected cells) files — for a scattered batch, ~the whole
+         |  code table). The row-level CDF (`readChangesBetween`, entry
+         |  `snapshot_cdf_read`) composes per step from the SAME bounded
+         |  pieces: an append step reads exactly the delta's files
+         |  (spec-pinned: zero base files in the plan), a sidecar step
+         |  reads the bounds-PRUNED carried slice (the sidecar's sorted
+         |  keys binary-search each carried file's committed bounds —
+         |  the `mergeCommit` planning arithmetic, so a clustered store
+         |  scans O(matching range) carried files), and only a
+         |  materialize/compaction step pays a full diff — the
+         |  maintenance-window cost, and it emits zero events.
          |- **Bloom commit build + probe** (r14, `snapshot bloom commit
          |  driver rows` / `snapshot bloom point lookup files opened`
          |  rows — VERDICT r13 what's-missing #4): the r13 build
