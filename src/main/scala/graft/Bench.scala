@@ -437,8 +437,11 @@ object Bench {
     probeSeries.add(("preconc", preConc))
     val monitor = new Thread(() => {
       var tick = 0
-      while (!suiteDone.get()) {
-        try Thread.sleep(15000) catch { case _: InterruptedException => }
+      // the whole body is interrupt-safe: the suite's finally block
+      // interrupts this thread, which may be blocked in sleep OR in
+      // tryAcquire — neither may die with a stack trace on stderr
+      try while (!suiteDone.get()) {
+        Thread.sleep(15000)
         if (!suiteDone.get()) {
           tick += 1
           val mbps = diskProbe()
@@ -466,7 +469,7 @@ object Bench {
               f"$target (disk=$mbps%.0f MB/s)")
           }
         }
-      }
+      } catch { case _: InterruptedException => () } // suite finished
     }, "graft-bench-disk-monitor")
     monitor.setDaemon(true)
     val pool = Executors.newFixedThreadPool(poolWidth)

@@ -530,4 +530,74 @@ class PlanQualitySpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("merge-on-read MERGE read: the era-scoped sidecar still applies " +
+      "as a broadcast anti-join on the base era only — no shuffle, no " +
+      "product, images unjoined") {
+    // r15: readCore splits the scan into added_v eras; the merge
+    // sidecar must broadcast onto the BASE era while the image era
+    // unions in untouched — a shuffled anti-join or a product here
+    // would price the O(batch) commit back into a corpus shuffle
+    import graft.substrate.{Layout, SnapshotStore}
+    val tmp = java.nio.file.Files.createTempDirectory("pq_mmor").toString
+    try {
+      import spark.implicits._
+      val base = spark.range(500)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+      Layout.writeClustered(base, s"$tmp/d1", "k", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      val ch = Seq((10L, 999L, "U", 1L), (20L, 0L, "D", 1L))
+        .toDF("k", "v", "op", "seq")
+      SnapshotStore.mergeCommitMor(spark, tmp, 2L, 1L, "k", ch,
+        s"$tmp/del2", s"$tmp/img2")
+      val plan = planOf(SnapshotStore.readAt(spark, tmp, 2L))
+      assert(!plan.contains("CartesianProduct"),
+        s"product in MoR merge read:\n$plan")
+      assert(plan.contains("LeftAnti") &&
+        plan.contains("BroadcastHashJoin"),
+        s"the merge sidecar must apply as a broadcast anti-join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the sidecar apply must never shuffle the scan:\n$plan")
+      assert(plan.contains("Union"),
+        s"the image era must union in unjoined:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("vector MoR forget: the sidecar applies to the codes scan as a " +
+      "broadcast anti-join — full-ADC and pruned serves alike") {
+    import graft.substrate.{IvfPq, PqIndex, VectorArtifact}
+    val tmp = java.nio.file.Files.createTempDirectory("pq_vmor").toString
+    try {
+      val e = spark.range(150).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(0), lit(15)),
+          j => sin(col("id") * (j + lit(1)) * lit(0.37))).as("v"))
+        .localCheckpoint(true)
+      val cents = IvfPq.servingCentroids(e, centroidMod = 7)
+      val cb = PqIndex.codebookArrays(
+        PqIndex.codebooks(e, "vec_id", "v", dim = 16))
+      val asg = IvfPq.probeCellsFrom(cents, e, "vec_id", "v", nProbe = 1)
+        .select(col("qid").as("vec_id"), col("cell"))
+      val codes = PqIndex.encode(e, "vec_id", "v", cb, dim = 16)
+        .join(asg, Seq("vec_id"))
+      VectorArtifact.saveClustered(spark, tmp, 0L, 16, cents, cb, codes)
+      import spark.implicits._
+      VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L,
+        (0L until 150L by 10L).toDF("vec_id"))
+      val plan = planOf(VectorArtifact.load(spark, tmp, 1L).codes)
+      assert(!plan.contains("CartesianProduct") &&
+        plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+        s"vector sidecar must broadcast-anti-join the codes scan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the sidecar apply must never shuffle the codes scan:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
