@@ -178,10 +178,13 @@ object Bench {
     "snapshot_concurrent_compact",
     // r15 debuts, pinned on arrival: the MoR merge lifecycle (sidecar
     // + image commit + applyChangeLog equivalence + materialize), the
-    // row-level CDF (5-commit lifecycle + replay pin), and the vector
-    // store's MoR forget (clustered publish + sidecar publish +
-    // materializing compact + two full-ADC serves + purge)
-    "snapshot_merge_mor", "snapshot_cdf_read", "ann_stored_index_delete_dv")
+    // row-level CDF (shared 5-commit lifecycle store + replay pin), the
+    // vector store's MoR forget (clustered publish + sidecar publish +
+    // materializing compact + two full-ADC serves + purge), and the
+    // feed-maintained MV (shared lifecycle store + image fold +
+    // recompute-equality pin)
+    "snapshot_merge_mor", "snapshot_cdf_read", "ann_stored_index_delete_dv",
+    "mv_refresh_from_cdf")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -2144,91 +2144,96 @@ object OpsTier {
     * of carried files — an append step never rescans the base. Anchor:
     * `requirements.yaml:91-93`, `3-current.md:12-15`.
     */
+  /** The SHARED 5-commit lifecycle store the row-level CDF entries read
+    * (r15, the fixture discipline: their SUBJECT is the feed — a READ
+    * path — so the commits are fixture and build once per JVM; no entry
+    * commits into or vacuums the shared store): v1 keyed base (%4 ≤ 1,
+    * clustered, stats), v2 append (%4 = 3 delta), v3 MoR governance
+    * delete (every 31st key), v4 MoR merge (updates on present
+    * [100,300], deletes on present [400,500], inserts from the disjoint
+    * %4 = 2 keys — all filtered off the %31 forget), v5 materialize.
+    */
+  private def cdfLifecycleStore(spark: SparkSession, dir: String)
+      : String = {
+    import graft.substrate.{Layout, SnapshotStore}
+    val li = table(spark, dir, "lineitem")
+    def keyedAgg(pred: org.apache.spark.sql.Column) = li.filter(pred)
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
+        sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
+    val base = keyedAgg(col("l_orderkey") % 4 <= 1)
+    val delta = keyedAgg(col("l_orderkey") % 4 === 3)
+    sharedStore(base, "ops.cdfLifecycleStore") { t =>
+      Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
+      Layout.writeClustered(delta, s"$t/d2", "l_orderkey", numFiles = 2)
+      SnapshotStore.commit(spark, t, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t/d1"),
+          Seq("l_orderkey")))
+      SnapshotStore.appendCommit(spark, t, Seq(s"$t/d2"),
+        Seq("l_orderkey"))
+      val pop = base.unionByName(delta)
+      val forget = pop.filter(col("l_orderkey") % 31 === 0)
+        .select("l_orderkey")
+      SnapshotStore.deleteCommitMor(spark, t, 3L, 2L, "l_orderkey",
+        forget, s"$t/del3")
+      val present = pop.filter(col("l_orderkey") % 31 =!= 0)
+      val upd = present.filter(col("l_orderkey").between(100, 300))
+        .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
+          col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
+      val del = present.filter(col("l_orderkey").between(400, 500))
+        .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+          lit("D").as("op"), lit(1L).as("seq"))
+      val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
+          col("l_orderkey").between(100, 300))
+        .select(col("l_orderkey"), col("qty_i"), col("price_i"),
+          lit("I").as("op"), lit(1L).as("seq"))
+      SnapshotStore.mergeCommitMor(spark, t, 4L, 3L, "l_orderkey",
+        upd.unionByName(del).unionByName(ins), s"$t/del4", s"$t/img4")
+      SnapshotStore.materializeCommit(spark, t, 5L, 4L,
+        "l_orderkey", s"$t/d5", numFiles = 2)
+    }
+  }
+
   val snapshotCdfRead = Check("snapshot_cdf_read",
     (spark, dir) => {
-      import graft.substrate.{Layout, SnapshotStore}
-      val li = table(spark, dir, "lineitem")
-      def keyedAgg(pred: org.apache.spark.sql.Column) = li.filter(pred)
-        .groupBy("l_orderkey")
-        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
-          sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
-      val base = keyedAgg(col("l_orderkey") % 4 <= 1)
-      val delta = keyedAgg(col("l_orderkey") % 4 === 3)
-      // shared read-only data dirs (base + append delta); the store and
-      // every commit stay private per run; no vacuum runs here
-      val data = sharedStore(base, "ops.cdfDataStore") { t =>
-        Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
-        Layout.writeClustered(delta, s"$t/d2", "l_orderkey", numFiles = 2)
-      }
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snapcdf")
-        .toString
-      try {
-        SnapshotStore.commit(spark, tmp, 1L,
-          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
-            Seq("l_orderkey")))
-        SnapshotStore.appendCommit(spark, tmp, Seq(s"$data/d2"),
-          Seq("l_orderkey"))
-        val pop = base.unionByName(delta)
-        val forget = pop.filter(col("l_orderkey") % 31 === 0)
-          .select("l_orderkey")
-        SnapshotStore.deleteCommitMor(spark, tmp, 3L, 2L, "l_orderkey",
-          forget, s"$tmp/del3")
-        val present = pop.filter(col("l_orderkey") % 31 =!= 0)
-        val upd = present.filter(col("l_orderkey").between(100, 300))
-          .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
-            col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
-        val del = present.filter(col("l_orderkey").between(400, 500))
-          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
-            lit("D").as("op"), lit(1L).as("seq"))
-        val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
-            col("l_orderkey").between(100, 300))
-          .select(col("l_orderkey"), col("qty_i"), col("price_i"),
-            lit("I").as("op"), lit(1L).as("seq"))
-        SnapshotStore.mergeCommitMor(spark, tmp, 4L, 3L, "l_orderkey",
-          upd.unionByName(del).unionByName(ins), s"$tmp/del4",
-          s"$tmp/img4")
-        SnapshotStore.materializeCommit(spark, tmp, 5L, 4L,
-          "l_orderkey", s"$tmp/d5", numFiles = 2)
-        val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 5L,
-          "l_orderkey").localCheckpoint(true)
-        require(cdf.filter(col("_commit_version") === 5L).isEmpty,
-          "a materialize rewrite must emit ZERO row events")
-        // the consumer contract: v1 + feed = v5 (multiset algebra)
-        val adds = cdf.filter(col("_change_type")
-            .isin("insert", "update_postimage"))
-          .select("l_orderkey", "qty_i", "price_i")
-        val drops = cdf.filter(col("_change_type")
-            .isin("delete", "update_preimage"))
-          .select("l_orderkey", "qty_i", "price_i")
-        val replayed = SnapshotStore.readAt(spark, tmp, 1L)
-          .unionByName(adds).exceptAll(drops)
-        val head = SnapshotStore.readAt(spark, tmp, 5L)
-        require(replayed.exceptAll(head).isEmpty &&
-          head.exceptAll(replayed).isEmpty,
-          "replaying the feed over v1 must reproduce v5 row-for-row")
-        val rows = cdf.groupBy(col("_commit_version").as("version"),
-            col("_change_type").as("change_type"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(col("l_orderkey")).as("sum_key"),
-            sum(col("qty_i")).as("sum_qty_i"))
-          .orderBy("version", "change_type").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("version",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("change_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("n_rows",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_key",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_qty_i",
-              org.apache.spark.sql.types.LongType))))
-      } finally {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(tmp)).deleteRecursively()
-      }
+      import graft.substrate.SnapshotStore
+      val tmp = cdfLifecycleStore(spark, dir)
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 5L,
+        "l_orderkey").localCheckpoint(true)
+      require(cdf.filter(col("_commit_version") === 5L).isEmpty,
+        "a materialize rewrite must emit ZERO row events")
+      // the consumer contract: v1 + feed = v5 (multiset algebra)
+      val adds = cdf.filter(col("_change_type")
+          .isin("insert", "update_postimage"))
+        .select("l_orderkey", "qty_i", "price_i")
+      val drops = cdf.filter(col("_change_type")
+          .isin("delete", "update_preimage"))
+        .select("l_orderkey", "qty_i", "price_i")
+      val replayed = SnapshotStore.readAt(spark, tmp, 1L)
+        .unionByName(adds).exceptAll(drops)
+      val head = SnapshotStore.readAt(spark, tmp, 5L)
+      require(replayed.exceptAll(head).isEmpty &&
+        head.exceptAll(replayed).isEmpty,
+        "replaying the feed over v1 must reproduce v5 row-for-row")
+      val rows = cdf.groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_key"),
+          sum(col("qty_i")).as("sum_qty_i"))
+        .orderBy("version", "change_type").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_key",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_qty_i",
+            org.apache.spark.sql.types.LongType))))
     },
     Some(
       """WITH ka AS (SELECT l_orderkey, l_orderkey % 4 AS q,
@@ -2255,6 +2260,81 @@ object OpsTier {
         |CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
         |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i
         |FROM ev GROUP BY 1, 2 ORDER BY version, change_type"""
+        .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** The DOWNSTREAM CONSUMER of the row-level feed (r15 — what check
+    * #29's incremental coverage is FOR): a COUNT/SUM materialized view
+    * computed ONCE at v1 and maintained to v5 purely from
+    * `readChangesBetween`'s typed events — converted to the
+    * before/after-image contract `MaterializedView.refreshSumCount`
+    * folds (pre/post pairs join per (key, commit); `_commit_version`
+    * is the per-key sequence) — WITHOUT ever re-reading the base table.
+    * Require-pinned: the refreshed MV equals a full recompute over the
+    * v5 head row-for-row. This composes three r15/r14 mechanisms —
+    * CDF over MoR deletes and merges, the image-fold MV refresh, the
+    * manifest-composed step reads — into the exact pipeline a 100 TB
+    * deployment runs: the aggregate's refresh cost is O(|events|),
+    * never the base scan, across appends, forgets, CDC merges, and
+    * maintenance rewrites (which emit nothing). Oracle: the merged
+    * final state recomputed relationally, grouped. Anchor:
+    * `requirements.yaml:91-93,123-125`, `3-current.md:14`.
+    */
+  val mvRefreshFromCdf = Check("mv_refresh_from_cdf",
+    (spark, dir) => {
+      import graft.substrate.{MaterializedView, SnapshotStore}
+      val tmp = cdfLifecycleStore(spark, dir)
+      def grouped(df: DataFrame) = df
+        .groupBy((col("l_orderkey") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_i")).as("s"))
+      val mv0 = grouped(SnapshotStore.readAt(spark, tmp, 1L))
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 5L,
+        "l_orderkey").localCheckpoint(true)
+      // events → the MV's image rows: at most one pre/post pair per
+      // (key, commit), so the commit version IS the per-key sequence
+      val pre = cdf.filter(col("_change_type")
+          .isin("delete", "update_preimage"))
+        .select(col("l_orderkey"), (col("l_orderkey") % 10).as("b_g"),
+          col("qty_i").as("b_v"), col("_commit_version").as("seq"))
+      val post = cdf.filter(col("_change_type")
+          .isin("insert", "update_postimage"))
+        .select(col("l_orderkey"), (col("l_orderkey") % 10).as("a_g"),
+          col("qty_i").as("a_v"), col("_commit_version").as("seq"))
+      val changes = pre.join(post, Seq("l_orderkey", "seq"),
+        "full_outer")
+      val refreshed = MaterializedView.refreshSumCount(mv0, changes,
+        Seq("l_orderkey")).localCheckpoint(true)
+      val recomputed = grouped(SnapshotStore.readAt(spark, tmp, 5L))
+      require(refreshed.exceptAll(recomputed).isEmpty &&
+        recomputed.exceptAll(refreshed).isEmpty,
+        "the feed-maintained MV must equal a full recompute at the head")
+      val rows = refreshed.orderBy("g").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.LongType))))
+    },
+    Some(
+      """WITH ka AS (SELECT l_orderkey, l_orderkey % 4 AS q,
+        |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i
+        |FROM lineitem GROUP BY 1, 2),
+        |pop AS (SELECT * FROM ka WHERE q <= 1 OR q = 3),
+        |final AS (
+        |SELECT l_orderkey, CASE WHEN l_orderkey BETWEEN 100 AND 300
+        |THEN qty_i + 1000 ELSE qty_i END AS qty_i
+        |FROM pop WHERE l_orderkey % 31 <> 0
+        |AND l_orderkey NOT BETWEEN 400 AND 500
+        |UNION ALL SELECT l_orderkey, qty_i FROM ka
+        |WHERE q = 2 AND l_orderkey BETWEEN 100 AND 300)
+        |SELECT CAST(l_orderkey % 10 AS BIGINT) AS g,
+        |CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(qty_i) AS BIGINT) AS s
+        |FROM final GROUP BY 1 ORDER BY g"""
         .stripMargin.replace("\n", " ")),
     isScore = false)
 
@@ -2375,5 +2455,6 @@ object OpsTier {
     snapshotIngestPublishStream, snapshotReadPrunedZ,
     snapshotReadPrunedTime, snapshotPointLookupBloom,
     snapshotReadPrunedStr, snapshotDeleteDv, snapshotMergeCommit,
-    snapshotMergeMor, snapshotCdfRead, snapshotConcurrentCompact)
+    snapshotMergeMor, snapshotCdfRead, mvRefreshFromCdf,
+    snapshotConcurrentCompact)
 }
