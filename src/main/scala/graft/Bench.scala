@@ -432,6 +432,11 @@ object Bench {
     val degradeBar = if (diskMbps > 0) math.min(150.0, diskMbps / 3.0)
       else 100.0
     val floorBar = 50.0
+    // an explicit SPARK_GRAFT_POOL is a regime EXPERIMENT (the r9/r14
+    // contract: it always wins) — the mid-run derate must not fight it,
+    // or a deliberate 8-wide A/B silently measures 4-wide; probing and
+    // the contended/rerun record stay on regardless
+    val derateEnabled = sys.env.get("SPARK_GRAFT_POOL").isEmpty
     val sem = new java.util.concurrent.Semaphore(poolWidth, true)
     val reductionHeld = new java.util.concurrent.atomic.AtomicInteger(0)
     val midRunDegraded = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -450,7 +455,8 @@ object Bench {
           val mbps = diskProbe()
           probeSeries.add((s"t$tick", mbps))
           val target =
-            if (mbps >= 0 && mbps < floorBar) 2
+            if (!derateEnabled) poolWidth
+            else if (mbps >= 0 && mbps < floorBar) 2
             else if (mbps >= 0 && mbps < degradeBar)
               math.max(2, poolWidth / 2)
             else poolWidth

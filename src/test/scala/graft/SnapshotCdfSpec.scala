@@ -216,6 +216,34 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
+  test("readChangesBetween works across COPY-ON-WRITE steps too: a CoW " +
+      "delete emits exactly its deletes, a compaction emits nothing") {
+    // the file-level diff degenerates to the full table on both of
+    // these steps (the snapshot_incremental_read caveat) — the keyed
+    // row diff must see through the rewrite
+    withStore { tmp =>
+      Layout.writeClustered(kv(0 until 30), s"$tmp/d1", "k", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      SnapshotStore.deleteCommit(spark, tmp, 2L, 1L, "k", 5L, 9L,
+        s"$tmp/d2")
+      Layout.writeClustered(SnapshotStore.readAt(spark, tmp, 2L),
+        s"$tmp/d3", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 3L,
+        SnapshotStore.manifestForStats(spark, 3L, Seq(s"$tmp/d3"),
+          Seq("k")))
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 3L, "k")
+      val byStep = cdf.groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(byStep == Map((2L, "delete") -> (5L, (5L to 9L).sum)),
+        s"CoW delete must emit exactly its deletes and the compaction " +
+          s"nothing, got $byStep")
+    }
+  }
+
   test("readChangesBetween: an append-only window reads only the " +
       "delta files and a no-change window yields an empty typed frame") {
     withStore { tmp =>
