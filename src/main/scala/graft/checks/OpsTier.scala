@@ -2308,6 +2308,30 @@ object OpsTier {
       require(refreshed.exceptAll(recomputed).isEmpty &&
         recomputed.exceptAll(refreshed).isEmpty,
         "the feed-maintained MV must equal a full recompute at the head")
+      // WINDOW COMPOSABILITY — the consumer-resume contract a real
+      // incremental pipeline needs (stop at v3, restart, catch up):
+      // folding the feed in two windows (1→3, then 3→5) must land on
+      // the same MV as the one-window fold
+      def imagesOf(from: Long, to: Long) = {
+        val w = SnapshotStore.readChangesBetween(spark, tmp, from, to,
+          "l_orderkey")
+        val p = w.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
+          .select(col("l_orderkey"), (col("l_orderkey") % 10).as("b_g"),
+            col("qty_i").as("b_v"), col("_commit_version").as("seq"))
+        val q = w.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+          .select(col("l_orderkey"), (col("l_orderkey") % 10).as("a_g"),
+            col("qty_i").as("a_v"), col("_commit_version").as("seq"))
+        p.join(q, Seq("l_orderkey", "seq"), "full_outer")
+      }
+      val mvMid = MaterializedView.refreshSumCount(mv0,
+        imagesOf(1L, 3L), Seq("l_orderkey")).localCheckpoint(true)
+      val mvResumed = MaterializedView.refreshSumCount(mvMid,
+        imagesOf(3L, 5L), Seq("l_orderkey"))
+      require(mvResumed.exceptAll(refreshed).isEmpty &&
+        refreshed.exceptAll(mvResumed).isEmpty,
+        "two-window consumption must compose to the one-window fold")
       val rows = refreshed.orderBy("g").collect()
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
