@@ -532,7 +532,11 @@ object VectorArtifact {
     requireUnreferenced(spark, base, version) // fail fast, pre-stage
     stagedPublish(spark, base, version) { (stage, finalize) =>
       writeSkinny(spark, stage, loaded.centroids, loaded.cb)
-      del.coalesce(1).write.parquet(s"$stage/deletes")
+      // numFiles ∝ the batch (VERDICT r15 what's-wrong #2): one file
+      // for a forget batch, fan-out for a changelog-scale sidecar —
+      // every reader already lists the dir plural
+      del.repartition(SnapshotStore.sidecarFileCount(n))
+        .write.parquet(s"$stage/deletes")
       val sidecar = listParquetFiles(spark, s"$stage/deletes")
         .map(f => (finalize(f), None, Some("delete")))
       require(sidecar.nonEmpty,

@@ -135,8 +135,9 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
-  test("append under a pending merge sidecar: new keys serve; a " +
-      "superseded key stays hidden until materialized (documented)") {
+  test("append under a pending merge sidecar SERVES immediately (r16, " +
+      "per-file sequence stamping): fresh keys AND an append-path " +
+      "re-admit; a governance sidecar still hides later appends") {
     withStore { tmp =>
       val base = kv(0 until 30)
       Layout.writeClustered(base, s"$tmp/d1", "k", numFiles = 2)
@@ -145,16 +146,35 @@ class SnapshotCdfSpec extends SparkSpec {
           Seq("k")))
       SnapshotStore.mergeCommitMor(spark, tmp, 2L, 1L, "k",
         changes(0 until 0, 5 to 9, 0 until 0), s"$tmp/del2", s"$tmp/img2")
-      // append fresh keys 100..104 and a re-admit attempt at k=7
+      // append fresh keys 100..104 and an append-path re-admit at k=7
       Layout.writeClustered(kv(100 until 105).unionByName(
           kv(7 until 8)), s"$tmp/w3", "k", numFiles = 1)
       SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w3"), Seq("k"))
       val head = SnapshotStore.readAt(spark, tmp, 3L)
       assert(head.filter(col("k") >= 100).count() == 5,
         "fresh appended keys must serve under a pending sidecar")
-      assert(head.filter(col("k") === 7).count() == 0,
-        "an append-path re-admit stays hidden until materialize — " +
-          "the documented contract (re-admit through a merge instead)")
+      // the r15 boundary, FLIPPED (ADVICE r15 medium / VERDICT r15
+      // next #5): appendCommit stamps added_v, so the appended row is
+      // exempt from the earlier merge sidecar — the Iceberg
+      // sequence-number discipline (equality deletes apply only to
+      // files with strictly smaller sequence numbers); the superseded
+      // BASE row at k=7 stays hidden
+      assert(head.filter(col("k") === 7).count() == 1,
+        "an append after a MoR merge must serve immediately — " +
+          "equality deletes apply only to smaller sequence numbers")
+      assert(head.filter(col("k").between(5, 9)).count() == 1,
+        "the other superseded base keys stay hidden")
+      // the GOVERNANCE sidecar keeps its whole-table scope: a forget
+      // subject must never reappear through a later append
+      import spark.implicits._
+      SnapshotStore.deleteCommitMor(spark, tmp, 4L, 3L, "k",
+        Seq(100L).toDF("k"), s"$tmp/del4")
+      Layout.writeClustered(kv(100 until 101), s"$tmp/w5", "k",
+        numFiles = 1)
+      SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w5"), Seq("k"))
+      assert(SnapshotStore.readAt(spark, tmp, 5L)
+          .filter(col("k") === 100).count() == 0,
+        "a governance forget must hide even later-appended subjects")
     }
   }
 
@@ -266,6 +286,168 @@ class SnapshotCdfSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         SnapshotStore.readChangesBetween(spark, tmp, 2L, 2L, "k"); ()
       }
+    }
+  }
+
+  private def kv2(range: Range): DataFrame = {
+    import spark.implicits._
+    // composite key (k1, k2): two lines per k1, like (orderkey, lineno)
+    range.flatMap(i => Seq((i.toLong, 1L, (i % 7).toLong),
+      (i.toLong, 2L, (i % 5).toLong))).toDF("k1", "k2", "v")
+  }
+
+  test("composite-key MoR + CDF (r16): deleteCommitMor, mergeCommitMor " +
+      "and readChangesBetween on a two-column key match applyChangeLog " +
+      "and the relational replay") {
+    withStore { tmp =>
+      import spark.implicits._
+      val base = kv2(0 until 40)
+      Layout.writeClustered(base, s"$tmp/d1", "k1", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k1")))
+      // v2: composite governance forget — (k1, k2) tuples, NOT whole
+      // k1 groups: only line 2 of every 10th key is forgotten
+      val forget = (0 until 40 by 10).map(i => (i.toLong, 2L))
+        .toDF("k1", "k2")
+      val n = SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L,
+        Seq("k1", "k2"), forget, s"$tmp/del2")
+      assert(n == 4)
+      val afterForget = base.join(forget, Seq("k1", "k2"), "left_anti")
+      assert(sameRows(SnapshotStore.readAt(spark, tmp, 2L), afterForget))
+      // line 1 of the forgotten keys must SURVIVE (tuple, not k1, is
+      // the identity)
+      assert(SnapshotStore.readAt(spark, tmp, 2L)
+        .filter(col("k1") === 10L).count() == 1)
+      // v3: composite MoR merge — update (3,1), delete (4,2), insert
+      // (100,1)
+      val ch = Seq((3L, 1L, 999L, "U", 1L), (4L, 2L, 0L, "D", 1L),
+        (100L, 1L, 777L, "I", 1L)).toDF("k1", "k2", "v", "op", "seq")
+      SnapshotStore.mergeCommitMor(spark, tmp, 3L, 2L, Seq("k1", "k2"),
+        ch, s"$tmp/del3", s"$tmp/img3", 1, "seq", "op")
+      val expected = Cdc.applyChangeLog(afterForget, ch, Seq("k1", "k2"))
+      assert(sameRows(SnapshotStore.readAt(spark, tmp, 3L), expected))
+      // v4: materialize; the full feed then replays v1 → v4 exactly
+      SnapshotStore.materializeCommit(spark, tmp, 4L, 3L, "k1",
+        s"$tmp/d4", numFiles = 2)
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 4L,
+        Seq("k1", "k2"))
+      assert(cdf.filter(col("_commit_version") === 4L).isEmpty,
+        "the materialize step emits nothing")
+      val adds = cdf.filter(col("_change_type")
+        .isin("insert", "update_postimage")).select("k1", "k2", "v")
+      val drops = cdf.filter(col("_change_type")
+        .isin("delete", "update_preimage")).select("k1", "k2", "v")
+      val replayed = SnapshotStore.readAt(spark, tmp, 1L)
+        .unionByName(adds).exceptAll(drops)
+      assert(sameRows(replayed, SnapshotStore.readAt(spark, tmp, 4L)))
+      // the update classified per TUPLE: (3,1) updated, (3,2) silent
+      assert(cdf.filter(col("_change_type") === "update_postimage")
+        .select("k1", "k2").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet == Set((3L, 1L)))
+    }
+  }
+
+  test("multi-file sidecars compose through readCore and " +
+      "readChangesBetween (r16: numFiles ∝ batch, no single-task write)") {
+    val saved = SnapshotStore.sidecarTargetKeysPerFile
+    SnapshotStore.sidecarTargetKeysPerFile = 3L // force fan-out
+    try withStore { tmp =>
+      import spark.implicits._
+      Layout.writeClustered(kv(0 until 60), s"$tmp/d1", "k", numFiles = 3)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      val forget = (0L until 60L by 7L).toDF("k") // 9 keys → 3 files
+      SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L, "k", forget,
+        s"$tmp/del2")
+      val sidecarFiles = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 2L && col("kind") === "delete")
+        .select("file").distinct().count()
+      assert(sidecarFiles == 3,
+        s"9 keys at 3/file must write 3 sidecar files, got $sidecarFiles")
+      assert(sameRows(SnapshotStore.readAt(spark, tmp, 2L),
+        kv(0 until 60).filter(col("k") % 7 =!= 0)))
+      // the feed applies the multi-file sidecar as ONE delete batch
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 2L, "k")
+      assert(cdf.filter(col("_change_type") === "delete").count() == 9)
+      assert(cdf.filter(col("_change_type") =!= "delete").isEmpty)
+      // and the merge path fans out too, composing identically
+      val ch = changes(10 to 12, 0 until 0, 200 to 206) // 10 keys
+      SnapshotStore.mergeCommitMor(spark, tmp, 3L, 2L, "k", ch,
+        s"$tmp/del3", s"$tmp/img3")
+      val mergeSidecarFiles = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === 3L && col("kind") === "merge_delete")
+        .select("file").distinct().count()
+      assert(mergeSidecarFiles == 4, // ceil(10/3)
+        s"10 keys at 3/file must write 4 files, got $mergeSidecarFiles")
+      assert(sameRows(SnapshotStore.readAt(spark, tmp, 3L),
+        Cdc.applyChangeLog(
+          kv(0 until 60).filter(col("k") % 7 =!= 0), ch, Seq("k"))))
+    } finally SnapshotStore.sidecarTargetKeysPerFile = saved
+  }
+
+  test("CDF carried-file prune is DISTRIBUTED (r16): sidecar keys " +
+      "never collect to the driver, and non-matching carried files " +
+      "are still not scanned") {
+    withStore { tmp =>
+      import spark.implicits._
+      // 4 clustered files over 0..400; the merge touches only 0..80
+      Layout.writeClustered(kv(0 until 400), s"$tmp/d1", "k",
+        numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      val ch = changes(10 to 80, 0 until 0, 0 until 0)
+      SnapshotStore.mergeCommitMor(spark, tmp, 2L, 1L, "k", ch,
+        s"$tmp/del2", s"$tmp/img2")
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 2L, "k")
+      // correctness: exactly the update pairs
+      assert(cdf.filter(col("_change_type") === "update_postimage")
+        .count() == 71)
+      assert(cdf.filter(col("_change_type") === "delete").isEmpty)
+      // the prune: carried files whose bounds miss [10, 80] must not
+      // appear in the feed's scan (bin coverage is conservative but at
+      // this clustering each file covers ~100 keys, so at most the
+      // first file survives). DISTINCT part numbers — the 4-branch
+      // union re-scans the same pruned file once per event type
+      val d1Counts = "InMemoryFileIndex\\((\\d+) paths\\)\\[[^,\\]]*d1/"
+        .r.findAllMatchIn(cdf.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).toSeq
+      assert(d1Counts.nonEmpty && d1Counts.max <= 1,
+        s"the carried-file prune must skip non-matching files, " +
+          s"d1 scan path counts: $d1Counts")
+    }
+  }
+
+  test("readChangesBetween STRIDES past CdfStrideSteps commits (r16): " +
+      "a 20-append history folds into O(steps/stride) plan leaves and " +
+      "stays correct") {
+    withStore { tmp =>
+      Layout.writeClustered(kv(0 until 10), s"$tmp/d1", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      (0 until 20).foreach { i =>
+        Layout.writeClustered(kv((10 + 10 * i) until (20 + 10 * i)),
+          s"$tmp/w${i + 2}", "k", numFiles = 1)
+        SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w${i + 2}"),
+          Seq("k"))
+      }
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 21L, "k")
+      assert(cdf.count() == 200)
+      assert(cdf.filter(col("_change_type") =!= "insert").isEmpty)
+      assert(cdf.select(countDistinct(col("_commit_version"))).head
+        .getLong(0) == 20)
+      // the plan is bounded: 20 steps at stride 16 → 1 checkpointed
+      // leaf + the 4-step tail, never a 20-frame union
+      val leaves = cdf.queryExecution.optimizedPlan.collectLeaves().size
+      assert(leaves <= SnapshotStore.CdfStrideSteps,
+        s"a 20-step window must stride, got $leaves plan leaves")
+      // replay still lands on the head
+      val replayed = SnapshotStore.readAt(spark, tmp, 1L)
+        .unionByName(cdf.select("k", "v"))
+      assert(sameRows(replayed, SnapshotStore.readAt(spark, tmp, 21L)))
     }
   }
 }
