@@ -2013,12 +2013,21 @@ object OpsTier {
     * both directions); `countAt` refuses while pending (equality
     * deletes make matched counts unknowable — the Iceberg call) and
     * serves again after `materializeCommit` converges the table to the
-    * CoW result at v3. The output emits v2 (logical) and v3
-    * (materialized) aggregates — hash-equal to each other and to the
-    * oracle's relational replay: merge-on-read is an I/O strategy,
-    * never a semantics change. At 100 TB this is high-frequency CDC on
-    * a wide key distribution: commit I/O ∝ the changelog, the rewrite
-    * storm deferred to the maintenance window that compacts anyway.
+    * CoW result. r16 extends the lifecycle with a plain APPEND UNDER
+    * THE PENDING SIDECAR (v3, the disjoint %4=3 population):
+    * require-pinned to serve IMMEDIATELY — `appendCommit` stamps
+    * per-file sequence numbers (`added_v`), so an earlier merge
+    * sidecar exempts later appends, the full Iceberg equality-delete
+    * discipline (ADVICE r15 medium: the r15 behavior hid such rows
+    * until materialize — silent row loss in the plausible
+    * append-after-CDC-merge workflow). The output emits v2 (logical),
+    * v3 (post-append) and v4 (materialized) aggregates — v3 = v4
+    * hash-pins that materialization changes nothing the append didn't
+    * already serve: merge-on-read is an I/O strategy, never a
+    * semantics change. At 100 TB this is high-frequency CDC on a wide
+    * key distribution: commit I/O ∝ the changelog, the rewrite storm
+    * deferred to the maintenance window that compacts anyway, and
+    * ingest NEVER pauses behind a pending merge.
     * Anchor: `requirements.yaml:123-125`.
     */
   val snapshotMergeMor = Check("snapshot_merge_mor",
@@ -2077,10 +2086,24 @@ object OpsTier {
           }
         require(refused,
           "countAt must refuse a metadata count under pending deletes")
-        SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
-          "l_orderkey", s"$tmp/d3", numFiles = 2)
-        require(SnapshotStore.countAt(spark, tmp, 3L) ==
-          SnapshotStore.readAt(spark, tmp, 3L).count(),
+        // v3: plain append UNDER the pending merge sidecar — the
+        // disjoint %4=3 population must serve immediately (per-file
+        // sequence stamping; r16)
+        val app = keyedAgg(col("l_orderkey") % 4 === 3)
+        Layout.writeClustered(app, s"$tmp/d3app", "l_orderkey",
+          numFiles = 2)
+        SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/d3app"),
+          Seq("l_orderkey"))
+        val nApp = app.count()
+        require(SnapshotStore.readAt(spark, tmp, 3L).count() ==
+          SnapshotStore.readAt(spark, tmp, 2L).count() + nApp,
+          "rows appended under a pending merge sidecar must serve " +
+            "immediately — equality deletes apply only to smaller " +
+            "per-file sequence numbers")
+        SnapshotStore.materializeCommit(spark, tmp, 4L, 3L,
+          "l_orderkey", s"$tmp/d4", numFiles = 2)
+        require(SnapshotStore.countAt(spark, tmp, 4L) ==
+          SnapshotStore.readAt(spark, tmp, 4L).count(),
           "the materialized head must serve metadata counts again")
         def agg(v: Long) = SnapshotStore.readAt(spark, tmp, v)
           .agg(count(lit(1)).as("n_rows"),
@@ -2088,8 +2111,8 @@ object OpsTier {
             sum(col("price_i")).as("sum_price_i"))
           .select(lit(v).as("version"), col("n_rows"),
             col("sum_qty_i"), col("sum_price_i"))
-        val rows = agg(2L).unionByName(agg(3L)).orderBy("version")
-          .collect()
+        val rows = agg(2L).unionByName(agg(3L)).unionByName(agg(4L))
+          .orderBy("version").collect()
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
           SnapAggSchema)
@@ -2113,15 +2136,21 @@ object OpsTier {
           |CASE WHEN l_orderkey BETWEEN 100 AND 300 THEN qty_i + 1000
           |ELSE qty_i END AS qty_i, price_i
           |FROM base WHERE l_orderkey NOT BETWEEN 400 AND 500
-          |UNION ALL SELECT l_orderkey, qty_i, price_i FROM ins)"""
+          |UNION ALL SELECT l_orderkey, qty_i, price_i FROM ins),
+          |appended AS (SELECT * FROM merged
+          |UNION ALL SELECT l_orderkey,
+          |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+          |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey % 4 = 3 GROUP BY 1)"""
           .stripMargin.replace("\n", " ")
-      def one(v: Int) =
+      def one(v: Int, from: String) =
         s"""SELECT CAST($v AS BIGINT) AS version,
            |CAST(COUNT(*) AS BIGINT) AS n_rows,
            |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i,
-           |CAST(SUM(price_i) AS BIGINT) AS sum_price_i FROM merged"""
+           |CAST(SUM(price_i) AS BIGINT) AS sum_price_i FROM $from"""
           .stripMargin.replace("\n", " ")
-      s"$merged ${one(2)} UNION ALL ${one(3)} ORDER BY version"
+      s"$merged ${one(2, "merged")} UNION ALL ${one(3, "appended")} " +
+        s"UNION ALL ${one(4, "appended")} ORDER BY version"
     },
     isScore = false)
 
@@ -2183,8 +2212,15 @@ object OpsTier {
       val del = present.filter(col("l_orderkey").between(400, 500))
         .select(col("l_orderkey"), col("qty_i"), col("price_i"),
           lit("D").as("op"), lit(1L).as("seq"))
+      // the %31 filter is load-bearing (ADVICE r15 low): an insert key
+      // that matched the v3 forget would be hidden by the governance
+      // sidecar (scope None) while the oracle counted it served — the
+      // check passed only because TPC-H orderkey sparsity left the
+      // intersection empty; filter BOTH engines so correctness stops
+      // depending on generator key sparsity
       val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
-          col("l_orderkey").between(100, 300))
+          col("l_orderkey").between(100, 300) &&
+          col("l_orderkey") % 31 =!= 0)
         .select(col("l_orderkey"), col("qty_i"), col("price_i"),
           lit("I").as("op"), lit(1L).as("seq"))
       SnapshotStore.mergeCommitMor(spark, t, 4L, 3L, "l_orderkey",
@@ -2247,7 +2283,7 @@ object OpsTier {
         |del4 AS (SELECT * FROM pop WHERE l_orderkey % 31 <> 0
         |AND l_orderkey BETWEEN 400 AND 500),
         |ins4 AS (SELECT * FROM ka WHERE q = 2
-        |AND l_orderkey BETWEEN 100 AND 300),
+        |AND l_orderkey BETWEEN 100 AND 300 AND l_orderkey % 31 <> 0),
         |ev AS (
         |SELECT 2 AS version, 'insert' AS change_type, l_orderkey, qty_i FROM b2
         |UNION ALL SELECT 3, 'delete', l_orderkey, qty_i FROM del3
@@ -2354,7 +2390,8 @@ object OpsTier {
         |FROM pop WHERE l_orderkey % 31 <> 0
         |AND l_orderkey NOT BETWEEN 400 AND 500
         |UNION ALL SELECT l_orderkey, qty_i FROM ka
-        |WHERE q = 2 AND l_orderkey BETWEEN 100 AND 300)
+        |WHERE q = 2 AND l_orderkey BETWEEN 100 AND 300
+        |AND l_orderkey % 31 <> 0)
         |SELECT CAST(l_orderkey % 10 AS BIGINT) AS g,
         |CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(SUM(qty_i) AS BIGINT) AS s
