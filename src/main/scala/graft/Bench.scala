@@ -184,7 +184,12 @@ object Bench {
     // feed-maintained MV (shared lifecycle store + image fold +
     // recompute-equality pin)
     "snapshot_merge_mor", "snapshot_cdf_read", "ann_stored_index_delete_dv",
-    "mv_refresh_from_cdf")
+    "mv_refresh_from_cdf",
+    // r16 debuts, pinned on arrival: the composite-key CDF lifecycle
+    // (its own shared 5-commit store at lineitem ROW level — the
+    // registry's widest fixture build) and the streaming feed consumer
+    // (stateful micro-batch loop → also in StatefulSet)
+    "snapshot_cdf_composite", "mv_refresh_stream_cdf")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,
@@ -216,7 +221,9 @@ object Bench {
       "snapshot_concurrent_compact",
       // r13: a true stream (blocking micro-batch loop), like its
       // vector-store twin vector_ingest_publish_stream
-      "snapshot_ingest_publish_stream")
+      "snapshot_ingest_publish_stream",
+      // r16: the streaming feed consumer (blocking micro-batch loop)
+      "mv_refresh_stream_cdf")
 
   /** Runs per pinned serial query; the reported wall is the MEDIAN so a
     * one-off GC pause or JIT recompile can't become the round's number

@@ -420,6 +420,70 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
+  test("streaming feed consumer ≡ batch fold ≡ full recompute (r16): " +
+      "a foreachBatch consumer folding readChangesBetween windows into " +
+      "a persisted MV lands on the head's truth") {
+    withStore { tmp =>
+      import graft.substrate.MaterializedView
+      Layout.writeClustered(kv(0 until 60), s"$tmp/d1", "k", numFiles = 2)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      Layout.writeClustered(kv(60 until 80), s"$tmp/w2", "k", numFiles = 1)
+      SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w2"), Seq("k"))
+      SnapshotStore.mergeCommitMor(spark, tmp, 3L, 2L, "k",
+        changes(10 to 20, 30 to 35, 100 to 104), s"$tmp/del3",
+        s"$tmp/img3")
+      SnapshotStore.materializeCommit(spark, tmp, 4L, 3L, "k",
+        s"$tmp/d4", numFiles = 1)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 2)
+      implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+      import ss.implicits._
+      def grouped(df: DataFrame) = df.groupBy((col("k") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      def imagesOf(w: DataFrame) = {
+        val pre = w.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
+          .select(col("k"), (col("k") % 5).as("b_g"),
+            col("v").as("b_v"), col("_commit_version").as("seq"))
+        val post = w.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+          .select(col("k"), (col("k") % 5).as("a_g"),
+            col("v").as("a_v"), col("_commit_version").as("seq"))
+        pre.join(post, Seq("k", "seq"), "full_outer")
+      }
+      var mv = grouped(SnapshotStore.readAt(ss, tmp, 1L))
+        .localCheckpoint(true)
+      var lastSeen = 1L
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = input.toDF().toDF("head").writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val head = batch.agg(max(col("head"))).head.getLong(0)
+          if (head > lastSeen) {
+            mv = MaterializedView.refreshSumCount(mv,
+              imagesOf(SnapshotStore.readChangesBetween(ss, tmp,
+                lastSeen, head, "k")), Seq("k")).localCheckpoint(true)
+            lastSeen = head
+          }
+        }.start()
+      try Seq(2L, 4L).foreach { h =>
+        input.addData(h); q.processAllAvailable()
+      } finally q.stop()
+      assert(lastSeen == 4L)
+      val recomputed = grouped(SnapshotStore.readAt(ss, tmp, 4L))
+      assert(sameRows(mv, recomputed),
+        "stream-maintained MV must equal the full recompute")
+      val batchMv = MaterializedView.refreshSumCount(
+        grouped(SnapshotStore.readAt(ss, tmp, 1L)),
+        imagesOf(SnapshotStore.readChangesBetween(ss, tmp, 1L, 4L, "k")),
+        Seq("k"))
+      assert(sameRows(mv, batchMv),
+        "streamed windows must equal the one-shot batch fold")
+    }
+  }
+
   test("readChangesBetween STRIDES past CdfStrideSteps commits (r16): " +
       "a 20-append history folds into O(steps/stride) plan leaves and " +
       "stays correct") {
