@@ -784,6 +784,35 @@ class VectorArtifactSpec extends SparkSpec {
     }
   }
 
+  test("a MULTI-FILE delete sidecar composes through every vector read " +
+      "path (r16: numFiles ∝ batch — no single-task sidecar write)") {
+    import graft.substrate.SnapshotStore
+    val saved = SnapshotStore.sidecarTargetKeysPerFile
+    SnapshotStore.sidecarTargetKeysPerFile = 8L // 20 keys → 3 files
+    try withTmp { tmp =>
+      val (cents, cb, codes, _) = clusteredV0(tmp)
+      val forget = corpus.filter(col("vec_id") % 10 === 7)
+        .select("vec_id").localCheckpoint(true)
+      val n = VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L, forget)
+      assert(n == 20)
+      val sidecarFiles = VectorArtifact.readManifestFull(spark, tmp, 1L)
+        .filter(_._3.contains("delete")).map(_._1).distinct
+      assert(sidecarFiles.size == 3,
+        s"20 keys at 8/file must write 3 sidecar files, " +
+          s"got ${sidecarFiles.size}")
+      val expected = codes.join(forget, Seq("vec_id"), "left_anti")
+      def key(df: DataFrame) = df.select("vec_id", "codes", "cell")
+        .orderBy("vec_id").collect().toSeq
+      assert(key(VectorArtifact.loadLatest(spark, tmp).codes) ==
+        key(expected), "full-ADC load must apply ALL sidecar files")
+      val affectedCells = codes.join(forget, Seq("vec_id"))
+        .select("cell").distinct().as[Long].collect().toSeq
+      assert(VectorArtifact.codesForCells(spark, tmp, 1L, affectedCells)
+        .join(forget, Seq("vec_id"), "left_semi").isEmpty,
+        "the probed read must apply ALL sidecar files")
+    } finally SnapshotStore.sidecarTargetKeysPerFile = saved
+  }
+
   test("a SCOPED compact under a pending sidecar carries it forward: " +
       "uncovered cells stay logically deleted, a later full compact " +
       "finishes the materialization") {
