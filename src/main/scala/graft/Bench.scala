@@ -187,9 +187,12 @@ object Bench {
     "mv_refresh_from_cdf",
     // r16 debuts, pinned on arrival: the composite-key CDF lifecycle
     // (its own shared 5-commit store at lineitem ROW level — the
-    // registry's widest fixture build) and the streaming feed consumer
-    // (stateful micro-batch loop → also in StatefulSet)
-    "snapshot_cdf_composite", "mv_refresh_stream_cdf")
+    // registry's widest fixture build), the streaming feed consumer
+    // (stateful micro-batch loop → also in StatefulSet), and the
+    // positional delete (bounded matched-row scan + sidecar commit +
+    // materialize rewrite)
+    "snapshot_cdf_composite", "mv_refresh_stream_cdf",
+    "snapshot_delete_pos")
 
   /** Queries that drive a BLOCKING stateful micro-batch loop
     * (processAllAvailable per fixture batch). Correct and cheap serially,

@@ -324,7 +324,7 @@ object Checks {
     * whose band algebra is witnessed by portable-md5 twins.
     */
   object Counts {
-    val total = 218
+    val total = 219
     val rowsOnlyNames = Set("dedup_minhash_lsh", "dedup_incremental_prod")
     val rowsOnly = rowsOnlyNames.size
     val oracled = total - rowsOnly

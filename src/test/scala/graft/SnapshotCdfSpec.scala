@@ -420,6 +420,93 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
+  test("positional delete (r16): countAt stays ALIVE, zero rewrites, " +
+      "reads exact, re-inserts serve, CDF emits the deletes, equality " +
+      "pending still refuses counts, materialize converges") {
+    withStore { tmp =>
+      import spark.implicits._
+      Layout.writeClustered(kv(0 until 200), s"$tmp/d1", "k", numFiles = 4)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      val forget = (0L until 200L by 13L).toDF("k") // 16 scattered keys
+      val n = SnapshotStore.deleteCommitPos(spark, tmp, 2L, 1L, "k",
+        forget, s"$tmp/pos2")
+      assert(n == 16)
+      // THE headline: the metadata count survives the forget (where
+      // the equality sidecar refuses) — and matches the logical read
+      assert(SnapshotStore.countAt(spark, tmp, 2L) == 200 - 16)
+      assert(SnapshotStore.countAt(spark, tmp, 2L) ==
+        SnapshotStore.readAt(spark, tmp, 2L).count())
+      // zero data files rewritten
+      def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
+        .filter(col("version") === v && (col("kind").isNull ||
+          !col("kind").isin("delete", "merge_delete", "pos_delete")))
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(dataFilesOf(1L) == dataFilesOf(2L))
+      val expected = kv(0 until 200).filter(col("k") % 13 =!= 0)
+      assert(sameRows(SnapshotStore.readAt(spark, tmp, 2L), expected))
+      // pruned reads apply the positions too
+      assert(sameRows(
+        SnapshotStore.readAtWhere(spark, tmp, 2L, "k", 0L, 60L),
+        expected.filter(col("k").between(0, 60))))
+      // a second DISJOINT positional forget composes; counts stay exact
+      val n2 = SnapshotStore.deleteCommitPos(spark, tmp, 3L, 2L, "k",
+        (1L until 200L by 50L).toDF("k"), s"$tmp/pos3")
+      assert(n2 == 4)
+      assert(SnapshotStore.countAt(spark, tmp, 3L) == 200 - 16 - 4)
+      // re-deleting an already-forgotten key matches NOTHING (the
+      // build scans the logical table — positions stay disjoint);
+      // nothing to commit, so it refuses
+      intercept[IllegalArgumentException] {
+        SnapshotStore.deleteCommitPos(spark, tmp, 4L, 3L, "k",
+          Seq(13L).toDF("k"), s"$tmp/pos4")
+      }
+      // an append RE-INSERTING a forgotten key SERVES (positions name
+      // existing rows only — the stated contrast with the governance
+      // equality forget) and the count stays metadata-exact
+      Layout.writeClustered(kv(13 until 14), s"$tmp/w4", "k",
+        numFiles = 1)
+      SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/w4"), Seq("k"))
+      assert(SnapshotStore.readAt(spark, tmp, 4L)
+        .filter(col("k") === 13L).count() == 1)
+      assert(SnapshotStore.countAt(spark, tmp, 4L) == 200 - 20 + 1)
+      // the row-level feed serves the positional steps as deletes
+      val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 4L, "k")
+      val byStep = cdf.groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(byStep((2L, "delete")) ==
+        (16L, (0L until 200L by 13L).sum))
+      assert(byStep((3L, "delete")) == (4L, (1L until 200L by 50L).sum))
+      assert(byStep((4L, "insert")) == (1L, 13L))
+      assert(byStep.size == 3)
+      // copy-rewrites refuse while pending (the resurrect hazard)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.deleteCommit(spark, tmp, 5L, 4L, "k", 0L, 5L,
+          s"$tmp/cow5")
+      }
+      // an EQUALITY sidecar joining the pending set re-arms the
+      // count refusal (matched counts unknowable again)
+      SnapshotStore.deleteCommitMor(spark, tmp, 5L, 4L, "k",
+        Seq(2L).toDF("k"), s"$tmp/del5")
+      intercept[IllegalArgumentException] {
+        SnapshotStore.countAt(spark, tmp, 5L)
+      }
+      // materialize converges everything and re-arms counts
+      SnapshotStore.materializeCommit(spark, tmp, 6L, 5L, "k",
+        s"$tmp/d6", numFiles = 2)
+      val head = SnapshotStore.readAt(spark, tmp, 6L)
+      assert(SnapshotStore.countAt(spark, tmp, 6L) == head.count())
+      val expect6 = kv(0 until 200)
+        .filter(col("k") % 13 =!= 0 && col("k") % 50 =!= 1 &&
+          col("k") =!= 2L)
+        .unionByName(kv(13 until 14))
+      assert(sameRows(head, expect6))
+    }
+  }
+
   test("streaming feed consumer ≡ batch fold ≡ full recompute (r16): " +
       "a foreachBatch consumer folding readChangesBetween windows into " +
       "a persisted MV lands on the head's truth") {
