@@ -1493,8 +1493,10 @@ object SnapshotStore {
           addedVOfGroups(gs), hit, mergeSchema = true,
           posDeletesOfGroups(gs), keepPos = true)
         if (!scan.columns.contains(c)) None
+        // checkpointed so the covered-file scan runs ONCE (the count
+        // below and the sidecar write would otherwise both pay it)
         else Some(scan.join(broadcast(k), Seq(c), "semi")
-          .select("_graft_file", "_graft_pos"))
+          .select("_graft_file", "_graft_pos").localCheckpoint(true))
       }
     val nPos = matched.fold(0L)(_.count())
     require(nPos > 0,
