@@ -2689,8 +2689,11 @@ object OpsTier {
       val q = input.toDF().toDF("head").writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // the consumer polls the committed head; a micro-batch may
-          // carry several notifications — fold once, up to the latest
-          val head = batch.agg(max(col("head"))).head.getLong(0)
+          // carry several notifications — fold once, up to the latest.
+          // A zero-row micro-batch (engine trigger with no data) is a
+          // no-op, not an NPE (code-review r16)
+          val hd = batch.agg(max(col("head"))).head
+          val head = if (hd.isNullAt(0)) lastSeen else hd.getLong(0)
           if (head > lastSeen) {
             val w = SnapshotStore.readChangesBetween(ss, tmp, lastSeen,
               head, "l_orderkey")

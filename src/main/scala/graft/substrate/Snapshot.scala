@@ -511,11 +511,13 @@ object SnapshotStore {
       .flatMap(g => MetaIo.optString(g, "file")).distinct.sorted
 
   /** The per-file `added_v` stamps of a version's DATA rows (normalized
-    * spelling) — what scopes a merge sidecar. Only [[mergeCommitMor]]
-    * image rows carry one today; absent means "pre-dates every pending
-    * merge sidecar" (subject — conservative for a forget, and exactly
-    * right for carried base files). Duplicate rows for one file keep
-    * the SMALLEST stamp (subject wins under disagreement).
+    * spelling) — the per-file sequence numbers that scope a merge
+    * sidecar. Two writers stamp them: [[mergeCommitMor]] on its image
+    * rows and (since r16) [[appendCommit]] on every fresh append row;
+    * absent means "pre-dates every pending merge sidecar" (conservative
+    * for a forget, and exactly right for pre-r16 base files). Duplicate
+    * rows for one file keep the SMALLEST stamp (subject wins under
+    * disagreement).
     */
   private def addedVOfGroups(
       gs: Seq[org.apache.parquet.example.data.Group])
@@ -562,9 +564,19 @@ object SnapshotStore {
     // pos sidecars.
     def withPos(df: DataFrame): DataFrame =
       if (posFiles.isEmpty && !keepPos) df
-      else df
-        .withColumn("_graft_file", col("_metadata.file_path"))
-        .withColumn("_graft_pos", col("_metadata.row_index"))
+      else {
+        // loud, not silent (code-review r16): a data column named like
+        // the positional helpers would be clobbered by the stamp and
+        // dropped after the anti-join — corrupted reads under a green
+        // plan; the positional path reserves the two names
+        require(!df.columns.contains("_graft_file") &&
+            !df.columns.contains("_graft_pos"),
+          "the positional-delete read path reserves the _graft_file " +
+            "and _graft_pos column names — rename the data columns to " +
+            "use positional sidecars on this table")
+        df.withColumn("_graft_file", col("_metadata.file_path"))
+          .withColumn("_graft_pos", col("_metadata.row_index"))
+      }
     val eras: Seq[(Seq[PendingDelete], Seq[String])] =
       files.groupBy { f =>
         val av = addedV.get(PathNorm(f))
@@ -1343,13 +1355,13 @@ object SnapshotStore {
       lit("delete").as("kind"),
       lit(keyCols.mkString(",")).as("delete_key"))
     // a conflict surfacing from commit()'s in-lock re-checks (or any
-    // commit failure) lands AFTER the sidecar write — delete the dir so
-    // the documented retry-with-fresh-dirs leaves no orphaned data
-    // (ADVICE r15 low: the failed candidate's manifest was never
-    // committed, so nothing references the files)
-    try commit(spark, base, version,
-      prev.unionByName(delRows, allowMissingColumns = true))
-    catch { case t: Throwable => fs.delete(dp, true); throw t }
+    // commit failure) lands AFTER the sidecar write — reclaim the dir
+    // (guarded: only when the version did not durably commit) so the
+    // documented retry-with-fresh-dirs leaves no orphaned data
+    // (ADVICE r15 low + code-review r16)
+    commitReclaiming(spark, base, version,
+      prev.unionByName(delRows, allowMissingColumns = true),
+      Seq(deleteDir))
     n
   }
 
@@ -1364,6 +1376,32 @@ object SnapshotStore {
     math.max(1L, (nKeys + sidecarTargetKeysPerFile - 1) /
       sidecarTargetKeysPerFile).toInt
   private[graft] var sidecarTargetKeysPerFile: Long = 4L * 1024 * 1024
+
+  /** The shared commit step of every sidecar-publishing path
+    * ([[deleteCommitMor]] / [[mergeCommitMor]] / [[deleteCommitPos]]):
+    * commit the manifest, and on failure reclaim the freshly-written
+    * `dirs` — but ONLY when the version did NOT durably commit
+    * (code-review r16: `commit()` can throw from its stage-cleanup
+    * `finally` AFTER the claim rename succeeded on a remote FS; an
+    * unconditional cleanup would then delete files the committed
+    * manifest references — durable data loss under a committed
+    * version. A failed-and-unclaimed candidate's manifest references
+    * nothing, so reclaiming its dirs orphans nothing and the
+    * documented retry-with-fresh-dirs starts clean).
+    */
+  private def commitReclaiming(spark: SparkSession, base: String,
+      version: Long, manifest: DataFrame, dirs: Seq[String]): Unit =
+    try commit(spark, base, version, manifest)
+    catch { case t: Throwable =>
+      if (!committedVersions(spark, base).contains(version))
+        dirs.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort
+        }
+      throw t
+    }
 
   /** A version's committed per-file [min, max] bounds on `c`,
     * normalized-path keyed — the driver-side metadata
@@ -1474,7 +1512,12 @@ object SnapshotStore {
         s"snapshot commits are monotonic: v=$version is at or below " +
           s"the committed head under $base — retry the positional " +
           "delete at the next version with a fresh deleteDir")
+    // checkpointed: the distinct batch feeds THREE jobs (the prune's
+    // min/max, its occupied-bins distinct, the matched semi-join) —
+    // an expensive upstream key plan must not recompute per job
+    // (code-review r16)
     val k = keys.select(col(c)).filter(col(c).isNotNull).distinct()
+      .localCheckpoint(true)
     val gs = versionGroups(spark, base, fromVersion)
     val dataFiles = gs.filterNot(isDeleteRow)
       .flatMap(g => MetaIo.optString(g, "file")).distinct
@@ -1521,9 +1564,9 @@ object SnapshotStore {
     val delRows = delFiles.toDF("file").select(
       lit(version).as("version"), col("file"),
       lit("pos_delete").as("kind"), lit(c).as("delete_key"))
-    try commit(spark, base, version,
-      prev.unionByName(delRows, allowMissingColumns = true))
-    catch { case t: Throwable => fs.delete(dp, true); throw t }
+    commitReclaiming(spark, base, version,
+      prev.unionByName(delRows, allowMissingColumns = true),
+      Seq(deleteDir))
     nPos
   }
 
@@ -1765,30 +1808,21 @@ object SnapshotStore {
       lit(keyCols.mkString(",")).as("delete_key"),
       lit(version).as("delete_v"))
     val nImages = images.count()
-    // image/sidecar cleanup on ANY post-write failure (ADVICE r15 low:
-    // a conflict from commit()'s in-lock re-checks lands after the
-    // dirs are populated; the candidate's manifest was never committed,
-    // so deleting them orphans nothing and the retry starts clean)
-    try {
-      val manifest =
-        if (nImages == 0) // all-delete changelog: sidecar only
-          prev.unionByName(delRows, allowMissingColumns = true)
-        else {
-          Layout.writeClustered(images, imageDir, keyCols.head, numFiles)
-          val fresh = freshRewriteManifest(spark, version, imageDir,
-              prev, keyCols)
-            .withColumn("added_v", lit(version))
-          prev.unionByName(delRows, allowMissingColumns = true)
-            .unionByName(fresh, allowMissingColumns = true)
-        }
-      commit(spark, base, version, manifest)
-    } catch { case t: Throwable =>
-      val fs = new org.apache.hadoop.fs.Path(deleteDir)
-        .getFileSystem(conf)
-      fs.delete(new org.apache.hadoop.fs.Path(deleteDir), true)
-      fs.delete(new org.apache.hadoop.fs.Path(imageDir), true)
-      throw t
-    }
+    // image/sidecar reclaim on post-write failure (ADVICE r15 low +
+    // code-review r16: guarded — see commitReclaiming)
+    val manifest =
+      if (nImages == 0) // all-delete changelog: sidecar only
+        prev.unionByName(delRows, allowMissingColumns = true)
+      else {
+        Layout.writeClustered(images, imageDir, keyCols.head, numFiles)
+        val fresh = freshRewriteManifest(spark, version, imageDir,
+            prev, keyCols)
+          .withColumn("added_v", lit(version))
+        prev.unionByName(delRows, allowMissingColumns = true)
+          .unionByName(fresh, allowMissingColumns = true)
+      }
+    commitReclaiming(spark, base, version, manifest,
+      Seq(deleteDir, imageDir))
     (nKeys, nImages)
   }
 

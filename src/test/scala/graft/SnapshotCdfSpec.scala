@@ -507,6 +507,23 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
+  test("positional path reserves its helper column names LOUDLY: a " +
+      "table with a _graft_file column refuses instead of corrupting") {
+    withStore { tmp =>
+      import spark.implicits._
+      val odd = (0 until 20).map(i => (i.toLong, s"f$i"))
+        .toDF("k", "_graft_file")
+      Layout.writeClustered(odd, s"$tmp/d1", "k", numFiles = 1)
+      SnapshotStore.commit(spark, tmp, 1L,
+        SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
+          Seq("k")))
+      intercept[IllegalArgumentException] {
+        SnapshotStore.deleteCommitPos(spark, tmp, 2L, 1L, "k",
+          Seq(3L).toDF("k"), s"$tmp/pos2")
+      }
+    }
+  }
+
   test("streaming feed consumer ≡ batch fold ≡ full recompute (r16): " +
       "a foreachBatch consumer folding readChangesBetween windows into " +
       "a persisted MV lands on the head's truth") {
@@ -547,7 +564,8 @@ class SnapshotCdfSpec extends SparkSpec {
         .MemoryStream[Long]
       val q = input.toDF().toDF("head").writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val head = batch.agg(max(col("head"))).head.getLong(0)
+          val hd = batch.agg(max(col("head"))).head
+          val head = if (hd.isNullAt(0)) lastSeen else hd.getLong(0)
           if (head > lastSeen) {
             mv = MaterializedView.refreshSumCount(mv,
               imagesOf(SnapshotStore.readChangesBetween(ss, tmp,
