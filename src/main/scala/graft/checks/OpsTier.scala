@@ -927,6 +927,27 @@ object OpsTier {
       tmp
     }
 
+  /** ONE-pass multiset-equality pin (r16 optimization — guide §1.2
+    * "don't compute things you throw away"): the
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` form ran TWO
+    * actions, each shuffling BOTH inputs for an exceptAll join — four
+    * input computations and two job round-trips per pin, and the
+    * expensive side (a full recompute / readAt) computed twice. Tagging
+    * each side ±1, unioning, and checking that every distinct row's tag
+    * sum is zero proves the identical property — multiset equality,
+    * null-safe (groupBy groups nulls like exceptAll matches them) — in
+    * ONE action that computes each input once.
+    */
+  private def requireSameRows(a: DataFrame, b: DataFrame,
+      msg: => String): Unit = {
+    val cols = a.columns.toSeq.map(col)
+    val mismatch = a.withColumn("_side", lit(1L))
+      .unionByName(b.withColumn("_side", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_side")).as("_d"))
+      .filter(col("_d") =!= 0L)
+    require(mismatch.isEmpty, msg)
+  }
+
   private val SnapAggSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("version",
       org.apache.spark.sql.types.LongType, nullable = false),
@@ -2065,18 +2086,22 @@ object OpsTier {
           2L, 1L, "l_orderkey", changes, s"$tmp/del2", s"$tmp/img2")
         require(nKeys > 0 && nImages > 0, "the changelog must carry " +
           "keys and surviving images")
-        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
-          .filter(col("version") === v && (col("kind").isNull ||
+        // ONE manifest action for both versions' data-file sets (r16
+        // optimization: the per-version helper planned and ran the
+        // manifest read twice)
+        val vFiles = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version").isin(1L, 2L) && (col("kind").isNull ||
             !col("kind").isin("delete", "merge_delete")))
-          .select("file").collect().map(_.getString(0)).toSet
+          .select("version", "file").collect()
+        def dataFilesOf(v: Long) = vFiles
+          .filter(_.getLong(0) == v).map(_.getString(1)).toSet
         val (f1, f2) = (dataFilesOf(1L), dataFilesOf(2L))
         require(f1.subsetOf(f2) && (f2 -- f1).forall(_.contains("/img2/")),
           "a MoR merge must rewrite ZERO ancestor data files")
         val expected = Cdc.applyChangeLog(
           SnapshotStore.readAt(spark, tmp, 1L), changes, Seq("l_orderkey"))
         val head = SnapshotStore.readAt(spark, tmp, 2L)
-        require(head.exceptAll(expected).isEmpty &&
-          expected.exceptAll(head).isEmpty,
+        requireSameRows(head, expected,
           "the logical read must equal applyChangeLog on the ancestor")
         val refused =
           try { SnapshotStore.countAt(spark, tmp, 2L); false }
@@ -2094,9 +2119,15 @@ object OpsTier {
           numFiles = 2)
         SnapshotStore.appendCommit(spark, tmp, Seq(s"$tmp/d3app"),
           Seq("l_orderkey"))
-        val nApp = app.count()
-        require(SnapshotStore.readAt(spark, tmp, 3L).count() ==
-          SnapshotStore.readAt(spark, tmp, 2L).count() + nApp,
+        // the three counts in ONE action (r16 optimization: three
+        // separate count() jobs planned the v2 read twice)
+        def cnt(tag: String, df: DataFrame) = df
+          .agg(count(lit(1)).as("n")).select(lit(tag).as("t"), col("n"))
+        val counts = cnt("v3", SnapshotStore.readAt(spark, tmp, 3L))
+          .unionByName(cnt("v2", SnapshotStore.readAt(spark, tmp, 2L)))
+          .unionByName(cnt("app", app))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(counts("v3") == counts("v2") + counts("app"),
           "rows appended under a pending merge sidecar must serve " +
             "immediately — equality deletes apply only to smaller " +
             "per-file sequence numbers")
@@ -2248,8 +2279,7 @@ object OpsTier {
       val replayed = SnapshotStore.readAt(spark, tmp, 1L)
         .unionByName(adds).exceptAll(drops)
       val head = SnapshotStore.readAt(spark, tmp, 5L)
-      require(replayed.exceptAll(head).isEmpty &&
-        head.exceptAll(replayed).isEmpty,
+      requireSameRows(replayed, head,
         "replaying the feed over v1 must reproduce v5 row-for-row")
       val rows = cdf.groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
@@ -2341,8 +2371,7 @@ object OpsTier {
       val refreshed = MaterializedView.refreshSumCount(mv0, changes,
         Seq("l_orderkey")).localCheckpoint(true)
       val recomputed = grouped(SnapshotStore.readAt(spark, tmp, 5L))
-      require(refreshed.exceptAll(recomputed).isEmpty &&
-        recomputed.exceptAll(refreshed).isEmpty,
+      requireSameRows(refreshed, recomputed,
         "the feed-maintained MV must equal a full recompute at the head")
       // the two-window RESUME composability this entry pinned in r15
       // moved out per the r15 verdict's bench-watch note (its three
@@ -2580,8 +2609,7 @@ object OpsTier {
       val replayed = SnapshotStore.readAt(spark, tmp, 1L)
         .unionByName(adds).exceptAll(drops)
       val head = SnapshotStore.readAt(spark, tmp, 5L)
-      require(replayed.exceptAll(head).isEmpty &&
-        head.exceptAll(replayed).isEmpty,
+      requireSameRows(replayed, head,
         "replaying the feed over v1 must reproduce v5 row-for-row")
       val rows = cdf.groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
@@ -2711,16 +2739,14 @@ object OpsTier {
       require(lastSeen == 5L,
         "the stream consumer must have advanced its watermark to v5")
       val recomputed = grouped(SnapshotStore.readAt(ss, tmp, 5L))
-      require(mv.exceptAll(recomputed).isEmpty &&
-        recomputed.exceptAll(mv).isEmpty,
+      requireSameRows(mv, recomputed,
         "the stream-maintained MV must equal a full recompute at v5")
       // stream ≡ batch parity: the one-shot fold over the whole window
       val batchMv = MaterializedView.refreshSumCount(
         grouped(SnapshotStore.readAt(ss, tmp, 1L)),
         imagesOf(SnapshotStore.readChangesBetween(ss, tmp, 1L, 5L,
           "l_orderkey")), Seq("l_orderkey"))
-      require(mv.exceptAll(batchMv).isEmpty &&
-        batchMv.exceptAll(mv).isEmpty,
+      requireSameRows(mv, batchMv,
         "the streamed two-window fold must equal the one-shot batch fold")
       val rows = mv.orderBy("g").collect()
       ss.createDataFrame(

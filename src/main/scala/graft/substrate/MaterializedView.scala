@@ -1,7 +1,6 @@
 package graft.substrate
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance over a CDC changelog with
@@ -53,20 +52,29 @@ object MaterializedView {
   def refreshSumCount(mv: DataFrame, changes: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    val wAsc = Window.partitionBy(keys: _*).orderBy(col("seq").asc)
-    val wDesc = Window.partitionBy(keys: _*).orderBy(col("seq").desc)
-    val folded = changes
-      .withColumn("rn_first", row_number().over(wAsc))
-      .withColumn("rn_last", row_number().over(wDesc))
-    val minus = folded
-      .filter(col("rn_first") === 1 && col("b_g").isNotNull)
-      .select(col("b_g").as("g"), lit(-1L).as("dn"),
-        (-col("b_v")).cast("long").as("dv"))
-    val plus = folded
-      .filter(col("rn_last") === 1 && col("a_g").isNotNull)
-      .select(col("a_g").as("g"), lit(1L).as("dn"),
-        col("a_v").cast("long").as("dv"))
-    val delta = minus.unionByName(plus)
+    // ONE keyed aggregation folds each key's chain to (first
+    // before-image, last after-image) — r16 optimization (guide §2.3
+    // "aggregate before you shuffle" / §2.4): the previous form ran TWO
+    // row_number windows over the change keys and then referenced the
+    // windowed frame from both union branches, executing the
+    // shuffle+sort pipeline twice (12 Window nodes in the benched MV
+    // plan). min_by/max_by on `seq` pick the same images — `seq` is
+    // UNIQUE per key (object scaladoc contract), so both are
+    // deterministic — with partial (map-side) aggregation and no sort.
+    // Each key then explodes its ±contributions (null group images
+    // drop, exactly the old rn filters) and the delta re-aggregates by
+    // touched group.
+    val perKey = changes.groupBy(keys: _*).agg(
+      min_by(struct(col("b_g"), col("b_v")), col("seq")).as("f"),
+      max_by(struct(col("a_g"), col("a_v")), col("seq")).as("l"))
+    val delta = perKey.select(explode(array(
+        struct(col("f.b_g").as("g"), lit(-1L).as("dn"),
+          (-col("f.b_v")).cast("long").as("dv")),
+        struct(col("l.a_g").as("g"), lit(1L).as("dn"),
+          col("l.a_v").cast("long").as("dv")))).as("c"))
+      .select(col("c.g").as("g"), col("c.dn").as("dn"),
+        col("c.dv").as("dv"))
+      .filter(col("g").isNotNull)
       .groupBy("g").agg(sum("dn").as("dn"), sum("dv").as("dv"))
     mv.select(col("g"), col("n"), col("s"))
       .join(delta, Seq("g"), "full")

@@ -2363,18 +2363,27 @@ object SnapshotStore {
         }
         val j = aligned(oldCand, "_o")
           .join(aligned(newCand, "_n"), keyCols, "full_outer")
-        def emit(side: String, tag: String) =
-          (df: DataFrame) => df.select(keyCols.map(col) ++
-            nonKey.map(cn => col(s"$side.$cn").as(cn)) :+
-            lit(tag).as("_change_type"): _*)
-        val ins = emit("_n", "insert")(j.filter(col("_o").isNull))
-        val del = emit("_o", "delete")(j.filter(col("_n").isNull))
-        val upd = j.filter(col("_o").isNotNull && col("_n").isNotNull &&
-          !(col("_o") <=> col("_n")))
-        val pre = emit("_o", "update_preimage")(upd)
-        val post = emit("_n", "update_postimage")(upd)
-        Some(Seq(ins, del, pre, post)
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        // ONE pass over the diff join (r16 optimization — guide §2.4):
+        // the four-branch union (ins ∪ del ∪ pre ∪ post) referenced `j`
+        // four times, so every step's full-outer join EXECUTED four
+        // times (8 SortMergeJoins in the benched 5-commit feed plan);
+        // classifying each joined row into 0/1/2 typed events and
+        // exploding emits the identical multiset from a single join
+        // (2 SortMergeJoins in the same plan). Rows where the images
+        // are null-safe-equal explode an empty-when-null array and
+        // vanish, exactly the old `upd` filter.
+        def ev(side: String, tag: String) =
+          struct(col(side).as("img"), lit(tag).as("t"))
+        val events = j
+          .filter(!(col("_o") <=> col("_n")))
+          .select(keyCols.map(col) :+ explode(
+            when(col("_o").isNull, array(ev("_n", "insert")))
+              .when(col("_n").isNull, array(ev("_o", "delete")))
+              .otherwise(array(ev("_o", "update_preimage"),
+                ev("_n", "update_postimage")))).as("_ev"): _*)
+        Some(events.select(keyCols.map(col) ++
+            nonKey.map(cn => col(s"_ev.img.$cn").as(cn)) :+
+            col("_ev.t").as("_change_type"): _*)
           .withColumn("_commit_version", lit(v)))
         }
       }

@@ -293,20 +293,21 @@ class PlanQualitySpec extends SparkSpec {
       graft.substrate.MaterializedView.refreshSumCount(mv, chg, Seq("k"))
     val plan = planOf(refreshed)
     assert(!plan.contains("CartesianProduct"), s"product in MV refresh:\n$plan")
-    // The per-key fold must be a partitioned window, not a global sort.
-    // Simple mode renders window nodes as
-    //   Window [... windowspecdefinition(k#N, seq#M ASC ...) ...], [k#N], ...
-    // with the partition columns INSIDE windowspecdefinition — an
-    // unpartitioned fold would render windowspecdefinition(seq#M ...)
-    // with no leading k. (The old guard matched 'Window [' /
-    // 'partitionBy=[]' against FORMATTED output, where neither string
-    // ever occurs — vacuously true, ADVICE r8.)
+    // The per-key fold must be a KEYED aggregation (r16 optimization:
+    // min_by/max_by per key replaced the double row_number window —
+    // map-side combinable, no per-partition sort), never a global sort
+    // or a window: a Window node here would mean the fold regressed to
+    // the two-pass sorted form, and an unkeyed aggregate would mean a
+    // global fold that cannot scale past one partition.
     val simple = refreshed.queryExecution
       .explainString(ExplainMode.fromString("simple"))
-    val windows = simple.linesIterator.filter(_.contains("Window")).toList
-    assert(windows.nonEmpty, s"no window fold in:\n$simple")
-    assert(windows.forall(_.contains("windowspecdefinition(k#")),
-      s"global (unpartitioned) window in MV refresh:\n$windows")
+    assert(!simple.contains("Window"),
+      s"window fold regression in MV refresh:\n$simple")
+    assert(simple.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[k#") ||
+        l.contains("SortAggregate(key=[k#") ||
+        l.contains("ObjectHashAggregate(keys=[k#")),
+      s"no keyed per-key fold in MV refresh:\n$simple")
   }
 
   test("IVF-PQ: candidate scan is a broadcast equi-join on cell, never a corpus product") {
