@@ -1841,27 +1841,38 @@ object OpsTier {
         SnapshotStore.commit(spark, tmp, 1L,
           SnapshotStore.manifestForStats(spark, 1L, Seq(s"$tmp/d1"),
             Seq("l_orderkey")))
-        val keys = base.filter(col("l_orderkey") % 31 === 0)
+        // the batch reads off the COMMITTED clustered base (r16
+        // optimization: each broadcast of `keys` re-scanned the raw
+        // lineitem slice; v1's four files hold exactly those rows)
+        val keys = SnapshotStore.readAt(spark, tmp, 1L)
+          .filter(col("l_orderkey") % 31 === 0)
           .select("l_orderkey").distinct()
         val nKeys = SnapshotStore.deleteCommitMor(spark, tmp, 2L, 1L,
           "l_orderkey", keys, s"$tmp/del2")
         require(nKeys > 0, "the scattered batch must name keys")
-        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
-          .filter(col("version") === v &&
+        // ONE manifest action for both versions' data-file sets, and ONE
+        // scan for the scatter + time-travel pins (r16 optimization: the
+        // per-version manifest helper and the two separate joins over
+        // readAt(1) ran four jobs for what two aggregates prove)
+        val vFiles = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version").isin(1L, 2L) &&
             (col("kind").isNull || col("kind") =!= "delete"))
-          .select("file").collect().map(_.getString(0)).toSet
+          .select("version", "file").collect()
+        def dataFilesOf(v: Long) = vFiles
+          .filter(_.getLong(0) == v).map(_.getString(1)).toSet
         val v1Files = dataFilesOf(1L)
         require(dataFilesOf(2L) == v1Files,
           "a merge-on-read delete must rewrite ZERO data files")
-        val spread = SnapshotStore.readAt(spark, tmp, 1L)
+        val spreadRow = SnapshotStore.readAt(spark, tmp, 1L)
           .withColumn("_f", input_file_name())
           .join(broadcast(keys), Seq("l_orderkey"))
-          .select("_f").distinct().count()
+          .agg(countDistinct(col("_f")).as("spread"),
+            count(lit(1)).as("served")).head
+        val spread = spreadRow.getLong(0)
         require(spread == v1Files.size,
           s"the batch must scatter across every file (CoW-hostile): " +
             s"touched $spread of ${v1Files.size}")
-        require(SnapshotStore.readAt(spark, tmp, 1L)
-          .join(broadcast(keys), Seq("l_orderkey")).count() > 0,
+        require(spreadRow.getLong(1) > 0,
           "time travel: the pre-delete version still serves the rows")
         require(SnapshotStore.readAt(spark, tmp, 2L)
           .join(broadcast(keys), Seq("l_orderkey")).count() == 0,
@@ -1960,10 +1971,13 @@ object OpsTier {
         SnapshotStore.commit(spark, tmp, 1L,
           SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
             Seq("l_orderkey")))
-        val upd = base.filter(col("l_orderkey").between(100, 300))
+        // update/delete images read off the COMMITTED clustered base
+        // (r16 optimization — the snapshot_merge_mor rationale)
+        val v1 = SnapshotStore.readAt(spark, tmp, 1L)
+        val upd = v1.filter(col("l_orderkey").between(100, 300))
           .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
             col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
-        val del = base.filter(col("l_orderkey").between(400, 500))
+        val del = v1.filter(col("l_orderkey").between(400, 500))
           .select(col("l_orderkey"), col("qty_i"), col("price_i"),
             lit("D").as("op"), lit(1L).as("seq"))
         val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
@@ -1975,9 +1989,12 @@ object OpsTier {
           2L, 1L, "l_orderkey", changes, s"$tmp/m2")
         require(rewritten >= 1 && rewritten < total,
           s"the merge must be file-bounded: rewrote $rewritten of $total")
-        def filesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
-          .filter(col("version") === v).select("file")
-          .collect().map(_.getString(0)).toSet
+        // ONE manifest action for both versions (r16 optimization)
+        val vf = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version").isin(1L, 2L))
+          .select("version", "file").collect()
+        def filesOf(v: Long) = vf
+          .filter(_.getLong(0) == v).map(_.getString(1)).toSet
         require((filesOf(1L) intersect filesOf(2L)).size ==
           total - rewritten,
           "every exonerated file must be shared verbatim across versions")
@@ -2071,10 +2088,15 @@ object OpsTier {
         SnapshotStore.commit(spark, tmp, 1L,
           SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
             Seq("l_orderkey")))
-        val upd = base.filter(col("l_orderkey").between(100, 300))
+        // update/delete images read off the COMMITTED clustered base
+        // (r16 optimization: deriving them from the keyed-agg plan
+        // re-ran the lineitem groupBy once per changelog branch per
+        // consuming action; v1 holds exactly those rows)
+        val v1 = SnapshotStore.readAt(spark, tmp, 1L)
+        val upd = v1.filter(col("l_orderkey").between(100, 300))
           .select(col("l_orderkey"), (col("qty_i") + 1000).as("qty_i"),
             col("price_i"), lit("U").as("op"), lit(1L).as("seq"))
-        val del = base.filter(col("l_orderkey").between(400, 500))
+        val del = v1.filter(col("l_orderkey").between(400, 500))
           .select(col("l_orderkey"), col("qty_i"), col("price_i"),
             lit("D").as("op"), lit(1L).as("seq"))
         val ins = keyedAgg(col("l_orderkey") % 4 === 2 &&
@@ -2448,7 +2470,12 @@ object OpsTier {
         SnapshotStore.commit(spark, tmp, 1L,
           SnapshotStore.manifestForStats(spark, 1L, Seq(s"$data/d1"),
             Seq("l_orderkey")))
-        val forget = base.filter(col("l_orderkey") % 31 === 0)
+        // the batch reads off the COMMITTED clustered base (r16
+        // optimization: deriving it from the keyed-agg plan re-ran the
+        // lineitem groupBy for the sidecar build and again for the
+        // batch-size pin; the store holds exactly those rows)
+        val forget = SnapshotStore.readAt(spark, tmp, 1L)
+          .filter(col("l_orderkey") % 31 === 0)
           .select("l_orderkey")
         val n = SnapshotStore.deleteCommitPos(spark, tmp, 2L, 1L,
           "l_orderkey", forget, s"$tmp/pos2")
@@ -2463,16 +2490,23 @@ object OpsTier {
         require(SnapshotStore.countAt(spark, tmp, 2L) ==
           SnapshotStore.readAt(spark, tmp, 2L).count(),
           "the metadata count must equal the logical read's count")
-        def dataFilesOf(v: Long) = SnapshotStore.manifest(spark, tmp)
-          .filter(col("version") === v && (col("kind").isNull ||
+        // ONE manifest action for both versions, and ONE aggregate
+        // over the feed (r16 optimization: the isEmpty + count pair
+        // executed the whole one-step feed plan twice)
+        val vFiles = SnapshotStore.manifest(spark, tmp)
+          .filter(col("version").isin(1L, 2L) && (col("kind").isNull ||
             !col("kind").isin("delete", "merge_delete", "pos_delete")))
-          .select("file").collect().map(_.getString(0)).toSet
+          .select("version", "file").collect()
+        def dataFilesOf(v: Long) = vFiles
+          .filter(_.getLong(0) == v).map(_.getString(1)).toSet
         require(dataFilesOf(1L) == dataFilesOf(2L),
           "a positional delete must rewrite ZERO data files")
         val cdf = SnapshotStore.readChangesBetween(spark, tmp, 1L, 2L,
           "l_orderkey")
-        require(cdf.filter(col("_change_type") =!= "delete").isEmpty &&
-          cdf.count() == n,
+        val cdfRow = cdf.agg(count(lit(1)).as("all"),
+          count(when(col("_change_type") =!= "delete", 1)).as("other"))
+          .head
+        require(cdfRow.getLong(1) == 0L && cdfRow.getLong(0) == n,
           "the feed must emit exactly the forgotten rows as deletes")
         SnapshotStore.materializeCommit(spark, tmp, 3L, 2L,
           "l_orderkey", s"$tmp/d3", numFiles = 2)

@@ -1395,10 +1395,15 @@ object VectorTier {
         val forget = asg.filter(col("vec_id") % 2 === 1)
           .select("vec_id")
         // the CoW-hostile shape, pinned: the batch scatters across
-        // EVERY committed cell
-        val allCells = codes.select("cell").distinct().count()
-        val hitCells = codes.join(broadcast(forget), Seq("vec_id"))
-          .select("cell").distinct().count()
+        // EVERY committed cell (ONE action — r16 optimization: the
+        // per-side distinct counts ran two jobs over the same codes)
+        val cellsRow = codes
+          .join(broadcast(forget.withColumn("_hit", lit(1))),
+            Seq("vec_id"), "left")
+          .agg(countDistinct(col("cell")).as("all"),
+            countDistinct(when(col("_hit") === 1, col("cell"))).as("hit"))
+          .head
+        val (allCells, hitCells) = (cellsRow.getLong(0), cellsRow.getLong(1))
         require(hitCells == allCells,
           s"the batch must scatter across every cell: $hitCells/$allCells")
         val n = VectorArtifact.deletePublishMor(spark, tmp, 1L, 0L,

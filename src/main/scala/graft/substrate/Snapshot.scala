@@ -164,10 +164,19 @@ object SnapshotStore {
     // a version-literal mismatch between the rows and the commit call
     // would otherwise land an EMPTY manifest under a green _SUCCESS —
     // and vacuumExecute would read 'this version pins no files' and
-    // delete the store (code-review r12); fail at commit time instead
-    require(!rows.isEmpty,
+    // delete the store (code-review r12); fail at commit time instead.
+    // The rows MATERIALIZE driver-side here (r16 optimization): the old
+    // isEmpty guard planned and executed the manifest plan once, and
+    // the stage write below executed it AGAIN — manifests are
+    // O(#files) commit metadata (the versionGroups discipline reads
+    // them back driver-side too), so one collect feeds both the guard
+    // and a local-relation write
+    val localRows = rows.collect()
+    require(localRows.nonEmpty,
       s"no manifest rows carry version $version — the rows passed to " +
         "commit() must be tagged with the version being committed")
+    val rowsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(localRows: _*), rows.schema)
     val stage = new org.apache.hadoop.fs.Path(
       s"$base/_manifest/.stage-v=$version-${java.util.UUID.randomUUID()}")
     val lock = lockFor(base, version)
@@ -176,7 +185,7 @@ object SnapshotStore {
     // same invariant VectorArtifact.stagedPublish keeps — not wait for
     // a purgeRetired mtime sweep
     try {
-      rows.coalesce(1).write.parquet(stage.toString)
+      rowsLocal.coalesce(1).write.parquet(stage.toString)
       lock.synchronized {
       if (fs.exists(marker))
         throw new CommitConflictException(
