@@ -907,7 +907,11 @@ object TextTier {
       val nonReps = graft.substrate.Graph.components(pairs)
         .filter(col("node") =!= col("label"))
         .select(col("node").as("doc_id"))
+      // eager like its kept3/kept5 neighbors (r16 optimization): kept4
+      // feeds the after_neardup branch, the train filter, and stage 5 —
+      // without truncation each re-ran the components + anti-join
       val kept4 = kept3.join(nonReps, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // stage 5: decontaminate the train split against RAW test grams
       // (the eval set exists independently of the training-corpus gates)
       val sp = PipelineTier.mix(col("doc_id")) % 100
