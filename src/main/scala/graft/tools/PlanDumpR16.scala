@@ -85,6 +85,35 @@ object PlanDumpR16 {
             .agg(count(lit(1)).as("n"), sum(col("qty_i")).as("s"))
           MaterializedView.refreshSumCount(mv0, changes,
             Seq("l_orderkey")).explain("formatted")
+        case "cdf_composite" =>
+          // the composite-key feed exercises the SAME readChangesBetween
+          // path with keyCols.length = 2 (diff joins on the tuple;
+          // bounds pruning falls back to the leading column) — dump the
+          // 2-key feed over a store whose rows carry a second key col
+          val t2 = java.nio.file.Files
+            .createTempDirectory("graft_plandump2").toString
+          try {
+            val li2 = table("lineitem")
+              .groupBy(col("l_orderkey"),
+                col("l_linenumber").cast("long").as("l_linenumber"))
+              .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_i"))
+            val b2 = li2.filter(col("l_orderkey") % 4 <= 1)
+            Layout.writeClustered(b2, s"$t2/d1", "l_orderkey", 4)
+            SnapshotStore.commit(spark, t2, 1L,
+              SnapshotStore.manifestForStats(spark, 1L, Seq(s"$t2/d1"),
+                Seq("l_orderkey")))
+            SnapshotStore.deleteCommitMor(spark, t2, 2L, 1L,
+              Seq("l_orderkey", "l_linenumber"),
+              b2.filter(col("l_orderkey") % 31 === 0 &&
+                col("l_linenumber") % 2 === 1)
+                .select("l_orderkey", "l_linenumber"),
+              s"$t2/del2")
+            SnapshotStore.readChangesBetween(spark, t2, 1L, 2L,
+              Seq("l_orderkey", "l_linenumber")).explain("formatted")
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(t2)).deleteRecursively(): Unit
+          }
         case other => sys.error(s"unknown dump: $other")
       }
     } finally {
