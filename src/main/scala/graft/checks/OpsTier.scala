@@ -940,6 +940,13 @@ object OpsTier {
     */
   private def requireSameRows(a: DataFrame, b: DataFrame,
       msg: => String): Unit = {
+    // the internal tag/diff columns must not collide with a compared
+    // column (ADVICE r16: withColumn REPLACES a like-named column, which
+    // would corrupt the equality check silently) — all call sites pass
+    // store-schema frames today; this keeps the helper honest if one
+    // ever doesn't
+    require(!a.columns.contains("_side") && !a.columns.contains("_d"),
+      "requireSameRows: compared frames must not carry _side/_d columns")
     val cols = a.columns.toSeq.map(col)
     val mismatch = a.withColumn("_side", lit(1L))
       .unionByName(b.withColumn("_side", lit(-1L)))

@@ -1396,7 +1396,13 @@ object VectorTier {
           .select("vec_id")
         // the CoW-hostile shape, pinned: the batch scatters across
         // EVERY committed cell (ONE action — r16 optimization: the
-        // per-side distinct counts ran two jobs over the same codes)
+        // per-side distinct counts ran two jobs over the same codes).
+        // countDistinct EXCLUDES nulls where the old
+        // select(cell).distinct().count() counted a null cell as one
+        // value (ADVICE r16) — safe here because `cell` is an argmin
+        // over non-null centroid ids (demoFlatArtifact assigns every
+        // vector a cell), pinned by the require below: a null cell
+        // would surface as hitCells < allCells, never silently.
         val cellsRow = codes
           .join(broadcast(forget.withColumn("_hit", lit(1))),
             Seq("vec_id"), "left")

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *     event, Debezium-style images. `(b_g, b_v)` = the row's group/value
   *     BEFORE the change (null ⇒ insert); `(a_g, a_v)` = AFTER (null ⇒
   *     delete); `seq` orders multiple changes to one key and must be
-  *     UNIQUE per key (a tie would make the first/last fold ambiguous —
-  *     every real changelog carries a total per-key order: LSN, offset,
-  *     commit timestamp).
+  *     UNIQUE per key AND NON-NULL (a tie would make the first/last
+  *     fold ambiguous, and the keyed min_by/max_by fold IGNORES rows
+  *     whose seq is null — every real changelog carries a non-null
+  *     total per-key order: LSN, offset, commit timestamp).
   *
   * Multi-change chains per key fold to (first before-image, last
   * after-image) — the net contribution delta — which is correct for any
@@ -59,8 +60,12 @@ object MaterializedView {
     // windowed frame from both union branches, executing the
     // shuffle+sort pipeline twice (12 Window nodes in the benched MV
     // plan). min_by/max_by on `seq` pick the same images — `seq` is
-    // UNIQUE per key (object scaladoc contract), so both are
-    // deterministic — with partial (map-side) aggregation and no sort.
+    // UNIQUE per key AND NON-NULL (scaladoc contract; ADVICE r16:
+    // min_by/max_by IGNORE rows whose ordering value is null, where a
+    // nulls-first row_number window would have folded a null-seq row
+    // as the chain's first event — every caller passes commit
+    // versions, never null), so both are deterministic — with
+    // partial (map-side) aggregation and no sort.
     // Each key then explodes its ±contributions (null group images
     // drop, exactly the old rn filters) and the delta re-aggregates by
     // touched group.

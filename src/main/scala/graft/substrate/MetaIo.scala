@@ -45,6 +45,185 @@ private[substrate] object MetaIo {
     }
   }
 
+  /** Can [[writeRows]] carry this schema? Scalar commit-metadata types
+    * only — long/int/string/binary/boolean/double, the full universe the
+    * manifest writers produce (version/file/row_count/bounds/blooms/
+    * kind/delete_key/added_v/batch_tag). Callers with any other column
+    * type keep the Spark write path.
+    */
+  def writableSchema(schema: org.apache.spark.sql.types.StructType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.forall(_.dataType match {
+      case LongType | IntegerType | StringType | BinaryType |
+           BooleanType | DoubleType => true
+      case _ => false
+    })
+  }
+
+  /** WRITE metadata-scale rows as one parquet file + `_SUCCESS` marker
+    * under `dir`, DRIVER-SIDE without a Spark job — the write half of
+    * this object's discipline (r17; r16 deferred it): a real table
+    * format's commit path writes its manifest with plain file I/O, and
+    * profiling showed every snapshot/vector commit paying a full Spark
+    * write job (planning + task + committer) to persist O(#files)
+    * driver-resident rows. Types map exactly as Spark's own parquet
+    * writer maps them (INT64/INT32/BINARY-UTF8/BINARY/BOOLEAN/DOUBLE,
+    * all `optional`), so the files stay readable by BOTH consumers of
+    * manifests — [[groups]] here and `spark.read.parquet` (incl.
+    * mergeSchema unions with Spark-written manifests from older
+    * versions). Callers must pre-check [[writableSchema]].
+    */
+  def writeRows(conf: Configuration, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    require(writableSchema(schema),
+      s"writeRows cannot carry schema $schema — use the Spark writer")
+    val fields = schema.fields.map { f =>
+      (f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case BooleanType => Types.optional(BOOLEAN)
+        case DoubleType => Types.optional(DOUBLE)
+        case other => throw new IllegalStateException(other.toString)
+      }).named(f.name)
+    }
+    val msg = new org.apache.parquet.schema.MessageType("spark_schema",
+      fields: _*)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    val file = new Path(p, "part-00000-graft-meta.snappy.parquet")
+    val wconf = new Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(msg, wconf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, wconf))
+      .withConf(wconf)
+      .withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+      rows.foreach { r =>
+        val g = factory.newGroup()
+        var i = 0
+        while (i < schema.fields.length) {
+          if (!r.isNullAt(i)) schema.fields(i).dataType match {
+            case LongType => g.append(schema.fields(i).name, r.getLong(i))
+            case IntegerType => g.append(schema.fields(i).name, r.getInt(i))
+            case StringType => g.append(schema.fields(i).name,
+              org.apache.parquet.io.api.Binary.fromString(r.getString(i)))
+            case BinaryType => g.append(schema.fields(i).name,
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                r.getAs[Array[Byte]](i)))
+            case BooleanType =>
+              g.append(schema.fields(i).name, r.getBoolean(i))
+            case DoubleType =>
+              g.append(schema.fields(i).name, r.getDouble(i))
+            case other => throw new IllegalStateException(other.toString)
+          }
+          i += 1
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    // the commit-protocol marker every Spark write leaves and every
+    // reader of a committed dir checks (_SUCCESS-gated committedVersions
+    // / versions listings)
+    fs.create(new Path(p, "_SUCCESS"), true).close()
+  }
+
+  /** READ metadata-scale parquet rows back as Spark (schema, rows),
+    * driver-side — the inverse of [[writeRows]] (r17): what
+    * `appendCommit` feeds its ancestor-manifest union from without a
+    * cluster scan job. Schemas merge across files by field name
+    * (first-seen order, the mergeSchema shape a stats-evolving store
+    * needs); a name carrying two different types fails loudly. Only the
+    * metadata type universe is supported — any other parquet type fails
+    * here, routing the caller to a Spark read.
+    */
+  def readRows(conf: Configuration, dir: String)
+      : (org.apache.spark.sql.types.StructType,
+         Seq[org.apache.spark.sql.Row]) = readRowsMerged(conf, Seq(dir))
+
+  /** [[readRows]] over SEVERAL directories with one merged schema —
+    * the mergeSchema union shape `SnapshotStore.manifest` serves (a
+    * store whose older versions committed plain rows and whose newer
+    * ones carry stats reads as ONE table, stats null on legacy rows).
+    */
+  def readRowsMerged(conf: Configuration, dirs: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Seq[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def sparkType(t: org.apache.parquet.schema.Type): DataType = {
+      val pt = t.asPrimitiveType()
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => LongType
+        case PrimitiveTypeName.INT32 => IntegerType
+        case PrimitiveTypeName.BINARY
+            if pt.getLogicalTypeAnnotation.isInstanceOf[
+              LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          StringType
+        case PrimitiveTypeName.BINARY => BinaryType
+        case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.DOUBLE => DoubleType
+        case other => throw new IllegalStateException(
+          s"metadata field ${t.getName} has parquet type $other — " +
+            "outside the metadata type universe; read it with Spark")
+      }
+    }
+    val gs = dirs.flatMap(d => groups(conf, d))
+    val fields = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    gs.foreach { g =>
+      val t = g.getType
+      (0 until t.getFieldCount).foreach { i =>
+        val f = t.getType(i)
+        val st = sparkType(f)
+        fields.get(f.getName) match {
+          case Some(prev) => require(prev == st,
+            s"metadata field ${f.getName} carries both $prev and $st " +
+              s"under ${dirs.mkString(",")} — schemas must agree to merge")
+          case None => fields.put(f.getName, st)
+        }
+      }
+    }
+    val schema = StructType(fields.toSeq.map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val rows = gs.map { g =>
+      org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
+        f.dataType match {
+          case LongType => optLong(g, f.name).map(Long.box).orNull
+          case IntegerType =>
+            // optLong widens INT32; narrow back for an IntegerType field
+            optLong(g, f.name).map(v => Int.box(v.toInt)).orNull
+          case StringType => optString(g, f.name).orNull
+          case BinaryType => optBinary(g, f.name).orNull
+          case BooleanType =>
+            if (!g.getType.containsField(f.name) ||
+                g.getFieldRepetitionCount(f.name) == 0) null
+            else Boolean.box(g.getBoolean(f.name, 0))
+          case DoubleType =>
+            if (!g.getType.containsField(f.name) ||
+                g.getFieldRepetitionCount(f.name) == 0) null
+            else Double.box(g.getDouble(f.name, 0))
+          case other => throw new IllegalStateException(other.toString)
+        }
+      })
+    }
+    (schema, rows)
+  }
+
   /** Nullable integral field (parquet INT32 or INT64) by name. */
   def optLong(g: Group, name: String): Option[Long] = {
     val t = g.getType

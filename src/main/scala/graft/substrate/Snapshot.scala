@@ -175,8 +175,15 @@ object SnapshotStore {
     require(localRows.nonEmpty,
       s"no manifest rows carry version $version — the rows passed to " +
         "commit() must be tagged with the version being committed")
-    val rowsLocal = spark.createDataFrame(
-      java.util.Arrays.asList(localRows: _*), rows.schema)
+    // sanity cap (ADVICE r16): manifests are O(#files) commit metadata —
+    // a caller that passes a pathological DATA-scale frame here must
+    // fail loudly instead of ballooning the driver; 4M rows is far past
+    // any real file count at this store's file sizing and still only
+    // ~hundreds of MB of driver heap
+    require(localRows.length <= (1 << 22),
+      s"commit() was handed ${localRows.length} manifest rows for " +
+        s"v=$version under $base — manifests are O(#files) metadata; " +
+        "a row count this size means a data frame was passed by mistake")
     val stage = new org.apache.hadoop.fs.Path(
       s"$base/_manifest/.stage-v=$version-${java.util.UUID.randomUUID()}")
     val lock = lockFor(base, version)
@@ -185,7 +192,17 @@ object SnapshotStore {
     // same invariant VectorArtifact.stagedPublish keeps — not wait for
     // a purgeRetired mtime sweep
     try {
-      rowsLocal.coalesce(1).write.parquet(stage.toString)
+      // the stage write is DRIVER-SIDE parquet I/O (r17 — the write half
+      // of the MetaIo discipline): the rows are already materialized
+      // local metadata, and the old one-task Spark write paid planning +
+      // job + committer per commit. Schemas outside the metadata type
+      // universe (none today) keep the Spark path.
+      if (MetaIo.writableSchema(rows.schema))
+        MetaIo.writeRows(spark.sparkContext.hadoopConfiguration,
+          stage.toString, rows.schema, localRows.toSeq)
+      else spark.createDataFrame(
+          java.util.Arrays.asList(localRows: _*), rows.schema)
+        .coalesce(1).write.parquet(stage.toString)
       lock.synchronized {
       if (fs.exists(marker))
         throw new CommitConflictException(
@@ -355,9 +372,16 @@ object SnapshotStore {
       // is visible here — the entry-gate check alone was check-then-act
       if (batchTag.exists(t => batchTagCommitted(spark, base, t)))
         throw new BatchTagAlreadyCommitted
-      val prev = spark.read.option("mergeSchema", "true")
-        .parquet(mdir(base, v - 1))
-        .withColumn("version", lit(v))
+      // the ancestor's manifest is O(#files) commit metadata — read it
+      // driver-side (r17, MetaIo.readRows: the same mergeSchema
+      // semantics the old spark.read carried) so the commit's collect
+      // never schedules a cluster scan for metadata
+      val (prevSchema, prevRows) = MetaIo.readRows(conf, mdir(base, v - 1))
+      val prev = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(prevRows.asJava, prevSchema)
+          .withColumn("version", lit(v))
+      }
       val freshBase =
         if (statsCols.nonEmpty)
           manifestForStats(spark, v, newDirs, statsCols)
@@ -425,12 +449,18 @@ object SnapshotStore {
   def manifest(spark: SparkSession, base: String): DataFrame = {
     val vs = committedVersions(spark, base)
     require(vs.nonEmpty, s"no committed snapshot versions under $base")
-    // mergeSchema: a store whose older versions committed plain
-    // (version, file) rows and whose newer ones carry stats columns
-    // ([[manifestForStats]]) must still read as ONE manifest table —
-    // stats surface as nulls on the legacy rows
-    spark.read.option("mergeSchema", "true")
-      .parquet(vs.map(v => mdir(base, v)): _*)
+    // mergeSchema semantics, driver-side (r17 — MetaIo.readRowsMerged):
+    // a store whose older versions committed plain (version, file) rows
+    // and whose newer ones carry stats columns ([[manifestForStats]])
+    // still reads as ONE manifest table — stats surface as nulls on the
+    // legacy rows. Manifests are O(#versions × #files) commit metadata;
+    // serving them as a LocalRelation means downstream manifest algebra
+    // (readAt file resolution, vacuum anti-joins, changedFiles) never
+    // schedules scan jobs for metadata.
+    val (schema, rows) = MetaIo.readRowsMerged(
+      spark.sparkContext.hadoopConfiguration, vs.map(v => mdir(base, v)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** One committed version's manifest rows as parquet Groups —
@@ -733,8 +763,11 @@ object SnapshotStore {
       strCols.flatMap(c => Seq(
         StructField(s"smin_$c", StringType, nullable = true),
         StructField(s"smax_$c", StringType, nullable = true))))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    // LocalRelation, not parallelize (r17): the rows are driver-built
+    // metadata — a LocalRelation makes every downstream collect (the
+    // commit guard) driver-only instead of a one-task cluster job
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** [[manifestForStats]] extended with per-file BLOOM FILTERS on
@@ -859,8 +892,9 @@ object SnapshotStore {
       bloomCols.flatMap(c => Seq(
         StructField(s"bloom_$c", BinaryType, nullable = true),
         StructField(s"bloomk_$c", LongType, nullable = true))))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(withBloom, 1), schema)
+    // LocalRelation (r17) — same reason as manifestForStats
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(withBloom.asJava, schema)
   }
 
   /** POINT-LOOKUP planning through the committed blooms: the files of

@@ -689,17 +689,22 @@ object VectorArtifact {
     // r13 the whole version directory arrives by one stagedPublish
     // rename — a reader can never see a version whose meta exists while
     // its data tables are still being written, because both land in the
-    // same atomic claim.
-    spark.range(1)
-      .select(lit(version).as("version"), lit(dim).as("dim"),
-        lit(cb.length).as("m"), lit(cb.head.length).as("k"),
-        lit(sourceVersion.map(Long.box).orNull).cast("long")
-          .as("source_version"),
-        lit(corpus.map(_._1).orNull).cast("string").as("corpus_base"),
-        lit(corpus.map(c => Long.box(c._2)).orNull).cast("long")
-          .as("corpus_version"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    // same atomic claim. Written driver-side (r17, the MetaIo write
+    // discipline — one scalar row needs no Spark job); MetaIo.writeRows
+    // creates the _SUCCESS marker itself.
+    import org.apache.spark.sql.types._
+    MetaIo.writeRows(spark.sparkContext.hadoopConfiguration,
+      s"$dir/meta",
+      StructType(Seq(StructField("version", LongType),
+        StructField("dim", IntegerType), StructField("m", IntegerType),
+        StructField("k", IntegerType),
+        StructField("source_version", LongType),
+        StructField("corpus_base", StringType),
+        StructField("corpus_version", LongType))),
+      Seq(org.apache.spark.sql.Row(version, dim, cb.length,
+        cb.head.length, sourceVersion.map(Long.box).orNull,
+        corpus.map(_._1).orNull,
+        corpus.map(c => Long.box(c._2)).orNull)))
   }
 
   /** The corpus-provenance stamp of a committed version (None when the
@@ -750,15 +755,26 @@ object VectorArtifact {
     * a sidecar keep an all-null kind column — readers that predate it
     * ignore the column entirely.
     */
+  private val ManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType)))
+
   private def writeManifestFull(spark: SparkSession, dir: String,
-      rows: Seq[(String, Option[Long], Option[String])]): Unit = {
-    import spark.implicits._
-    rows.map { case (f, c, k) =>
-        (f, c.map(Long.box).orNull: java.lang.Long, k.orNull) }
-      .toDF("file", "cell", "kind")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
-  }
+      rows: Seq[(String, Option[Long], Option[String])]): Unit =
+    // driver-side parquet I/O, no Spark job (r17 — the MetaIo write
+    // discipline): the rows are already local O(#files) metadata; the
+    // old local-relation write paid a full Spark write job per publish.
+    // Same column names/types as the old writer, so Spark reads of the
+    // manifest (the relational publishIncremental overload) and
+    // MetaIo.groups reads both see the identical table.
+    MetaIo.writeRows(spark.sparkContext.hadoopConfiguration,
+      s"$dir/manifest", ManifestSchema,
+      rows.map { case (f, c, k) => org.apache.spark.sql.Row(
+        f, c.map(Long.box).orNull, k.orNull) })
 
   /** A committed version's DATA manifest rows, driver-side
     * (metadata-scale: O(#files)). Empty Seq when the version predates
