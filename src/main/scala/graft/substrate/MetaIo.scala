@@ -46,10 +46,11 @@ private[substrate] object MetaIo {
   }
 
   /** Can [[writeRows]] carry this schema? Scalar commit-metadata types
-    * only — long/int/string/binary/boolean/double, the full universe the
+    * — long/int/string/binary/boolean/double, the full universe the
     * manifest writers produce (version/file/row_count/bounds/blooms/
-    * kind/delete_key/added_v/batch_tag). Callers with any other column
-    * type keep the Spark write path.
+    * kind/delete_key/added_v/batch_tag) — plus ARRAY<DOUBLE> for the
+    * vector store's skinny tables (codebook/centroid rows, r17).
+    * Callers with any other column type keep the Spark write path.
     */
   def writableSchema(schema: org.apache.spark.sql.types.StructType)
       : Boolean = {
@@ -57,6 +58,7 @@ private[substrate] object MetaIo {
     schema.fields.forall(_.dataType match {
       case LongType | IntegerType | StringType | BinaryType |
            BooleanType | DoubleType => true
+      case ArrayType(DoubleType, _) => true
       case _ => false
     })
   }
@@ -91,6 +93,14 @@ private[substrate] object MetaIo {
         case BinaryType => Types.optional(BINARY)
         case BooleanType => Types.optional(BOOLEAN)
         case DoubleType => Types.optional(DOUBLE)
+        case ArrayType(DoubleType, containsNull) =>
+          // the standard 3-level LIST layout Spark's writer produces
+          // (`optional group f (LIST) { repeated group list { element
+          // } }`), element required/optional per containsNull so the
+          // read-back Spark schema matches the Spark-written one
+          if (containsNull)
+            Types.optionalList().optionalElement(DOUBLE)
+          else Types.optionalList().requiredElement(DOUBLE)
         case other => throw new IllegalStateException(other.toString)
       }).named(f.name)
     }
@@ -130,6 +140,16 @@ private[substrate] object MetaIo {
               g.append(schema.fields(i).name, r.getBoolean(i))
             case DoubleType =>
               g.append(schema.fields(i).name, r.getDouble(i))
+            case ArrayType(DoubleType, _) =>
+              // an empty array adds the LIST group with zero `list`
+              // entries — distinct from null (group absent), matching
+              // Spark's writer
+              val lg = g.addGroup(schema.fields(i).name)
+              r.getSeq[Any](i).foreach { v =>
+                val el = lg.addGroup("list")
+                if (v != null)
+                  el.append("element", v.asInstanceOf[Double])
+              }
             case other => throw new IllegalStateException(other.toString)
           }
           i += 1
@@ -167,6 +187,24 @@ private[substrate] object MetaIo {
     import org.apache.spark.sql.types._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     def sparkType(t: org.apache.parquet.schema.Type): DataType = {
+      if (!t.isPrimitive) {
+        // the standard 3-level LIST layout [[writeRows]] produces for
+        // ARRAY<DOUBLE> (and Spark's own writer produces for legacy
+        // files): group (LIST) { repeated group list { element } }
+        val gt = t.asGroupType()
+        require(gt.getLogicalTypeAnnotation.isInstanceOf[
+            LogicalTypeAnnotation.ListLogicalTypeAnnotation] &&
+            gt.getFieldCount == 1,
+          s"metadata field ${t.getName} is a non-LIST group — outside " +
+            "the metadata type universe; read it with Spark")
+        val el = gt.getType(0).asGroupType().getType(0).asPrimitiveType()
+        require(el.getPrimitiveTypeName == PrimitiveTypeName.DOUBLE,
+          s"metadata LIST field ${t.getName} carries " +
+            s"${el.getPrimitiveTypeName} — only ARRAY<DOUBLE> supported")
+        return ArrayType(DoubleType, containsNull =
+          el.getRepetition !=
+            org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      }
       val pt = t.asPrimitiveType()
       pt.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT64 => LongType
@@ -217,6 +255,18 @@ private[substrate] object MetaIo {
             if (!g.getType.containsField(f.name) ||
                 g.getFieldRepetitionCount(f.name) == 0) null
             else Double.box(g.getDouble(f.name, 0))
+          case ArrayType(DoubleType, _) =>
+            if (!g.getType.containsField(f.name) ||
+                g.getFieldRepetitionCount(f.name) == 0) null
+            else {
+              val lg = g.getGroup(f.name, 0)
+              val n = lg.getFieldRepetitionCount(0)
+              (0 until n).map { j =>
+                val el = lg.getGroup(0, j)
+                if (el.getFieldRepetitionCount(0) == 0) null
+                else Double.box(el.getDouble(0, 0))
+              }
+            }
           case other => throw new IllegalStateException(other.toString)
         }
       })

@@ -373,15 +373,10 @@ object SnapshotStore {
       if (batchTag.exists(t => batchTagCommitted(spark, base, t)))
         throw new BatchTagAlreadyCommitted
       // the ancestor's manifest is O(#files) commit metadata — read it
-      // driver-side (r17, MetaIo.readRows: the same mergeSchema
-      // semantics the old spark.read carried) so the commit's collect
-      // never schedules a cluster scan for metadata
-      val (prevSchema, prevRows) = MetaIo.readRows(conf, mdir(base, v - 1))
-      val prev = {
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(prevRows.asJava, prevSchema)
-          .withColumn("version", lit(v))
-      }
+      // driver-side (r17) so the commit's collect never schedules a
+      // cluster scan for metadata
+      val prev = manifestDfAt(spark, base, v - 1)
+        .withColumn("version", lit(v))
       val freshBase =
         if (statsCols.nonEmpty)
           manifestForStats(spark, v, newDirs, statsCols)
@@ -459,6 +454,21 @@ object SnapshotStore {
     // schedules scan jobs for metadata.
     val (schema, rows) = MetaIo.readRowsMerged(
       spark.sparkContext.hadoopConfiguration, vs.map(v => mdir(base, v)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** ONE version's manifest as a LocalRelation DataFrame — the
+    * driver-side single-version sibling of [[manifest]] (r17): every
+    * rewrite/sidecar commit carries its ancestor's manifest rows
+    * forward, and each was paying a cluster scan job (plus mergeSchema
+    * footer reads) for O(#files) commit metadata. MetaIo.readRows keeps
+    * the mergeSchema field-union semantics.
+    */
+  private def manifestDfAt(spark: SparkSession, base: String,
+      version: Long): DataFrame = {
+    val (schema, rows) = MetaIo.readRows(
+      spark.sparkContext.hadoopConfiguration, mdir(base, version))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
   }
@@ -1266,8 +1276,7 @@ object SnapshotStore {
     // fromVersion's rows only — one version-dir read, not the whole
     // store's manifest table (code-review r13 round 2: governance
     // commits must not pay O(all versions) metadata I/O each)
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
     import spark.implicits._
     val hitDf = hit.toDF("file")
     val shared = prev.join(broadcast(hitDf), Seq("file"), "left_anti")
@@ -1389,8 +1398,7 @@ object SnapshotStore {
       .map(s => fs.makeQualified(s.getPath).toString).sorted
     require(delFiles.nonEmpty,
       s"the delete sidecar write under $deleteDir produced no files")
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
       .withColumn("version", lit(version))
     import spark.implicits._
     val delRows = delFiles.toDF("file").select(
@@ -1600,8 +1608,7 @@ object SnapshotStore {
       .map(s => fs.makeQualified(s.getPath).toString).sorted
     require(delFiles.nonEmpty,
       s"the positional sidecar write under $deleteDir produced no files")
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
       .withColumn("version", lit(version))
     import spark.implicits._
     val delRows = delFiles.toDF("file").select(
@@ -1634,8 +1641,7 @@ object SnapshotStore {
         "materialize — use a compaction commit for plain OPTIMIZE")
     val cur = readAt(spark, base, fromVersion, mergeSchema = true)
     Layout.writeClustered(cur, rewriteDir, c, numFiles)
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
     val fresh =
       freshRewriteManifest(spark, version, rewriteDir, prev, Seq(c))
     // the empty-table guard its sibling rewrite commits carry
@@ -1713,8 +1719,7 @@ object SnapshotStore {
     }
     val (hit, _) = byFile.partition(_._2.exists(r => hitBy(r._2, r._3)))
     val hitFiles = hit.map(_._1)
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
     import spark.implicits._
     val shared = prev
       .join(broadcast(hitFiles.toDF("file")), Seq("file"), "left_anti")
@@ -1841,8 +1846,7 @@ object SnapshotStore {
       .filter(lit(false))
     val images = Cdc.applyChangeLog(emptyBase, changes, keyCols,
       seqCol, opCol)
-    val prev = spark.read.option("mergeSchema", "true")
-      .parquet(mdir(base, fromVersion))
+    val prev = manifestDfAt(spark, base, fromVersion)
       .withColumn("version", lit(version))
     import spark.implicits._
     val delRows = delFiles.toDF("file").select(

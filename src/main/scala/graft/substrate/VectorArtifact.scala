@@ -317,7 +317,15 @@ object VectorArtifact {
         .exists(prevManifest),
       s"v=$fromVersion has no manifest under $base (legacy layout) — " +
         "a derived publish needs saveClustered ancestry")
-    val prevAll = spark.read.parquet(prevManifest.toString)
+    // manifest = O(#files) commit metadata: read driver-side (r17,
+    // MetaIo) and serve as a LocalRelation — the broadcast joins below
+    // stay relational, but no scan job is scheduled for metadata
+    val prevAll = {
+      val (s, r) = MetaIo.readRows(
+        spark.sparkContext.hadoopConfiguration, prevManifest.toString)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(r.asJava, s)
+    }
     val hasKind = prevAll.columns.contains("kind")
     // the cluster gate checks DATA rows only — sidecar rows are
     // cell-less by design (r15)
@@ -658,12 +666,23 @@ object VectorArtifact {
 
   private def writeSkinny(spark: SparkSession, dir: String,
       centroids: DataFrame, cb: Array[Array[Array[Double]]]): Unit = {
-    PqIndex.codebookDf(spark, cb)
-      .select(col("sub"), col("cid_code").as("cid"), col("cv"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
-    centroids.coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // driver-side parquet I/O (r17, the MetaIo write discipline): both
+    // tables are metadata-scale — the codebook IS a driver array (m·k
+    // skinny rows) and centroids are O(#cells) — yet every publish paid
+    // two Spark write jobs (planning + task + committer) for them. The
+    // centroids collect executes the same plan the write job executed;
+    // column names/types (incl. array-element nullability) match the
+    // old writer's, so loadLatest's spark.read sees the identical table.
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    MetaIo.writeRows(conf, s"$dir/codebook",
+      StructType(Seq(StructField("sub", LongType),
+        StructField("cid", IntegerType),
+        StructField("cv", ArrayType(DoubleType, containsNull = false)))),
+      for { s <- cb.indices; c <- cb(s).indices }
+        yield org.apache.spark.sql.Row(s.toLong, c, cb(s)(c).toSeq))
+    MetaIo.writeRows(conf, s"$dir/centroids", centroids.schema,
+      centroids.collect().toIndexedSeq)
   }
 
   /** Write `codes` (vec_id, codes, cell, ...) repartitioned by cell and
@@ -936,8 +955,28 @@ object VectorArtifact {
       throw new IllegalStateException(s"meta row missing $name"))
     val m = num("m").toInt
     val k = num("k").toInt
-    val cb = PqIndex.codebookArrays(
-      spark.read.parquet(s"$dir/codebook"), m = m, k = k)
+    // codebook + centroids are metadata-scale skinny tables written by
+    // writeSkinny — read them driver-side (r17, MetaIo): the codebook
+    // collect was a scan job per load, and the centroid scan+broadcast
+    // another per serve; as a LocalRelation the broadcast builds from
+    // driver rows without a file-scan job
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cb = {
+      val (s, rows) = MetaIo.readRows(conf, s"$dir/codebook")
+      val (si, ci, vi) =
+        (s.fieldIndex("sub"), s.fieldIndex("cid"), s.fieldIndex("cv"))
+      val out = Array.ofDim[Array[Double]](m, k)
+      rows.foreach { r =>
+        out(r.getLong(si).toInt)(r.getInt(ci)) =
+          r.getSeq[Double](vi).toArray
+      }
+      out
+    }
+    val centroids = {
+      val (s, rows) = MetaIo.readRows(conf, s"$dir/centroids")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, s)
+    }
     // codes resolve through the version's MANIFEST when present (files
     // may live under earlier versions' dirs — the sharing contract);
     // a manifest-less version is legacy layout: its own codes dir.
@@ -952,7 +991,7 @@ object VectorArtifact {
       if (mfFull.nonEmpty) spark.read.parquet(dataFiles: _*)
       else spark.read.parquet(s"$dir/codes"))
     Loaded(num("version"), num("dim").toInt,
-      spark.read.parquet(s"$dir/centroids"), cb, codes,
+      centroids, cb, codes,
       MetaIo.optLong(meta, "source_version"),
       MetaIo.optString(meta, "corpus_base"),
       MetaIo.optLong(meta, "corpus_version"))
