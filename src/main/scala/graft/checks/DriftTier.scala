@@ -1003,7 +1003,7 @@ object DriftTier {
           .orderBy("vec_id", "sub").collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         ss.createDataFrame(
-          ss.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("vec_id", LongType),
             StructField("sub", LongType), StructField("cid", LongType))))
       } finally {

@@ -852,7 +852,7 @@ object OpsTier {
           .orderBy("l_returnflag")
           .collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("l_returnflag",
               org.apache.spark.sql.types.StringType),
@@ -982,7 +982,7 @@ object OpsTier {
         .map(v => snapAgg(SnapshotStore.readAt(spark, tmp, v), v))
         .reduce(_ unionByName _).orderBy("version").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         SnapAggSchema)
     },
     Some {
@@ -1024,7 +1024,7 @@ object OpsTier {
             col("n_rows"), col("sum_qty_i"), col("sum_price_i"))
       }.reduce(_ unionByName _).orderBy("from_version").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField("from_version",
             org.apache.spark.sql.types.LongType, nullable = false) +:
@@ -1118,7 +1118,7 @@ object OpsTier {
           snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L))
           .reduce(_ unionByName _).orderBy("version").collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -1232,7 +1232,7 @@ object OpsTier {
       val rows = snapAgg(SnapshotStore.readAtWhere(spark, tmp, 2L,
         "l_orderkey", 100L, 400L), 2L).collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         SnapAggSchema)
     },
     Some(
@@ -1263,8 +1263,8 @@ object OpsTier {
       val counts = Seq(1L, 2L, 3L)
         .map(v => (v, SnapshotStore.countAt(spark, tmp, v)))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(counts.toIndexedSeq, 1)
-          .map(c => org.apache.spark.sql.Row(c._1, c._2)),
+        java.util.Arrays.asList(
+          counts.map(c => org.apache.spark.sql.Row(c._1, c._2)): _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("version",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -1330,7 +1330,7 @@ object OpsTier {
           sum(floor(col("o_totalprice")).cast("long")).as("sum_price_i"))
         .orderBy("has_priority").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("has_priority",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -1399,7 +1399,7 @@ object OpsTier {
         val rows = snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L)
           .collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -1463,7 +1463,7 @@ object OpsTier {
           sum(floor(col("l_quantity")).cast("long")).as("sum_qty_i"))
         .collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_rows",
             org.apache.spark.sql.types.LongType),
@@ -1521,7 +1521,7 @@ object OpsTier {
           sum(floor(col("value")).cast("long")).as("sum_value_i"))
         .collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_rows",
             org.apache.spark.sql.types.LongType),
@@ -1586,7 +1586,7 @@ object OpsTier {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy("event_id").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("event_id",
             org.apache.spark.sql.types.LongType),
@@ -1696,7 +1696,7 @@ object OpsTier {
           .map(v => snapAgg(SnapshotStore.readAt(ss, tmp, v), v))
           .reduce(_ unionByName _).orderBy("version").collect()
         ss.createDataFrame(
-          ss.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -1797,7 +1797,7 @@ object OpsTier {
         "the truncated-bound prefix scan must return the identical " +
           "slice — truncation may only widen ranges, never lose rows")
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_docs",
             org.apache.spark.sql.types.LongType),
@@ -1916,8 +1916,7 @@ object OpsTier {
           v3Rows.head.getLong(1),
           "the kept head must read intact after the purge")
         spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            (v2Rows ++ v3Rows).toIndexedSeq, 1), SnapAggSchema)
+          java.util.Arrays.asList((v2Rows ++ v3Rows): _*), SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmp)).deleteRecursively()
@@ -2016,7 +2015,7 @@ object OpsTier {
             col("sum_qty_i"), col("sum_price_i"))
           .collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -2174,7 +2173,7 @@ object OpsTier {
         val rows = agg(2L).unionByName(agg(3L)).unionByName(agg(4L))
           .orderBy("version").collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -2317,7 +2316,7 @@ object OpsTier {
           sum(col("qty_i")).as("sum_qty_i"))
         .orderBy("version", "change_type").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("version",
             org.apache.spark.sql.types.LongType),
@@ -2412,7 +2411,7 @@ object OpsTier {
       // this entry benches the SINGLE fold
       val rows = refreshed.orderBy("g").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("g",
             org.apache.spark.sql.types.LongType),
@@ -2529,7 +2528,7 @@ object OpsTier {
         val rows = agg(2L).unionByName(agg(3L)).orderBy("version")
           .collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory
@@ -2659,7 +2658,7 @@ object OpsTier {
           sum(col("qty_i")).as("sum_qty_i"))
         .orderBy("version", "change_type").collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("version",
             org.apache.spark.sql.types.LongType),
@@ -2791,7 +2790,7 @@ object OpsTier {
         "the streamed two-window fold must equal the one-shot batch fold")
       val rows = mv.orderBy("g").collect()
       ss.createDataFrame(
-        ss.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("g",
             org.apache.spark.sql.types.LongType),
@@ -2907,7 +2906,7 @@ object OpsTier {
           snapAgg(SnapshotStore.readAt(spark, tmp, 2L), 2L))
           .reduce(_ unionByName _).orderBy("version").collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           SnapAggSchema)
       } finally {
         import scala.reflect.io.Directory

@@ -470,7 +470,7 @@ object PipelineTier {
         val v3 = SnapshotStore.readAt(spark, tmp, 3L)
         val rows = v3.orderBy("doc_id").collect()
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), v3.schema)
+          java.util.Arrays.asList(rows: _*), v3.schema)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(tmp)).deleteRecursively()

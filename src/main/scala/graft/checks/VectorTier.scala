@@ -1029,7 +1029,7 @@ object VectorTier {
           .collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
@@ -1150,7 +1150,7 @@ object VectorTier {
           .collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
@@ -1233,7 +1233,7 @@ object VectorTier {
           .orderBy("qid", "rank").collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("qid", LongType),
             StructField("rank", LongType), StructField("cid", LongType))))
       } finally {
@@ -1326,7 +1326,7 @@ object VectorTier {
           .collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
@@ -1457,8 +1457,7 @@ object VectorTier {
           "after purge no remaining file may hold a forgotten row")
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            (rows1 ++ rows2).toIndexedSeq, 1),
+          java.util.Arrays.asList((rows1 ++ rows2): _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
@@ -1551,7 +1550,7 @@ object VectorTier {
           .collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
@@ -1678,7 +1677,7 @@ object VectorTier {
           .collect()
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          java.util.Arrays.asList(rows: _*),
           StructType(Seq(StructField("index_version", LongType),
             StructField("qid", LongType), StructField("rank", LongType),
             StructField("cid", LongType))))
